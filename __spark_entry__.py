@@ -1,38 +1,649 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (smoke, sf0.001).
+``queries()``    — one entry per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent SQL per query.
+
+Float determinism policy: any SUM over doubles is computed as an exact
+DECIMAL sum of the per-row expression (the per-row double arithmetic is
+IEEE-identical in Spark and DuckDB) and cast back to DOUBLE at the end,
+so Spark's parallel reduction order cannot perturb the value-hash.
+DuckDB's SUM(INTEGER) returns HUGEINT, so integer sums are cast to
+BIGINT on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from asakusafw_spark_spark.operators import (  # noqa: E402
+    branch,
+    cogroup,
+    convert,
+    distinct_records,
+    extend,
+    extract,
+    fold,
+    group_sort,
+    master_branch,
+    master_check,
+    master_join,
+    master_join_update,
+    MasterSelection,
+    project,
+    restructure,
+    split,
+    summarize,
+    top_k_per_group,
+    update,
+    Grouping,
+)
+from asakusafw_spark_spark.operators.record import assemble_branches  # noqa: E402
+from asakusafw_spark_spark.schema import record_type  # noqa: E402
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS); Spark reads it as long
+        # under the legacy flag — normalize to a µs timestamp column.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(col, scale: int = 6):
+    """Order-insensitive double sum: exact decimal accumulate → double."""
+    return F.sum(col.cast(f"decimal(27,{scale})")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: revenue per nation (scan → joins → aggregate), engine operators
+# ---------------------------------------------------------------------------
+
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+
+    # master_join chain: lineitem←orders←customer←nation (masters broadcast)
+    li_ord = master_join(
+        orders.select("o_orderkey", "o_custkey"),
+        lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
+        [("o_orderkey", "l_orderkey")],
+        strategy="broadcast",
+    )["joined"]
+    with_cust = master_join(
+        customer.select("c_custkey", "c_nationkey"),
+        li_ord,
+        [("c_custkey", "o_custkey")],
+        strategy="broadcast",
+    )["joined"]
+    with_nation = master_join(
+        nation.select("n_nationkey", "n_name"),
+        with_cust,
+        [("n_nationkey", "c_nationkey")],
+        strategy="broadcast",
+    )["joined"]
+    rev = update(
+        with_nation,
+        revenue=(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(27,6)"
+        ),
+    )
+    return summarize(
+        rev, ["n_name"], {"revenue": ("sum", "revenue"), "n_items": ("count", "revenue")}
+    ).select("n_name", F.col("revenue").cast("double").alias("revenue"), "n_items")
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _flagship(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# Per-operator queries
+# ---------------------------------------------------------------------------
+
+
+def q_project(spark, sf):
+    t = record_type({"l_orderkey": "long", "l_partkey": "long", "l_quantity": "double"})
+    return project(_t(spark, sf, "lineitem"), t)
+
+
+def q_extend(spark, sf):
+    part = _t(spark, sf, "part")
+    t = record_type(
+        {
+            "p_partkey": "long",
+            "p_name": "string",
+            "p_brand": "string",
+            "p_type": "string",
+            "p_size": "int",
+            "p_retailprice": "double",
+            "p_margin": "double",
+        }
+    )
+    return extend(part, t)
+
+
+def q_restructure(spark, sf):
+    t = record_type({"c_custkey": "long", "c_mktsegment": "string", "c_score": "double"})
+    return restructure(_t(spark, sf, "customer"), t)
+
+
+def q_extract(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    outs = extract(
+        li,
+        {
+            "revenue": [
+                F.col("l_orderkey"),
+                F.col("l_linenumber"),
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            ],
+        },
+    )
+    return outs["revenue"]
+
+
+def q_update(spark, sf):
+    orders = _t(spark, sf, "orders")
+    return update(
+        orders.select("o_orderkey", "o_totalprice", "o_orderpriority"),
+        big=F.col("o_totalprice") > 200000.0,
+        o_orderpriority=F.substring("o_orderpriority", 1, 1),
+    )
+
+
+def q_convert(spark, sf):
+    orders = _t(spark, sf, "orders")
+    outs = convert(
+        orders,
+        {
+            "o_orderkey": F.col("o_orderkey"),
+            "bucket": F.pmod(F.col("o_orderkey"), F.lit(7)).cast("long"),
+        },
+    )
+    return outs["out"]
+
+
+def q_branch(spark, sf):
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag")
+    router = (
+        F.when(F.col("l_returnflag") == "R", "returned")
+        .when(F.col("l_returnflag") == "A", "accepted")
+        .otherwise("open")
+    )
+    outs = branch(li, router, ["returned", "accepted", "open"])
+    return assemble_branches(outs)
+
+
+def q_split(spark, sf):
+    joined = master_join(
+        _t(spark, sf, "customer").select("c_custkey", "c_mktsegment"),
+        _t(spark, sf, "orders").select("o_orderkey", "o_custkey"),
+        [("c_custkey", "o_custkey")],
+    )["joined"]
+    outs = split(joined, ["o_orderkey", "o_custkey"], ["c_mktsegment"])
+    return outs["left"]
+
+
+def q_master_join(spark, sf):
+    out = master_join(
+        _t(spark, sf, "customer").select("c_custkey", "c_name", "c_mktsegment"),
+        _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        [("c_custkey", "o_custkey")],
+        mapping={
+            "o_orderkey": "t.o_orderkey",
+            "o_custkey": "t.o_custkey",
+            "o_totalprice": "t.o_totalprice",
+            "c_name": "m.c_name",
+            "c_mktsegment": "m.c_mktsegment",
+        },
+    )
+    return out["joined"]
+
+
+def q_master_join_missed(spark, sf):
+    # only customers with acctbal >= 5000 qualify as masters → real misses
+    masters = _t(spark, sf, "customer").filter(F.col("c_acctbal") >= 5000.0)
+    out = master_join(
+        masters.select("c_custkey", "c_name"),
+        _t(spark, sf, "orders").select("o_orderkey", "o_custkey"),
+        [("c_custkey", "o_custkey")],
+    )
+    return out["missed"]
+
+
+def q_master_check_found(spark, sf):
+    masters = _t(spark, sf, "part").filter(F.col("p_size") > 25)
+    out = master_check(
+        masters,
+        _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey"),
+        [("p_partkey", "l_partkey")],
+        strategy="broadcast",
+    )
+    return out["found"]
+
+
+def q_master_check_missed(spark, sf):
+    masters = _t(spark, sf, "part").filter(F.col("p_size") > 25)
+    out = master_check(
+        masters,
+        _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey"),
+        [("p_partkey", "l_partkey")],
+    )
+    return out["missed"]
+
+
+def q_master_branch(spark, sf):
+    nation = _t(spark, sf, "nation")
+    customer = _t(spark, sf, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    router = (
+        F.when(F.col("__m_n_regionkey").isNull(), "unknown")
+        .when(F.col("__m_n_regionkey") <= 1, "west")
+        .otherwise("east")
+    )
+    outs = master_branch(
+        nation, customer, [("n_nationkey", "c_nationkey")], router, ["west", "east", "unknown"]
+    )
+    return assemble_branches(outs)
+
+
+def q_master_join_update(spark, sf):
+    out = master_join_update(
+        _t(spark, sf, "customer").select("c_custkey", "c_acctbal"),
+        _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        [("c_custkey", "o_custkey")],
+        updates={"o_totalprice": F.col("o_totalprice") + F.col("__m_c_acctbal")},
+    )
+    return out["updated"]
+
+
+def q_master_selection_ordering(spark, sf):
+    # multi-master groups: customers per nation; pick max acctbal (tie: min custkey)
+    sel = MasterSelection(ordering=[("c_acctbal", "desc"), ("c_custkey", "asc")])
+    out = master_join(
+        _t(spark, sf, "customer").select("c_custkey", "c_nationkey", "c_acctbal"),
+        _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey"),
+        [("c_nationkey", "s_nationkey")],
+        mapping={
+            "s_suppkey": "t.s_suppkey",
+            "best_custkey": "m.c_custkey",
+            "best_acctbal": "m.c_acctbal",
+        },
+        selection=sel,
+    )
+    return out["joined"]
+
+
+def q_master_selection_custom_fn(spark, sf):
+    # same semantics via the Python cogroup slow path (select_fn)
+    def pick_best(m_pdf, trow):
+        return 0 if len(m_pdf) else None
+
+    sel = MasterSelection(
+        ordering=[("c_acctbal", "desc"), ("c_custkey", "asc")], select_fn=pick_best
+    )
+    out = master_join(
+        _t(spark, sf, "customer").select("c_custkey", "c_nationkey", "c_acctbal"),
+        _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey"),
+        [("c_nationkey", "s_nationkey")],
+        mapping={
+            "s_suppkey": "t.s_suppkey",
+            "best_custkey": "m.c_custkey",
+            "best_acctbal": "m.c_acctbal",
+        },
+        selection=sel,
+    )
+    return out["joined"]
+
+
+def q_master_join_where(spark, sf):
+    # tx-dependent candidate predicate: master qualifies only if acctbal
+    # clears a threshold derived from the transaction
+    sel = MasterSelection(
+        ordering=[("c_custkey", "asc")],
+        where=F.col("__m_c_acctbal") * 100 >= F.col("o_totalprice"),
+    )
+    out = master_join(
+        _t(spark, sf, "customer").select("c_custkey", "c_acctbal"),
+        _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        [("c_custkey", "o_custkey")],
+        mapping={
+            "o_orderkey": "t.o_orderkey",
+            "o_totalprice": "t.o_totalprice",
+            "c_acctbal": "m.c_acctbal",
+        },
+        selection=sel,
+    )
+    return out["joined"]
+
+
+def q_summarize_q1(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    li = li.withColumns(
+        {
+            "disc_price": F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            "charge": F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax")),
+        }
+    )
+    out = summarize(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "count_order": ("count", "l_quantity"),
+            "max_qty": ("max", "l_quantity"),
+            "min_price": ("min", "l_extendedprice"),
+        },
+    )
+    sums = li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+        _dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+        _dsum(F.col("disc_price")).alias("sum_disc_price"),
+        _dsum(F.col("charge")).alias("sum_charge"),
+    )
+    return out.join(sums, ["l_returnflag", "l_linestatus"])
+
+
+def q_fold(spark, sf):
+    li = _t(spark, sf, "lineitem").select("l_suppkey", "l_quantity", "l_extendedprice")
+    return fold(
+        li,
+        ["l_suppkey"],
+        exprs={
+            "l_quantity": _dsum(F.col("l_quantity"), 2),
+            "l_extendedprice": F.max("l_extendedprice"),
+        },
+    )
+
+
+def q_cogroup(spark, sf):
+    import pandas as pd
+
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+
+    def fn(key, opdf: pd.DataFrame, lpdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": [key[0]],
+                "n_orders": [len(opdf)],
+                "n_items": [len(lpdf)],
+                "sum_qty": [round(float(lpdf["l_quantity"].sum()), 2) if len(lpdf) else None],
+            }
+        )
+
+    return cogroup(
+        [
+            Grouping(orders, ["o_orderkey"]),
+            Grouping(li, ["l_orderkey"], [("l_linenumber", "asc")]),
+        ],
+        fn,
+        "o_orderkey long, n_orders long, n_items long, sum_qty double",
+    )
+
+
+def q_cogroup3(spark, sf):
+    import pandas as pd
+
+    customer = _t(spark, sf, "customer").select("c_custkey")
+    orders = _t(spark, sf, "orders").select("o_custkey", "o_orderkey")
+    events = _t(spark, sf, "events").select("user_id", "event_id")
+
+    def fn(key, cpdf, opdf, epdf) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": [key[0]],
+                "n_cust": [len(cpdf)],
+                "n_orders": [len(opdf)],
+                "n_events": [len(epdf)],
+            }
+        )
+
+    return cogroup(
+        [
+            Grouping(customer, ["c_custkey"]),
+            Grouping(orders, ["o_custkey"]),
+            Grouping(events, ["user_id"]),
+        ],
+        fn,
+        "k long, n_cust long, n_orders long, n_events long",
+    )
+
+
+def q_group_sort(spark, sf):
+    import pandas as pd
+
+    orders = _t(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+
+    def latest(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.iloc[[0]]
+
+    return group_sort(
+        orders,
+        ["o_custkey"],
+        [("o_orderdate", "desc"), ("o_orderkey", "asc")],
+        latest,
+        orders.schema,
+    )
+
+
+def q_topk(spark, sf):
+    orders = _t(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return top_k_per_group(
+        orders, ["o_custkey"], [("o_totalprice", "desc"), ("o_orderkey", "asc")], 3
+    )
+
+
+def q_distinct(spark, sf):
+    proj = _t(spark, sf, "customer").select("c_mktsegment", "c_nationkey")
+    return distinct_records(proj)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "flagship_revenue_per_nation": _flagship,
+        "project": q_project,
+        "extend": q_extend,
+        "restructure": q_restructure,
+        "extract": q_extract,
+        "update": q_update,
+        "convert": q_convert,
+        "branch": q_branch,
+        "split": q_split,
+        "master_join": q_master_join,
+        "master_join_missed": q_master_join_missed,
+        "master_check_found": q_master_check_found,
+        "master_check_missed": q_master_check_missed,
+        "master_branch": q_master_branch,
+        "master_join_update": q_master_join_update,
+        "master_selection_ordering": q_master_selection_ordering,
+        "master_selection_custom_fn": q_master_selection_custom_fn,
+        "master_join_where": q_master_join_where,
+        "summarize_q1": q_summarize_q1,
+        "fold": q_fold,
+        "cogroup": q_cogroup,
+        "cogroup3": q_cogroup3,
+        "group_sort": q_group_sort,
+        "top_k_per_group": q_topk,
+        "distinct": q_distinct,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "flagship_revenue_per_nation": """
+            SELECT n_name,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation   ON n_nationkey = c_nationkey
+            GROUP BY n_name
+        """,
+        "project": "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem",
+        "extend": """
+            SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice,
+                   CAST(NULL AS DOUBLE) AS p_margin
+            FROM part
+        """,
+        "restructure": """
+            SELECT c_custkey, c_mktsegment, CAST(NULL AS DOUBLE) AS c_score FROM customer
+        """,
+        "extract": """
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice * (1 - l_discount) AS revenue
+            FROM lineitem
+        """,
+        "update": """
+            SELECT o_orderkey, o_totalprice,
+                   substr(o_orderpriority, 1, 1) AS o_orderpriority,
+                   o_totalprice > 200000.0 AS big
+            FROM orders
+        """,
+        "convert": """
+            SELECT o_orderkey, CAST(o_orderkey % 7 AS BIGINT) AS bucket FROM orders
+        """,
+        "branch": """
+            SELECT l_orderkey, l_linenumber, l_returnflag,
+                   CASE l_returnflag WHEN 'R' THEN 'returned'
+                                     WHEN 'A' THEN 'accepted'
+                                     ELSE 'open' END AS branch
+            FROM lineitem
+        """,
+        "split": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer)
+        """,
+        "master_join": """
+            SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+            FROM orders JOIN customer ON c_custkey = o_custkey
+        """,
+        "master_join_missed": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey NOT IN (
+                SELECT c_custkey FROM customer WHERE c_acctbal >= 5000.0
+            )
+        """,
+        "master_check_found": """
+            SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 25)
+        """,
+        "master_check_missed": """
+            SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+            WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size > 25)
+        """,
+        "master_branch": """
+            SELECT c_custkey, c_nationkey, c_acctbal,
+                   CASE WHEN n_nationkey IS NULL THEN 'unknown'
+                        WHEN n_regionkey <= 1 THEN 'west'
+                        ELSE 'east' END AS branch
+            FROM customer LEFT JOIN nation ON n_nationkey = c_nationkey
+        """,
+        "master_join_update": """
+            SELECT o_orderkey, o_custkey, o_totalprice + c_acctbal AS o_totalprice
+            FROM orders JOIN customer ON c_custkey = o_custkey
+        """,
+        "master_selection_ordering": """
+            SELECT s_suppkey, c_custkey AS best_custkey, c_acctbal AS best_acctbal
+            FROM supplier
+            JOIN (
+                SELECT c_nationkey, c_custkey, c_acctbal,
+                       row_number() OVER (PARTITION BY c_nationkey
+                                          ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+                FROM customer
+            ) best ON best.c_nationkey = s_nationkey AND rn = 1
+        """,
+        "master_selection_custom_fn": """
+            SELECT s_suppkey, c_custkey AS best_custkey, c_acctbal AS best_acctbal
+            FROM supplier
+            JOIN (
+                SELECT c_nationkey, c_custkey, c_acctbal,
+                       row_number() OVER (PARTITION BY c_nationkey
+                                          ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+                FROM customer
+            ) best ON best.c_nationkey = s_nationkey AND rn = 1
+        """,
+        "master_join_where": """
+            SELECT o_orderkey, o_totalprice, c_acctbal
+            FROM orders JOIN customer ON c_custkey = o_custkey
+            WHERE c_acctbal * 100 >= o_totalprice
+        """,
+        "summarize_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   COUNT(*) AS count_order,
+                   MAX(l_quantity) AS max_qty,
+                   MIN(l_extendedprice) AS min_price,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS sum_disc_price,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "fold": """
+            SELECT l_suppkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS l_quantity,
+                   MAX(l_extendedprice) AS l_extendedprice
+            FROM lineitem GROUP BY l_suppkey
+        """,
+        "cogroup": """
+            WITH o AS (SELECT o_orderkey AS k, COUNT(*) AS n FROM orders GROUP BY 1),
+                 l AS (SELECT l_orderkey AS k, COUNT(*) AS n,
+                              ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE), 2) AS s
+                       FROM lineitem GROUP BY 1)
+            SELECT COALESCE(o.k, l.k) AS o_orderkey,
+                   COALESCE(o.n, 0) AS n_orders,
+                   COALESCE(l.n, 0) AS n_items,
+                   l.s AS sum_qty
+            FROM o FULL JOIN l ON o.k = l.k
+        """,
+        "cogroup3": """
+            WITH c AS (SELECT c_custkey AS k, COUNT(*) AS n FROM customer GROUP BY 1),
+                 o AS (SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY 1),
+                 e AS (SELECT user_id  AS k, COUNT(*) AS n FROM events GROUP BY 1)
+            SELECT COALESCE(c.k, o.k, e.k) AS k,
+                   COALESCE(c.n, 0) AS n_cust,
+                   COALESCE(o.n, 0) AS n_orders,
+                   COALESCE(e.n, 0) AS n_events
+            FROM c FULL JOIN o ON c.k = o.k
+                   FULL JOIN e ON COALESCE(c.k, o.k) = e.k
+        """,
+        "group_sort": """
+            SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+                SELECT *, row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+                FROM orders
+            ) WHERE rn = 1
+        """,
+        "top_k_per_group": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+                SELECT *, row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders
+            ) WHERE rn <= 3
+        """,
+        "distinct": """
+            SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        """,
+    }

@@ -1,0 +1,44 @@
+"""The operator vocabulary (SURVEY.md §2).
+
+Core projections, record-kind ops, master/transaction joins, group ops —
+plus Spark-native extensions (windows / top-k / distinct / set ops) the
+reference lacks (SURVEY.md §2.8).
+"""
+
+from .core import project, extend, restructure, checkpoint
+from .record import extract, update, convert, branch, split, logging_op
+from .joins import (
+    master_join,
+    master_check,
+    master_branch,
+    master_join_update,
+    MasterSelection,
+)
+from .group import summarize, fold, cogroup, group_sort, Grouping
+from .window import top_k_per_group, rank_in_group, distinct_records
+
+__all__ = [
+    "project",
+    "extend",
+    "restructure",
+    "checkpoint",
+    "extract",
+    "update",
+    "convert",
+    "branch",
+    "split",
+    "logging_op",
+    "master_join",
+    "master_check",
+    "master_branch",
+    "master_join_update",
+    "MasterSelection",
+    "summarize",
+    "fold",
+    "cogroup",
+    "group_sort",
+    "Grouping",
+    "top_k_per_group",
+    "rank_in_group",
+    "distinct_records",
+]

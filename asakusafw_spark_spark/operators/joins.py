@@ -1,0 +1,347 @@
+"""Master/transaction join family (SURVEY.md §2.4).
+
+All reference joins are equi-joins on a group key between a *master*
+input and a *transaction* input; per transaction record at most ONE
+master is chosen by a "master selection":
+
+- default: the first master of the group in group-sort order
+  (runtime/.../operator/DefaultMasterSelection.scala:22-27);
+- custom: a user method that sees the whole (sorted) master group and
+  the transaction record and may encode range/as-of/theta predicates
+  (SURVEY.md §2.4 "non-default masterSelection").
+
+Physical strategies mirror the reference's planner choice
+(Shuffled*/Broadcast* compiler twins): ``strategy ∈ {"auto",
+"broadcast", "shuffled"}`` — ``auto`` lets Catalyst/AQE pick using the
+20 MiB TINY threshold configured in :mod:`..session`.
+
+Scale design:
+
+- Master selection is pushed BEFORE the join whenever it only depends on
+  master columns: we reduce each master group to its selected single row
+  (partial-aggregable ``min_by`` on an ordering struct → map-side
+  combine, no sort), then the join is a plain 1:N equi-join that AQE can
+  broadcast or sort-merge.  This keeps the big transaction side
+  shuffle-free in the broadcast case.
+- A per-transaction predicate (``where``) makes selection depend on the
+  tx record; we then left-join ALL candidate masters and keep the best
+  per tx row with one ``min_by`` aggregation keyed by a transaction row
+  id — no window sort, map-side combinable, skew handled by AQE.
+- A fully custom Python ``select_fn`` falls back to a cogrouped
+  ``applyInPandas`` (Arrow-batched; documented slow path).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+Ordering = Sequence[tuple[str, str]]  # [(col, "asc"|"desc"), ...]
+
+
+@dataclass
+class MasterSelection:
+    """How to pick ≤1 master per transaction record.
+
+    ``ordering``   — sort spec over master columns; the FIRST candidate
+                     wins (default selection semantics).  Defaults to all
+                     master columns ascending for determinism.
+    ``where``      — optional Column predicate over (master, tx) columns
+                     refining candidates per transaction (range/as-of/
+                     theta inside the group — the reference expresses
+                     these inside a @MasterSelection Java method).
+    ``select_fn``  — optional Python callable
+                     ``(masters: pd.DataFrame, tx: pd.Series) -> int|None``
+                     returning the index of the chosen master (or None);
+                     forces the cogroup slow path.
+    """
+
+    ordering: Ordering | None = None
+    where: Column | None = None
+    select_fn: Callable | None = field(default=None, repr=False)
+
+
+def _dedupe_masters(master: DataFrame, key: Sequence[str], sel: MasterSelection) -> DataFrame:
+    """Reduce masters to the single selected row per group key.
+
+    Spark structs compare field-by-field, so ``min_by(row, ord_struct)``
+    picks the first row of the sorted group WITHOUT sorting — it runs as
+    a partial-aggregable hash aggregate (map-side combine), the scalable
+    replacement for a window ``row_number() = 1``.  Descending orderings
+    fall back to the window (sort-based, still a single shuffle).
+    """
+    ordering = sel.ordering or [(c, "asc") for c in master.columns]
+    all_asc = all(d == "asc" for _, d in ordering)
+    if all_asc:
+        ord_struct = F.struct(*[F.col(c) for c, _ in ordering])
+        row_struct = F.struct(*[F.col(c) for c in master.columns])
+        picked = (
+            master.groupBy(*key)
+            .agg(F.min_by(row_struct, ord_struct).alias("__m__"))
+            .select(*key, *[F.col(f"__m__.{c}").alias(c) for c in master.columns if c not in key])
+        )
+        return picked
+    # window fallback for desc orderings (sort-based, still one shuffle)
+    from pyspark.sql import Window as W
+
+    order_cols = [F.col(c).asc() if d == "asc" else F.col(c).desc() for c, d in ordering]
+    w = W.partitionBy(*key).orderBy(*order_cols)
+    return (
+        master.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
+def _apply_strategy(master: DataFrame, strategy: str) -> DataFrame:
+    if strategy == "broadcast":
+        return F.broadcast(master)
+    if strategy == "shuffled":
+        return master.hint("shuffle_merge")
+    if strategy == "auto":
+        return master
+    raise ValueError(f"unknown join strategy {strategy!r}")
+
+
+def _prefix(df: DataFrame, prefix: str) -> DataFrame:
+    return df.select(*[F.col(c).alias(prefix + c) for c in df.columns])
+
+
+def _join_selected(
+    master: DataFrame,
+    tx: DataFrame,
+    key: Sequence[str] | Sequence[tuple[str, str]],
+    selection: MasterSelection | None,
+    strategy: str,
+) -> tuple[DataFrame, list[str], list[str]]:
+    """Left-join tx with its selected master.
+
+    Returns (joined frame with master columns prefixed ``m_``…, master
+    column names as present in the joined frame, tx column names).
+    ``key`` is either shared column names or (master_col, tx_col) pairs.
+    """
+    sel = selection or MasterSelection()
+    pairs = [(k, k) if isinstance(k, str) else tuple(k) for k in key]
+    mkey = [p[0] for p in pairs]
+
+    if sel.select_fn is not None:
+        return _join_selected_cogroup(master, tx, pairs, sel)
+
+    m = _prefix(master, "__m_")
+    mcols = [f"__m_{c}" for c in master.columns]
+    cond = None
+    for mk, tk in pairs:
+        c = F.col(f"__m_{mk}") == F.col(tk)
+        cond = c if cond is None else (cond & c)
+
+    if sel.where is None:
+        # selection independent of tx → pre-reduce master groups, then 1:N join
+        m1 = _prefix(_dedupe_masters(master, mkey, sel), "__m_")
+        joined = tx.join(_apply_strategy(m1, strategy), on=cond, how="left")
+        return joined, mcols, list(tx.columns)
+
+    # tx-dependent candidate predicate: join all candidates, keep best per tx row
+    txid = tx.withColumn("__txid__", F.monotonically_increasing_id())
+    cand = txid.join(_apply_strategy(m, strategy), on=cond & sel.where, how="inner")
+    ordering = sel.ordering or [(c, "asc") for c in master.columns]
+    if all(d == "asc" for _, d in ordering):
+        ord_struct = F.struct(*[F.col(f"__m_{c}") for c, _ in ordering])
+        row_struct = F.struct(*[F.col(c) for c in cand.columns if c != "__txid__"])
+        best = (
+            cand.groupBy("__txid__")
+            .agg(F.min_by(row_struct, ord_struct).alias("__r__"))
+            .select("__txid__", "__r__.*")
+        )
+    else:
+        from pyspark.sql import Window as W
+
+        order_cols = [
+            F.col(f"__m_{c}").asc() if d == "asc" else F.col(f"__m_{c}").desc()
+            for c, d in ordering
+        ]
+        w = W.partitionBy("__txid__").orderBy(*order_cols)
+        best = (
+            cand.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .drop("__rn__")
+        )
+    joined = txid.join(best.select("__txid__", *mcols), on="__txid__", how="left").drop("__txid__")
+    return joined, mcols, list(tx.columns)
+
+
+def _join_selected_cogroup(
+    master: DataFrame, tx: DataFrame, pairs: list[tuple[str, str]], sel: MasterSelection
+) -> tuple[DataFrame, list[str], list[str]]:
+    """Slow path: custom Python master selection over the whole sorted
+    group — cogrouped applyInPandas, mirroring the reference's shuffled
+    join fragment (runtime/.../fragment/user/join/
+    ShuffledJoinOperatorFragment.scala:22-47: masters buffered,
+    transactions streamed)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    mkey = [p[0] for p in pairs]
+    tkey = [p[1] for p in pairs]
+    ordering = sel.ordering or [(c, "asc") for c in master.columns]
+    select_fn = sel.select_fn
+    mcols_src = list(master.columns)
+    tcols = list(tx.columns)
+
+    out_fields = [tx.schema[c] for c in tcols] + [
+        T.StructField(f"__m_{f.name}", f.dataType, True) for f in master.schema.fields
+    ]
+    out_schema = T.StructType(out_fields)
+
+    def fn(m_pdf: pd.DataFrame, t_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(t_pdf) == 0:
+            return pd.DataFrame(columns=[f.name for f in out_fields])
+        if len(m_pdf):
+            m_pdf = m_pdf.sort_values(
+                by=[c for c, _ in ordering],
+                ascending=[d == "asc" for _, d in ordering],
+                kind="mergesort",
+            ).reset_index(drop=True)
+        rows = []
+        for _, trow in t_pdf.iterrows():
+            idx = select_fn(m_pdf, trow) if len(m_pdf) else None
+            rec = {c: trow[c] for c in tcols}
+            for c in mcols_src:
+                rec[f"__m_{c}"] = m_pdf.iloc[idx][c] if idx is not None else None
+            rows.append(rec)
+        return pd.DataFrame(rows, columns=[f.name for f in out_fields])
+
+    joined = (
+        master.groupBy(*[F.col(k) for k in mkey])
+        .cogroup(tx.groupBy(*[F.col(k) for k in tkey]))
+        .applyInPandas(fn, schema=out_schema)
+    )
+    return joined, [f"__m_{c}" for c in mcols_src], tcols
+
+
+def _null_split(joined: DataFrame, probe: str) -> tuple[DataFrame, DataFrame]:
+    hit = joined.filter(F.col(probe).isNotNull())
+    miss = joined.filter(F.col(probe).isNull())
+    return hit, miss
+
+
+def master_join(
+    master: DataFrame,
+    tx: DataFrame,
+    key: Sequence[str] | Sequence[tuple[str, str]],
+    mapping: dict[str, Column | str] | None = None,
+    selection: MasterSelection | None = None,
+    strategy: str = "auto",
+) -> dict[str, DataFrame]:
+    """@MasterJoin → ``{"joined", "missed"}``.
+
+    Reference: runtime/.../fragment/user/join/MasterJoin.scala:22-40 —
+    build a joined record from (master, tx); tx with no master → missed.
+
+    ``mapping`` maps output column → source column: ``"m.col"`` /
+    ``"t.col"`` strings or arbitrary Columns over the joined frame (master
+    columns visible as ``__m_<name>``).  Default: all tx columns + all
+    non-key master columns.
+    """
+    pairs = [(k, k) if isinstance(k, str) else tuple(k) for k in key]
+    joined, mcols, tcols = _join_selected(master, tx, key, selection, strategy)
+    probe = "__m_" + pairs[0][0]
+    hit, miss = _null_split(joined, probe)
+
+    if mapping is None:
+        mapping = {c: f"t.{c}" for c in tcols}
+        for c in [m.removeprefix("__m_") for m in mcols]:
+            if c not in mapping and c not in [p[0] for p in pairs]:
+                mapping[c] = f"m.{c}"
+
+    def resolve(spec: Column | str) -> Column:
+        if isinstance(spec, str):
+            if spec.startswith("m."):
+                return F.col("__m_" + spec[2:])
+            if spec.startswith("t."):
+                return F.col(spec[2:])
+            return F.col(spec)
+        return spec
+
+    out = hit.select(*[resolve(v).alias(k) for k, v in mapping.items()])
+    missed = miss.select(*tcols)
+    return {"joined": out, "missed": missed}
+
+
+def master_check(
+    master: DataFrame,
+    tx: DataFrame,
+    key: Sequence[str] | Sequence[tuple[str, str]],
+    strategy: str = "auto",
+) -> dict[str, DataFrame]:
+    """@MasterCheck → ``{"found", "missed"}`` (existence only).
+
+    Reference: runtime/.../fragment/user/join/MasterCheck.scala:22-31.
+    Pure semi/anti joins — no master payload crosses the join, so Spark
+    can use a bloom-ish broadcast existence probe; the big tx side never
+    shuffles under broadcast strategy.
+    """
+    pairs = [(k, k) if isinstance(k, str) else tuple(k) for k in key]
+    m = _apply_strategy(master.select(*[p[0] for p in pairs]).dropDuplicates(), strategy)
+    cond = None
+    for mk, tk in pairs:
+        c = m[mk] == tx[tk]
+        cond = c if cond is None else (cond & c)
+    return {
+        "found": tx.join(m, on=cond, how="left_semi"),
+        "missed": tx.join(m, on=cond, how="left_anti"),
+    }
+
+
+def master_branch(
+    master: DataFrame,
+    tx: DataFrame,
+    key: Sequence[str] | Sequence[tuple[str, str]],
+    router: Column | Callable[[DataFrame], Column],
+    branches: Sequence[str],
+    selection: MasterSelection | None = None,
+    strategy: str = "auto",
+) -> dict[str, DataFrame]:
+    """@MasterBranch → N enum outputs routed by an expression over the
+    joined (master, tx) record; null master IS allowed (the router sees
+    null master columns — reference MasterBranch.scala:22-31).
+
+    Master columns are visible to the router as ``__m_<name>``.
+    Outputs contain the tx record (reference semantics: the branched
+    record is the transaction).
+    """
+    joined, mcols, tcols = _join_selected(master, tx, key, selection, strategy)
+    rcol = router(joined) if callable(router) else router
+    tagged = joined.withColumn("__branch__", rcol)
+    return {
+        b: tagged.filter(F.col("__branch__") == F.lit(b)).select(*tcols) for b in branches
+    }
+
+
+def master_join_update(
+    master: DataFrame,
+    tx: DataFrame,
+    key: Sequence[str] | Sequence[tuple[str, str]],
+    updates: dict[str, Column | str],
+    selection: MasterSelection | None = None,
+    strategy: str = "auto",
+) -> dict[str, DataFrame]:
+    """@MasterJoinUpdate → ``{"updated", "missed"}``: mutate the tx
+    record using its master (reference MasterJoinUpdate.scala:22-38).
+
+    ``updates`` maps tx column → expression over the joined frame
+    (master columns as ``__m_<name>`` or ``"m.col"`` strings).
+    """
+    pairs = [(k, k) if isinstance(k, str) else tuple(k) for k in key]
+    joined, mcols, tcols = _join_selected(master, tx, key, selection, strategy)
+    probe = "__m_" + pairs[0][0]
+    hit, miss = _null_split(joined, probe)
+
+    def resolve(spec: Column | str) -> Column:
+        if isinstance(spec, str):
+            return F.col("__m_" + spec[2:]) if spec.startswith("m.") else F.col(spec)
+        return spec
+
+    upd = hit.withColumns({k: resolve(v) for k, v in updates.items()}).select(*tcols)
+    return {"updated": upd, "missed": miss.select(*tcols)}

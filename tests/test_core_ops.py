@@ -1,0 +1,113 @@
+"""Unit tests for core projections + record operators, mirroring the
+reference's Foo/Bar micro-fixture style (FIXTURES.md §A)."""
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from asakusafw_spark_spark.operators import (
+    project,
+    extend,
+    restructure,
+    extract,
+    update,
+    convert,
+    branch,
+    split,
+)
+from asakusafw_spark_spark.operators.record import assemble_branches
+from asakusafw_spark_spark.schema import record_type
+
+
+@pytest.fixture(scope="module")
+def foo(spark):
+    return spark.createDataFrame(
+        [(i, f"foo{i}", i % 3) for i in range(10)], "id int, foo string, grp int"
+    )
+
+
+def test_project_narrows(foo):
+    t = record_type({"id": "int", "foo": "string"})
+    out = project(foo, t)
+    assert out.columns == ["id", "foo"]
+    assert out.count() == 10
+
+
+def test_project_missing_field_raises(foo):
+    with pytest.raises(ValueError):
+        project(foo, record_type({"nope": "int"}))
+
+
+def test_extend_adds_null_fields(foo):
+    t = record_type({"id": "int", "foo": "string", "grp": "int", "extra": "double"})
+    out = extend(foo, t)
+    assert out.columns == ["id", "foo", "grp", "extra"]
+    assert out.filter(F.col("extra").isNull()).count() == 10
+
+
+def test_extend_refuses_narrowing(foo):
+    with pytest.raises(ValueError):
+        extend(foo, record_type({"id": "int"}))
+
+
+def test_restructure_mixes(foo):
+    t = record_type({"foo": "string", "brand_new": "long"})
+    out = restructure(foo, t)
+    assert out.columns == ["foo", "brand_new"]
+    assert out.filter(F.col("brand_new").isNull()).count() == 10
+
+
+def test_extract_multi_output(foo):
+    outs = extract(
+        foo,
+        {
+            "ids": ["id"],
+            "doubled": [F.col("id") * 2],
+            "exploded": lambda df: df.select(F.explode(F.array("id", "id")).alias("x")),
+        },
+    )
+    assert outs["ids"].count() == 10
+    assert outs["exploded"].count() == 20
+
+
+def test_update_replaces_in_place(foo):
+    out = update(foo, foo=F.upper("foo"), flag=F.col("id") > 5)
+    assert out.columns == ["id", "foo", "grp", "flag"]
+    assert out.filter(F.col("foo") == "FOO1").count() == 1
+
+
+def test_convert_emits_both(foo):
+    outs = convert(foo, {"id2": F.col("id") * 10})
+    assert outs["original"].columns == ["id", "foo", "grp"]
+    assert outs["out"].columns == ["id2"]
+    assert outs["out"].agg(F.sum("id2")).first()[0] == 450
+
+
+def test_branch_routes_exactly_once(foo):
+    router = (
+        F.when(F.col("grp") == 0, "zero").when(F.col("grp") == 1, "one").otherwise("rest")
+    )
+    outs = branch(foo, router, ["zero", "one", "rest"])
+    counts = {k: v.count() for k, v in outs.items()}
+    assert sum(counts.values()) == 10
+    assert counts["zero"] == 4  # 0,3,6,9
+
+
+def test_branch_default_catches_unrouted(foo):
+    router = F.when(F.col("grp") == 0, "zero")  # others → null
+    outs = branch(foo, router, ["zero"], default="other")
+    assert outs["zero"].count() == 4
+    assert outs["other"].count() == 6
+
+
+def test_assemble_branches_roundtrip(foo):
+    router = F.when(F.col("grp") == 0, "zero").otherwise("rest")
+    outs = branch(foo, router, ["zero", "rest"])
+    back = assemble_branches(outs)
+    assert back.count() == 10
+    assert back.filter("branch = 'zero'").count() == 4
+
+
+def test_split(foo):
+    outs = split(foo, ["id", "grp"], ["foo"])
+    assert outs["left"].columns == ["id", "grp"]
+    assert outs["right"].columns == ["foo"]

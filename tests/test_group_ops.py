@@ -1,0 +1,121 @@
+"""Summarize / Fold / CoGroup / GroupSort tests (reference CoGroupSpec,
+AggregateSpec patterns — incl. partitioning invariance)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from asakusafw_spark_spark.operators import summarize, fold, cogroup, group_sort, Grouping
+
+
+@pytest.fixture(scope="module")
+def foo(spark):
+    rows = [(i, i % 3, float(i), None if i == 7 else i * 10) for i in range(10)]
+    return spark.createDataFrame(rows, "id int, grp int, v double, nv int")
+
+
+@pytest.fixture(scope="module")
+def bar(spark):
+    # multiple bars per foo-group, with an ord column for secondary sort
+    rows = [(100 + i, i % 3, 9 - i) for i in range(9)]
+    return spark.createDataFrame(rows, "bid int, grp int, ord int")
+
+
+def test_summarize_all_kinds(foo):
+    out = summarize(
+        foo,
+        ["grp"],
+        {
+            "n": ("count", "id"),
+            "sum_v": ("sum", "v"),
+            "max_v": ("max", "v"),
+            "min_v": ("min", "v"),
+            "any_id": ("any", "id"),
+        },
+    )
+    r = {x.grp: x for x in out.collect()}
+    assert r[0].n == 4 and r[0].sum_v == 0 + 3 + 6 + 9
+    assert r[1].max_v == 7.0 and r[1].min_v == 1.0
+    assert r[0].any_id == 0  # deterministic ANY = min
+
+
+def test_summarize_null_skipping(foo):
+    # nv is null for id=7 (grp 1): SUM skips nulls, COUNT counts records
+    out = summarize(foo, ["grp"], {"n": ("count", "nv"), "s": ("sum", "nv")})
+    r = {x.grp: x for x in out.collect()}
+    assert r[1].n == 3  # count(*) semantics — group members {1,4,7}
+    assert r[1].s == 10 + 40  # null (id=7) skipped
+
+
+def test_fold_native_exprs(foo):
+    out = fold(foo, ["grp"], exprs={"id": F.min("id"), "v": F.sum("v"), "nv": F.sum("nv")})
+    r = {x.grp: x for x in out.collect()}
+    assert r[2].v == 2 + 5 + 8
+
+
+def test_fold_python_fn_same_schema(foo):
+    def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        first = pdf.iloc[[0]].copy()
+        first["v"] = pdf["v"].sum()
+        return first
+
+    out = fold(foo, ["grp"], fn=reduce_group, ordering=[("id", "asc")])
+    assert out.columns == ["id", "grp", "v", "nv"]
+    r = {x.grp: x for x in out.collect()}
+    assert r[0].id == 0 and r[0].v == 18.0
+
+
+@pytest.mark.parametrize("parts", [1, 4, 17])
+def test_cogroup_two_inputs_sorted(spark, foo, bar, parts):
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+
+        def fn(key, foos: pd.DataFrame, bars: pd.DataFrame) -> pd.DataFrame:
+            # emit one row: group, count of each side, first bar ord (sorted desc)
+            return pd.DataFrame(
+                {
+                    "grp": [key[0]],
+                    "nfoo": [len(foos)],
+                    "nbar": [len(bars)],
+                    "first_ord": [None if bars.empty else int(bars.iloc[0]["ord"])],
+                }
+            )
+
+        out = cogroup(
+            [Grouping(foo, ["grp"]), Grouping(bar, ["grp"], [("ord", "desc")])],
+            fn,
+            "grp int, nfoo long, nbar long, first_ord int",
+        )
+        r = {x.grp: x for x in out.collect()}
+        assert r[0].nfoo == 4 and r[0].nbar == 3
+        assert r[0].first_ord == 9  # ords for grp0: 9,6,3 → desc first = 9
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+
+def test_cogroup_three_inputs(spark, foo, bar):
+    baz = spark.createDataFrame([(0, "a"), (1, "b")], "grp int, tag string")
+
+    def fn(key, foos, bars, bazs) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"grp": [key[0]], "total": [len(foos) + len(bars) + len(bazs)]}
+        )
+
+    out = cogroup(
+        [Grouping(foo, ["grp"]), Grouping(bar, ["grp"]), Grouping(baz, ["grp"])],
+        fn,
+        "grp int, total long",
+    )
+    r = {x.grp: x.total for x in out.collect()}
+    assert r[0] == 4 + 3 + 1
+    assert r[1] == 3 + 3 + 1
+    assert r[2] == 3 + 3 + 0
+
+
+def test_group_sort_emits_per_group(spark, bar):
+    def top1(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.iloc[[0]]
+
+    out = group_sort(bar, ["grp"], [("ord", "desc")], top1, bar.schema)
+    r = {x.grp: x.ord for x in out.collect()}
+    assert r == {0: 9, 1: 8, 2: 7}

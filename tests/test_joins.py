@@ -1,0 +1,118 @@
+"""Master/transaction join family tests — mirrors the reference's
+Foo(master)/Bar(tx) patterns (runtime CoGroupSpec / join fragment specs)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from asakusafw_spark_spark.operators import (
+    master_join,
+    master_check,
+    master_branch,
+    master_join_update,
+    MasterSelection,
+)
+
+
+@pytest.fixture(scope="module")
+def masters(spark):
+    # two masters share key 2 → selection must pick exactly one
+    return spark.createDataFrame(
+        [(1, "m1", 100.0), (2, "m2a", 50.0), (2, "m2b", 200.0), (4, "m4", 10.0)],
+        "k int, name string, score double",
+    )
+
+
+@pytest.fixture(scope="module")
+def txs(spark):
+    return spark.createDataFrame(
+        [(10, 1, 5.0), (11, 2, 6.0), (12, 3, 7.0), (13, 2, 8.0)],
+        "tid int, k int, amount double",
+    )
+
+
+@pytest.mark.parametrize("strategy", ["auto", "broadcast", "shuffled"])
+def test_master_join_hit_and_miss(masters, txs, strategy):
+    out = master_join(masters, txs, ["k"], strategy=strategy)
+    joined = out["joined"].orderBy("tid").collect()
+    missed = out["missed"].collect()
+    assert [r.tid for r in joined] == [10, 11, 13]
+    # default selection = first master of sorted group → (2,'m2a',50.0)
+    by_tid = {r.tid: r for r in joined}
+    assert by_tid[11].name == "m2a"
+    assert [r.tid for r in missed] == [12]
+
+
+def test_master_join_mapping(masters, txs):
+    out = master_join(
+        masters,
+        txs,
+        ["k"],
+        mapping={"tid": "t.tid", "mname": "m.name", "total": F.col("amount") + F.col("__m_score")},
+    )
+    r = {x.tid: x for x in out["joined"].collect()}
+    assert r[10].mname == "m1" and r[10].total == 105.0
+
+
+def test_master_join_ordering_selection(masters, txs):
+    # pick master with highest score per key
+    sel = MasterSelection(ordering=[("score", "desc")])
+    out = master_join(masters, txs, ["k"], selection=sel)
+    by_tid = {r.tid: r for r in out["joined"].collect()}
+    assert by_tid[11].name == "m2b"
+
+
+def test_master_join_where_selection(masters, txs):
+    # candidate refinement depending on tx: master.score > tx.amount*10
+    sel = MasterSelection(where=F.col("__m_score") > F.col("amount") * 10)
+    out = master_join(masters, txs, ["k"], selection=sel)
+    by_tid = {r.tid: r for r in out["joined"].collect()}
+    assert by_tid[10].name == "m1"  # 100 > 50
+    assert by_tid[11].name == "m2b"  # only 200 > 60
+    assert 13 in by_tid and by_tid[13].name == "m2b"  # 200 > 80, 50 fails
+    assert {r.tid for r in out["missed"].collect()} == {12}
+
+
+def test_master_join_custom_fn_selection(masters, txs):
+    # python selector: choose the LAST master of the sorted group
+    def pick_last(m_pdf: pd.DataFrame, trow: pd.Series):
+        return len(m_pdf) - 1
+
+    sel = MasterSelection(ordering=[("name", "asc")], select_fn=pick_last)
+    out = master_join(masters, txs, ["k"], selection=sel)
+    by_tid = {r.tid: r for r in out["joined"].collect()}
+    assert by_tid[11].name == "m2b"
+    assert {r.tid for r in out["missed"].collect()} == {12}
+
+
+@pytest.mark.parametrize("strategy", ["auto", "broadcast"])
+def test_master_check(masters, txs, strategy):
+    out = master_check(masters, txs, ["k"], strategy=strategy)
+    assert {r.tid for r in out["found"].collect()} == {10, 11, 13}
+    assert {r.tid for r in out["missed"].collect()} == {12}
+    # existence only: schema is the tx schema
+    assert out["found"].columns == ["tid", "k", "amount"]
+
+
+def test_master_branch_null_master_allowed(masters, txs):
+    router = (
+        F.when(F.col("__m_k").isNull(), "nomaster")
+        .when(F.col("__m_score") >= 100, "big")
+        .otherwise("small")
+    )
+    outs = master_branch(masters, txs, ["k"], router, ["big", "small", "nomaster"])
+    assert {r.tid for r in outs["big"].collect()} == {10}
+    assert {r.tid for r in outs["small"].collect()} == {11, 13}
+    assert {r.tid for r in outs["nomaster"].collect()} == {12}
+    assert outs["big"].columns == ["tid", "k", "amount"]
+
+
+def test_master_join_update(masters, txs):
+    out = master_join_update(
+        masters, txs, ["k"], updates={"amount": F.col("amount") + F.col("__m_score")}
+    )
+    by_tid = {r.tid: r for r in out["updated"].collect()}
+    assert by_tid[10].amount == 105.0
+    assert by_tid[11].amount == 56.0  # first-of-group master m2a (50)
+    assert {r.tid for r in out["missed"].collect()} == {12}
+    assert out["updated"].columns == ["tid", "k", "amount"]

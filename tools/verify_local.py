@@ -1,0 +1,118 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet tables, then compares row count, schema
+(column names), and an order-insensitive value hash.
+
+Usage: python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    for c in pdf.columns:
+        s = pdf[c]
+        if s.dtype == object:
+            # bytes / arrays → repr strings for stable sorting
+            pdf[c] = s.map(lambda v: repr(v) if isinstance(v, (bytes, list)) else v)
+        elif str(s.dtype).startswith("datetime64"):
+            pdf[c] = s.dt.tz_localize(None) if getattr(s.dt, "tz", None) else s
+    return pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(drop=True)
+
+
+def value_hash(pdf: pd.DataFrame) -> str:
+    pdf = normalize(pdf.copy())
+    h = hashlib.sha256()
+    for c in pdf.columns:
+        s = pdf[c]
+        if s.dtype == "float64" or s.dtype == "float32":
+            vals = s.map(lambda v: "null" if pd.isna(v) else f"{float(v):.9g}")
+        else:
+            vals = s.map(lambda v: "null" if v is None or (isinstance(v, float) and pd.isna(v)) else str(v))
+        h.update(("\x01".join(vals.astype(str)) + "\x02" + c).encode())
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from asakusafw_spark_spark.session import engine_builder
+
+    spark = engine_builder(app_name="verify_local").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rows {len(sdf)} vs {len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+        if not problems:
+            hs, ho = value_hash(sdf), value_hash(odf)
+            if hs != ho:
+                problems.append(f"value-hash {hs} vs {ho}")
+                # show a diff sample
+                a, b = normalize(sdf.copy()), normalize(odf.copy())
+                neq = (a.astype(str) != b.astype(str)).any(axis=1)
+                if neq.any():
+                    i = neq.idxmax()
+                    print(f"  first diff row {i}:\n   spark: {a.loc[i].to_dict()}\n   duck : {b.loc[i].to_dict()}")
+        if problems:
+            failures.append(name)
+            print(f"FAIL {name}: {'; '.join(problems)}")
+        else:
+            print(f"OK   {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} green")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
