@@ -1,0 +1,178 @@
+"""Direct I/O sinks (SURVEY.md §2.5).
+
+- :func:`write_flat` — DirectOutputPrepare *Flat*: write a dataset's
+  files under a base path (DirectOutputPrepare.scala:156-199).  Spark's
+  committer provides per-dataset atomicity (v1/v2 FileOutputCommitter).
+- :func:`write_grouped` — DirectOutputPrepare *Group*: records shuffled
+  by a pattern-GENERATED file path, sorted within each file, ONE file
+  per distinct path (DirectOutputPrepare.scala:201-258).
+- :class:`TransactionalOutput` — DirectOutputSetup/Commit +
+  TransactionManager (TransactionManager.scala): multi-dataset two-phase
+  commit — each dataset writes to a staging dir, then all are promoted
+  in order and sealed with a transaction marker.
+
+Scale notes: ``write_grouped`` shuffles once on the generated path and
+sorts within partitions — the same single wide dependency the reference
+uses.  One-file-per-path is inherently serial per path; for skewed path
+distributions pass ``max_records_per_file`` to allow Spark to split a
+hot path into numbered parts (relaxation flagged to the caller).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import urllib.parse
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from .pattern import OutputPattern
+
+Ordering = Sequence[tuple[str, str]]
+
+_PATH_COL = "__output_path__"
+
+
+def write_flat(
+    df: DataFrame,
+    base_path: str,
+    format: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+    **options,
+) -> None:
+    """Flat output: dataset files under ``base_path`` (``*`` in the
+    reference's pattern = attempt id = Spark's part-file numbering)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if format == "tsv":
+        options.setdefault("sep", "\t")
+        format = "csv"
+    if format == "csv":
+        options.setdefault("header", True)
+    w.options(**options).format(format).save(base_path)
+
+
+def write_grouped(
+    df: DataFrame,
+    base_path: str,
+    pattern: str | OutputPattern,
+    ordering: Ordering = (),
+    format: str = "csv",
+    max_records_per_file: int | None = None,
+    **options,
+) -> list[str]:
+    """Grouped output: one file per distinct generated path, records
+    sorted within each file by ``ordering``.
+
+    Returns the list of relative paths written.  Implementation:
+    generate the path column (native exprs), hash-repartition on it (all
+    of a path's records land in one task), sort within partitions by
+    (path, ordering), write ``partitionBy(path)`` to a staging dir, then
+    promote each ``__output_path__=...`` directory's single part file to
+    its exact final path — the rename pass is the analogue of the
+    reference's attempt→transaction promotion.
+    """
+    if isinstance(pattern, str):
+        pattern = OutputPattern(pattern)
+    pathed = df.withColumn(_PATH_COL, pattern.column(df))
+    sort_cols = [F.col(_PATH_COL)] + [
+        F.col(c).asc() if d == "asc" else F.col(c).desc() for c, d in ordering
+    ]
+    pathed = pathed.repartition(F.col(_PATH_COL)).sortWithinPartitions(*sort_cols)
+
+    staging = os.path.join(base_path, f"_staging_{int(time.time() * 1000)}")
+    w = pathed.write.mode("overwrite").partitionBy(_PATH_COL)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    fmt = format
+    if fmt == "tsv":
+        options.setdefault("sep", "\t")
+        fmt = "csv"
+    if fmt == "csv":
+        options.setdefault("header", True)
+    w.options(**options).format(fmt).save(staging)
+
+    # promotion pass: <staging>/__output_path__=<enc>/part-*.ext → <base>/<path>
+    written: list[str] = []
+    for entry in sorted(os.listdir(staging)):
+        if not entry.startswith(_PATH_COL + "="):
+            continue
+        rel = urllib.parse.unquote(entry.split("=", 1)[1])
+        if os.path.isabs(rel) or ".." in rel.split("/"):
+            raise ValueError(f"grouped output path escapes base: {rel!r}")
+        parts = sorted(
+            f
+            for f in os.listdir(os.path.join(staging, entry))
+            if f.startswith("part-") and not f.endswith(".crc")
+        )
+        for i, part in enumerate(parts):
+            dest_rel = rel if len(parts) == 1 else f"{rel}.{i}"
+            dest = os.path.join(base_path, dest_rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            shutil.move(os.path.join(staging, entry, part), dest)
+            written.append(dest_rel)
+    shutil.rmtree(staging)
+    return written
+
+
+class TransactionalOutput:
+    """Multi-dataset two-phase commit (DirectOutputSetup → Prepare* →
+    Commit ordering, TransactionManager.scala).
+
+    Spark's committer makes each single dataset atomic; CROSS-dataset
+    atomicity needs an engine-level protocol: every dataset stages under
+    ``<base>/_tx_<id>/<name>``, and :meth:`commit` promotes all stages
+    then writes a ``_TRANSACTION_SUCCESS`` marker.  Readers treat the
+    marker as the validity gate, so a crash mid-promotion is detectable
+    (marker absent) and re-runnable (promotion is idempotent moves).
+    """
+
+    def __init__(self, base_path: str, tx_id: str | None = None):
+        self.base_path = base_path
+        self.tx_id = tx_id or f"tx_{int(time.time() * 1000)}"
+        self._staged: list[tuple[str, str]] = []  # (staging dir, final dir)
+        self._committed = False
+
+    @property
+    def staging_root(self) -> str:
+        return os.path.join(self.base_path, f"_tx_{self.tx_id}")
+
+    def setup(self) -> "TransactionalOutput":
+        os.makedirs(self.staging_root, exist_ok=True)
+        return self
+
+    def prepare(
+        self, name: str, df: DataFrame, format: str = "parquet", **options
+    ) -> None:
+        """Stage one dataset (DirectOutputPrepare)."""
+        staging = os.path.join(self.staging_root, name)
+        write_flat(df, staging, format=format, mode="overwrite", **options)
+        self._staged.append((staging, os.path.join(self.base_path, name)))
+
+    def commit(self) -> None:
+        """Promote every staged dataset, then seal the transaction."""
+        for staging, final in self._staged:
+            if os.path.exists(final):
+                shutil.rmtree(final)
+            shutil.move(staging, final)
+        marker = os.path.join(self.base_path, "_TRANSACTION_SUCCESS")
+        with open(marker, "w") as f:
+            f.write(self.tx_id + "\n")
+        shutil.rmtree(self.staging_root, ignore_errors=True)
+        self._committed = True
+
+    def abort(self) -> None:
+        shutil.rmtree(self.staging_root, ignore_errors=True)
+
+    def __enter__(self) -> "TransactionalOutput":
+        return self.setup()
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None and not self._committed:
+            self.commit()
+        elif exc_type is not None:
+            self.abort()

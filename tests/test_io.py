@@ -1,0 +1,121 @@
+"""Direct I/O tests: format roundtrips, output pattern grammar, grouped
+writes, two-phase commit (reference OutputPatternGeneratorSpec /
+TransactionManagerSpec patterns)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from asakusafw_spark_spark.sources import (
+    direct_input,
+    write_flat,
+    write_grouped,
+    OutputPattern,
+    TransactionalOutput,
+)
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "tsv", "json"])
+def test_roundtrip_formats(spark, orders, tmp_path, fmt):
+    sub = orders.select("o_orderkey", "o_orderstatus", "o_totalprice").limit(100)
+    out = str(tmp_path / fmt)
+    write_flat(sub, out, format=fmt)
+    back = direct_input(spark, out, format=fmt, schema=sub.schema)
+    assert back.count() == 100
+    assert {r.o_orderkey for r in back.collect()} == {r.o_orderkey for r in sub.collect()}
+
+
+def test_direct_input_requires_schema_for_csv(spark, tmp_path):
+    with pytest.raises(ValueError, match="schema"):
+        direct_input(spark, str(tmp_path), format="csv")
+
+
+def test_direct_input_glob(spark, orders, tmp_path):
+    a = orders.limit(10)
+    write_flat(a, str(tmp_path / "d1"), format="parquet")
+    write_flat(a, str(tmp_path / "d2"), format="parquet")
+    back = direct_input(spark, str(tmp_path / "d*"), format="parquet")
+    assert back.count() == 20
+
+
+def test_pattern_fragments(spark):
+    df = spark.createDataFrame(
+        [(7, "x", 3.5)], "num int, name string, val double"
+    ).withColumn("d", F.to_date(F.lit("2024-03-09")))
+    col = OutputPattern("pre/{name}/n={num:0000}/v={val:00.00}/{d:yyyy-MM}/f.csv").column(df)
+    assert df.select(col.alias("p")).first().p == "pre/x/n=0007/v=03.50/2024-03/f.csv"
+
+
+def test_pattern_random_bucket_in_range(spark):
+    df = spark.range(200)
+    col = OutputPattern("b[2..5]", seed=1).column(df)
+    vals = {r.p for r in df.select(col.alias("p")).collect()}
+    assert vals <= {"b2", "b3", "b4", "b5"}
+    assert len(vals) > 1
+
+
+def test_pattern_unknown_property_raises(spark):
+    df = spark.range(1)
+    with pytest.raises(ValueError, match="nope"):
+        OutputPattern("{nope}").column(df)
+
+
+def test_write_grouped_one_file_per_path_sorted(spark, orders, tmp_path):
+    base = str(tmp_path / "grouped")
+    sub = orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    written = write_grouped(
+        sub,
+        base,
+        "month={o_orderdate:yyyy-MM}/orders.csv",
+        ordering=[("o_orderkey", "asc")],
+        format="csv",
+    )
+    assert written and all(w.endswith("orders.csv") for w in written)
+    # one file per distinct month, exact naming
+    months = sub.select(F.date_format("o_orderdate", "yyyy-MM").alias("m")).distinct().count()
+    assert len(written) == months
+    # contents sorted by o_orderkey
+    one = os.path.join(base, written[0])
+    with open(one) as f:
+        keys = [int(line.split(",")[0]) for line in f.readlines()[1:]]
+    assert keys == sorted(keys)
+    # total row preservation
+    total = sum(
+        len(open(os.path.join(base, w)).readlines()) - 1 for w in written
+    )
+    assert total == sub.count()
+
+
+def test_write_grouped_rejects_escaping_paths(spark, tmp_path):
+    df = spark.createDataFrame([("../evil",)], "p string")
+    with pytest.raises(ValueError, match="escapes"):
+        write_grouped(df, str(tmp_path / "g"), "{p}/f.csv", format="csv")
+
+
+def test_transactional_output_commit(spark, orders, tmp_path):
+    base = str(tmp_path / "tx")
+    with TransactionalOutput(base) as tx:
+        tx.prepare("orders_small", orders.limit(5))
+        tx.prepare("orders_big", orders.limit(50))
+    assert os.path.exists(os.path.join(base, "_TRANSACTION_SUCCESS"))
+    assert spark.read.parquet(os.path.join(base, "orders_small")).count() == 5
+    assert spark.read.parquet(os.path.join(base, "orders_big")).count() == 50
+    assert not os.path.exists(os.path.join(base, f"_tx_{tx.tx_id}"))
+
+
+def test_transactional_output_abort_leaves_nothing(spark, orders, tmp_path):
+    base = str(tmp_path / "tx2")
+    try:
+        with TransactionalOutput(base) as tx:
+            tx.prepare("orders_small", orders.limit(5))
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert not os.path.exists(os.path.join(base, "_TRANSACTION_SUCCESS"))
+    assert not os.path.exists(os.path.join(base, "orders_small"))
