@@ -46,6 +46,26 @@ from asakusafw_spark_spark.operators import (  # noqa: E402
 )
 from asakusafw_spark_spark.operators.record import assemble_branches  # noqa: E402
 from asakusafw_spark_spark.schema import record_type  # noqa: E402
+from asakusafw_spark_spark.functions import (  # noqa: E402
+    token_count,
+    lang_id,
+    quality_score,
+    fingerprint,
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_dup_groups,
+    brute_force_topk,
+    lsh_ann_topk,
+    cosine_near_dup,
+)
+from asakusafw_spark_spark.functions.dedup import (  # noqa: E402
+    MERSENNE_P,
+    _affine_params,
+)
+from asakusafw_spark_spark.functions.similarity import _plane_component  # noqa: E402
+from asakusafw_spark_spark.functions.text import STOPWORDS  # noqa: E402
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -458,6 +478,251 @@ def q_distinct(spark, sf):
     return distinct_records(proj)
 
 
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline queries (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+
+def q_text_analysis(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        lang_id("text").alias("lang_guess"),
+        quality_score("text").alias("quality"),
+        fingerprint("text").alias("fp"),
+    )
+
+
+def q_dedup_exact(spark, sf):
+    return dedup_exact(_t(spark, sf, "documents"))
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    return minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.5)
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    return ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.3)
+
+
+def q_text_simhash(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", simhash("text").alias("simhash")
+    )
+
+
+def q_dedup_simhash_groups(spark, sf):
+    return simhash_dup_groups(_t(spark, sf, "documents"))
+
+
+def q_similarity_bruteforce(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def q_similarity_lsh_ann(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, planes=6)
+
+
+def q_similarity_near_dup(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return cosine_near_dup(emb, threshold=0.9, planes=6)
+
+
+# -- shared DuckDB SQL fragments for the sketch oracles ---------------------
+
+_DUCK_SHINGLES = """
+    SELECT doc_id AS id,
+           list_distinct(CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks) - 1),
+                                 i -> array_to_string(toks[i:i+2], ' '))
+             ELSE [array_to_string(toks, ' ')] END) AS shingles
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+          FROM documents)
+"""
+
+
+def _duck_sig_terms(k: int = 8, seed: int = 42) -> str:
+    terms = [
+        f"list_min(list_transform(hs, h -> (h*{a}+{b})%{MERSENNE_P}))"
+        for a, b in _affine_params(k, seed)
+    ]
+    return "[" + ", ".join(terms) + "]"
+
+
+def _duck_minhash_lsh_sql(threshold: float = 0.5, k: int = 8, bands: int = 4) -> str:
+    r = k // bands
+    band_rows = ", ".join(
+        "{{'band': {b}, 'key': CAST(sig[{i1}] AS VARCHAR) || ':' || "
+        "CAST(sig[{i2}] AS VARCHAR)}}".format(b=b, i1=b * r + 1, i2=b * r + 2)
+        for b in range(bands)
+    )
+    return f"""
+        WITH base AS ({_DUCK_SHINGLES}),
+        hashed AS (
+          SELECT id, shingles,
+                 list_transform(shingles,
+                   s -> CAST('0x' || substr(md5(s),1,15) AS BIGINT) % {MERSENNE_P}) AS hs
+          FROM base),
+        sigs AS (SELECT id, shingles, {_duck_sig_terms(k)} AS sig FROM hashed),
+        banded AS (
+          SELECT id, shingles, bk.band AS band, bk.key AS key
+          FROM sigs, UNNEST([{band_rows}]) AS t(bk)),
+        cand AS (
+          SELECT a.id AS id_a, b.id AS id_b,
+                 any_value(a.shingles) AS sh_a, any_value(b.shingles) AS sh_b
+          FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+          WHERE a.id < b.id GROUP BY 1, 2),
+        scored AS (
+          SELECT id_a, id_b,
+                 CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+                 CAST(len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                   AS jac
+          FROM cand)
+        SELECT id_a, id_b, round(jac, 6) AS jaccard
+        FROM scored WHERE jac >= {threshold}
+    """
+
+
+def _duck_ngram_jaccard_sql(threshold: float = 0.3) -> str:
+    return f"""
+        WITH base AS ({_DUCK_SHINGLES}),
+        ex AS (SELECT id, len(shingles) AS sz, unnest(shingles) AS sh FROM base),
+        inter AS (
+          SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n,
+                 any_value(a.sz) AS sa, any_value(b.sz) AS sb
+          FROM ex a JOIN ex b ON a.sh = b.sh AND a.id < b.id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, round(CAST(n AS DOUBLE) / (sa + sb - n), 6) AS jaccard
+        FROM inter WHERE round(CAST(n AS DOUBLE) / (sa + sb - n), 6) >= {threshold}
+    """
+
+
+def _duck_simhash_expr(bits: int = 32) -> str:
+    terms = []
+    for b in range(bits):
+        vote = (
+            f"list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 "
+            f"THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN {vote} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_DUCK_TOKEN_HASHES = f"""
+    SELECT doc_id, list_transform(
+             string_split_regex(trim(text), '\\s+'),
+             s -> CAST('0x' || substr(md5(s),1,15) AS BIGINT) % {MERSENNE_P}) AS hs
+    FROM documents
+"""
+
+
+def _duck_lang_hits() -> tuple[str, str]:
+    codes = sorted(STOPWORDS)
+    hits = ", ".join(
+        "len(list_intersect(toks, ["
+        + ", ".join(f"'{w}'" for w in STOPWORDS[c])
+        + f"])) AS h_{c}"
+        for c in codes
+    )
+    case = f"CASE WHEN greatest({', '.join('h_' + c for c in codes)}) <= 0 THEN 'unknown'"
+    for i, c in enumerate(codes[:-1]):
+        conds = " AND ".join(f"h_{c} >= h_{o}" for o in codes[i + 1 :])
+        case += f" WHEN {conds} THEN '{c}'"
+    case += f" ELSE '{codes[-1]}' END"
+    return hits, case
+
+
+def _duck_text_analysis_sql() -> str:
+    hits, case = _duck_lang_hits()
+    return f"""
+        WITH t AS (
+          SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
+          FROM documents),
+        h AS (SELECT doc_id, text, toks, {hits} FROM t)
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               {case} AS lang_guess,
+               round(
+                 (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.4
+                 + least(1.0, (CAST(length(regexp_replace(text,'\\s+','','g')) AS DOUBLE)
+                               / len(toks)) / 8.0) * 0.3
+                 + (CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)
+                    / length(text)) * 0.3, 6) AS quality,
+               md5(lower(trim(regexp_replace(text,'\\s+',' ','g')))) AS fp
+        FROM h
+    """
+
+
+def _duck_vec(expr: str) -> str:
+    return f"list_transform({expr}, x -> CAST(x AS DOUBLE))"
+
+
+_DUCK_COSINE = (
+    "round(list_sum(list_transform(list_zip(qv, cv), p -> p[1]*p[2]))"
+    " / (sqrt(list_sum(list_transform(qv, x -> x*x)))"
+    " * sqrt(list_sum(list_transform(cv, x -> x*x)))), 6)"
+)
+
+
+def _duck_bruteforce_sql(k: int = 5, nq: int = 10) -> str:
+    return f"""
+        WITH q AS (SELECT vec_id AS query_id, {_duck_vec('embedding')} AS qv
+                   FROM embeddings WHERE vec_id < {nq}),
+        c AS (SELECT vec_id AS neighbor_id, {_duck_vec('embedding')} AS cv
+              FROM embeddings),
+        s AS (SELECT query_id, neighbor_id, {_DUCK_COSINE} AS sim
+              FROM q, c WHERE query_id <> neighbor_id)
+        SELECT query_id, neighbor_id, sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id ASC) AS rn FROM s
+        ) WHERE rn <= {k}
+    """
+
+
+def _duck_bucket_expr(vec_expr: str, planes: int = 6, seed: int = 42, dim: int = 64) -> str:
+    parts = []
+    for p in range(planes):
+        plane = "[" + ", ".join(str(_plane_component(p, d, seed)) for d in range(dim)) + "]"
+        proj = (
+            f"list_sum(list_transform(list_zip({vec_expr}, {plane}), "
+            f"p -> CAST(p[1] AS DOUBLE) * p[2]))"
+        )
+        parts.append(f"(CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(parts)
+
+
+def _duck_lsh_ann_sql(k: int = 5, nq: int = 10, planes: int = 6) -> str:
+    bucket = _duck_bucket_expr("embedding", planes)
+    return f"""
+        WITH cb AS (SELECT vec_id AS neighbor_id, {_duck_vec('embedding')} AS cv,
+                           {bucket} AS bucket FROM embeddings),
+        qb AS (SELECT vec_id AS query_id, {_duck_vec('embedding')} AS qv,
+                      {bucket} AS bucket FROM embeddings WHERE vec_id < {nq}),
+        s AS (SELECT query_id, neighbor_id, {_DUCK_COSINE} AS sim
+              FROM cb JOIN qb USING (bucket)
+              WHERE query_id <> neighbor_id)
+        SELECT query_id, neighbor_id, sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id ASC) AS rn FROM s
+        ) WHERE rn <= {k}
+    """
+
+
+def _duck_near_dup_sql(threshold: float = 0.9, planes: int = 6) -> str:
+    bucket = _duck_bucket_expr("embedding", planes)
+    return f"""
+        WITH b AS (SELECT vec_id AS id, {_duck_vec('embedding')} AS v,
+                          {bucket} AS bucket FROM embeddings),
+        pairs AS (SELECT a.id AS id_a, b2.id AS id_b, a.v AS qv, b2.v AS cv
+                  FROM b a JOIN b b2 USING (bucket) WHERE a.id < b2.id)
+        SELECT id_a, id_b, {_DUCK_COSINE} AS sim
+        FROM pairs WHERE {_DUCK_COSINE} >= {threshold}
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_revenue_per_nation": _flagship,
@@ -485,6 +750,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_sort": q_group_sort,
         "top_k_per_group": q_topk,
         "distinct": q_distinct,
+        "text_analysis": q_text_analysis,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "text_simhash": q_text_simhash,
+        "dedup_simhash_groups": q_dedup_simhash_groups,
+        "similarity_bruteforce_topk": q_similarity_bruteforce,
+        "similarity_lsh_ann": q_similarity_lsh_ann,
+        "similarity_near_dup": q_similarity_near_dup,
     }
 
 
@@ -646,4 +920,25 @@ def oracle_sql() -> dict[str, str]:
         "distinct": """
             SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
         """,
+        "text_analysis": _duck_text_analysis_sql(),
+        "dedup_exact": """
+            SELECT md5(lower(trim(regexp_replace(text,'\\s+',' ','g')))) AS fp,
+                   MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
+            FROM documents GROUP BY 1
+        """,
+        "dedup_minhash_lsh": _duck_minhash_lsh_sql(threshold=0.5),
+        "dedup_ngram_jaccard": _duck_ngram_jaccard_sql(threshold=0.3),
+        "text_simhash": f"""
+            SELECT doc_id, {_duck_simhash_expr(32)} AS simhash
+            FROM ({_DUCK_TOKEN_HASHES})
+        """,
+        "dedup_simhash_groups": f"""
+            WITH s AS (SELECT doc_id, {_duck_simhash_expr(32)} AS simhash
+                       FROM ({_DUCK_TOKEN_HASHES}))
+            SELECT simhash, MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
+            FROM s GROUP BY 1 HAVING COUNT(*) >= 2
+        """,
+        "similarity_bruteforce_topk": _duck_bruteforce_sql(k=5, nq=10),
+        "similarity_lsh_ann": _duck_lsh_ann_sql(k=5, nq=10, planes=6),
+        "similarity_near_dup": _duck_near_dup_sql(threshold=0.9, planes=6),
     }

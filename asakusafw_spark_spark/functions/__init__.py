@@ -1,0 +1,45 @@
+"""Scalar + LLM-data-pipeline function surface.
+
+The reference has NO scalar function library — scalar logic lives inside
+opaque user Java methods (SURVEY.md §2.7/§2.8).  Our engine's scalar
+surface IS ``pyspark.sql.functions`` (re-exported as ``F``); on top we
+add the operators a large-scale training-data pipeline needs: text
+analysis, dedup sketches (exact / MinHash-LSH / SimHash / n-gram
+Jaccard), embedding similarity search, and multimodal column plumbing.
+"""
+
+from pyspark.sql import functions as F  # noqa: F401  (scalar surface)
+
+from .text import tokens, token_count, lang_id, quality_score, fingerprint
+from .dedup import (
+    str_hash64,
+    word_shingles,
+    minhash_signature,
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_dup_groups,
+)
+from .similarity import cosine_similarity, brute_force_topk, cosine_near_dup, lsh_ann_topk
+
+__all__ = [
+    "F",
+    "tokens",
+    "token_count",
+    "lang_id",
+    "quality_score",
+    "fingerprint",
+    "str_hash64",
+    "word_shingles",
+    "minhash_signature",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_dup_groups",
+    "cosine_similarity",
+    "brute_force_topk",
+    "cosine_near_dup",
+    "lsh_ann_topk",
+]

@@ -1,0 +1,263 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of these ops is the 100 TB case):
+
+- All sketches are native Column expressions over token/shingle arrays —
+  no Python, no UDF, one scan.
+- Pair generation NEVER does an all-pairs cross join: candidates come
+  from equi-joins on shared keys (a shingle, an LSH band bucket, a
+  simhash value), i.e. shuffles keyed by something with bounded fan-out.
+  Exact Jaccard verification happens only on candidate pairs.
+- The cross-engine determinism contract: the 64-bit string hash is the
+  first 15 hex digits of md5 (identical in Spark `conv(...,16,10)` and
+  DuckDB `CAST('0x'||... AS BIGINT)`), folded modulo the Mersenne prime
+  2^31-1 before affine permutations so products stay in int64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from .text import tokens, fingerprint
+
+#: Mersenne prime 2^31-1: permutation modulus (a*h+b stays < 2^62).
+MERSENNE_P = 2_147_483_647
+
+
+def str_hash64(col: Column) -> Column:
+    """Deterministic 60-bit integer hash of a string (md5-prefix)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _affine_params(k: int, seed: int) -> list[tuple[int, int]]:
+    """k deterministic (a, b) pairs for h_i(x) = (a·x + b) mod P.
+    Derived from a simple LCG so both engines can reproduce them as
+    literals (they are baked into the generated expressions)."""
+    params = []
+    state = seed or 1
+    for _ in range(k):
+        state = (state * 1103515245 + 12345) % MERSENNE_P
+        a = state or 1
+        state = (state * 1103515245 + 12345) % MERSENNE_P
+        b = state
+        params.append((a, b))
+    return params
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """DISTINCT word n-gram shingles of the text (array<string>).
+    Texts with fewer than ``n`` tokens yield their whole token join as
+    the single shingle (so short docs still participate)."""
+    toks = tokens(col)
+    sz = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), sz - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    whole = F.array(F.array_join(toks, " "))
+    return F.array_distinct(F.when(sz >= n, grams).otherwise(whole))
+
+
+def _shingle_hashes(shingle_col: Column) -> Column:
+    """array<long>: md5-based hash of each shingle, mod P."""
+    return F.transform(shingle_col, lambda s: F.pmod(str_hash64(s), F.lit(MERSENNE_P)))
+
+
+def minhash_signature(
+    shingle_col: Column, k: int = 8, seed: int = 42
+) -> Column:
+    """MinHash signature (array<long> of length k): per permutation i,
+    ``min over shingles of (aᵢ·h + bᵢ) mod P``."""
+    hashes = _shingle_hashes(shingle_col)
+
+    def perm(a: int, b: int):
+        # closure factory: Spark counts lambda params, so no default-arg trick
+        return lambda h: F.pmod(h * a + b, F.lit(MERSENNE_P))
+
+    sig = [
+        F.array_min(F.transform(hashes, perm(a, b))) for a, b in _affine_params(k, seed)
+    ]
+    return F.array(*sig)
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint.
+
+    Returns one row per distinct content: ``(fingerprint, keeper_id,
+    dup_count)`` with keeper = min id.  A single hash aggregate with
+    map-side combine — the scalable shape (no sort, no window).
+    """
+    return (
+        df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH: shingle → k-minhash →
+    ``bands`` band-buckets → equi-join on (band, band-key) → exact
+    Jaccard verify on candidates → ``jaccard ≥ threshold``.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b.  Jaccard is a ratio
+    of integer set sizes (exact, order-free).
+
+    Scale: the only shuffles are the band-bucket self-join (bounded by
+    bucket size — collisions of 60-bit keys) and the distinct on pairs.
+    No cross join anywhere; skewed buckets are split by AQE.
+    """
+    if k % bands != 0:
+        raise ValueError("bands must divide k")
+    r = k // bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(text_col, n).alias("shingles"),
+    ).withColumn("sig", minhash_signature(F.col("shingles"), k, seed))
+
+    banded = base.select(
+        "id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ":", *[F.col("sig")[b * r + i] for i in range(r)]
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "shingles", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, on=[F.col("a.band") == F.col("b.band"), F.col("a.key") == F.col("b.key")])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return (
+        cand.withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs (no sketch): candidates =
+    pairs sharing ≥1 distinct shingle via an exploded equi-join on the
+    shingle itself; the join's group count IS the intersection size.
+
+    Scale: cost ∝ Σ_shingle df(shingle)² — hot shingles dominate, so
+    pass ``max_doc_freq`` to cut stop-shingles (a shingle appearing in
+    thousands of docs carries no dedup signal).  NOTE the cut changes
+    the computed Jaccard (intersections lose pruned shingles) — it is a
+    documented approximation for scale, off by default for exactness.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
+    ).withColumn("set_size", F.size("shingles"))
+    exploded = base.select("id", "set_size", F.explode("shingles").alias("sh"))
+    if max_doc_freq is not None:
+        doc_freq = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+        pruned = exploded.join(
+            doc_freq.filter(F.col("df_") <= max_doc_freq), "sh"
+        ).select("id", "set_size", "sh")
+    else:
+        pruned = exploded
+
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("a.set_size").alias("size_a"),
+            F.first("b.set_size").alias("size_b"),
+        )
+    )
+    jac = F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(col: Column | str, bits: int = 32) -> Column:
+    """SimHash sketch of the token multiset (frequency-weighted): for
+    each bit position, sum ±1 over token hashes; sign → bit.
+
+    Native expressions only: the per-bit vote is an ``aggregate`` over
+    the token-hash array; int arithmetic → order-free.
+    """
+    hashes = _shingle_hashes(tokens(col))
+
+    def vote_fn(bp: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bp).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_cols = []
+    for bpos in range(bits):
+        vote = F.aggregate(hashes, F.lit(0), vote_fn(bpos))
+        bit_cols.append(
+            F.when(vote > 0, F.lit(2**bpos).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out
+
+
+def simhash_dup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """Docs whose simhash collides exactly (hamming-0 near-dups):
+    (simhash, keeper_id, dup_count) for groups of size ≥ 2.
+
+    Hamming-≤k joins at scale use the standard trick — split the sketch
+    into k+1 chunks, equi-join on any equal chunk — which is
+    :func:`minhash_lsh_pairs`' banding applied to simhash; exact-collide
+    groups are the hash-aggregate fast path.
+    """
+    return (
+        df.select(F.col(id_col).alias("id"), simhash(text_col, bits).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.min("id").alias("keeper_id"), F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") >= 2)
+    )

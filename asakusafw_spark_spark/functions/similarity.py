@@ -1,0 +1,197 @@
+"""Embedding similarity search over an ``array<float>`` column.
+
+Two paths, as a 100 TB pipeline needs both:
+
+- :func:`brute_force_topk` — exact cosine top-k; the baseline.  The
+  query side is broadcast (queries ≪ corpus), so the corpus is scanned
+  once with NO shuffle of the big side; per-query top-k runs as a
+  partial top-k before the final merge.
+- :func:`lsh_ann_topk` — random-hyperplane LSH buckets: corpus and
+  queries hash to sign-pattern buckets; only same-bucket candidates are
+  scored.  Approximate (misses across bucket boundaries) but the scan +
+  shuffle is proportional to bucket-local candidates, the scale path.
+
+Determinism contract: all float math is double, computed as a
+sequential fold over the array (``F.aggregate``) — bit-identical to the
+DuckDB oracle's ``list_sum(list_transform(...))`` — and similarity is
+rounded to 6 decimals with (sim DESC, id ASC) tie-breaks.
+
+The hyperplanes are derived from md5 of (seed, plane, dim) — the same
+construction is expressible in SQL, keeping even the ANN path
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from .dedup import str_hash64
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential double dot product (order-pinned fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine_similarity(a: Column, b: Column, scale: int = 6) -> Column:
+    """Cosine similarity rounded to ``scale`` decimals (cross-engine
+    deterministic; see module doc)."""
+    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), scale)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query: (query_id, neighbor_id, sim).
+
+    ``queries`` is broadcast — corpus never shuffles; the rank window
+    partitions by query id (small), so the only shuffle carries
+    (corpus×queries) scored rows, prunable by AQE.  Self-matches
+    (same id) are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def cosine_near_dup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: (id_a, id_b, sim) with sim ≥
+    threshold, id_a < id_b.
+
+    Default is LSH-bucketed (pairs scored only within a sign-bucket);
+    ``exact=True`` scores all pairs (quadratic — small corpora only).
+    """
+    if exact:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        bucketed = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            _bucket_key(F.col(vec_col), planes, seed).alias("bucket"),
+        )
+        a = bucketed.select(
+            F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket"
+        )
+        b = bucketed.select(
+            F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket"
+        )
+        pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("sim", cosine_similarity(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def _plane_component(plane: int, dim: int, seed: int) -> float:
+    """Deterministic hyperplane component in [-1, 1), reproducible in
+    SQL: (md5_hash(seed:plane:dim) mod 2001 - 1000)/1000."""
+    # materialized Python-side so the expression is a fold-able literal
+    import hashlib
+
+    h = int(hashlib.md5(f"{seed}:{plane}:{dim}".encode()).hexdigest()[:15], 16)
+    return ((h % 2001) - 1000) / 1000.0
+
+
+def _bucket_key(vec: Column, planes: int, seed: int) -> Column:
+    """Sign-pattern bucket key: bit p = sign(vec · plane_p).
+
+    Planes are md5-derived literal arrays (see :func:`_plane_component`)
+    zipped against the vector — a pure fold, SQL-replicable.  Dimension
+    is taken from the first row at plan time via a length-bounded
+    literal array (64 supported dims by default).
+    """
+    # Plane arrays are built at a fixed max dim and SLICED to the
+    # vector's length — zip_with pads the shorter side with nulls, which
+    # would null the whole projection.
+    MAX_DIM = 512
+    parts = []
+    for p in range(planes):
+        plane = F.slice(
+            F.array(*[F.lit(_plane_component(p, d, seed)) for d in range(MAX_DIM)]),
+            1,
+            F.size(vec),
+        )
+        proj = F.aggregate(
+            F.zip_with(vec, plane, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        parts.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*parts)
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's
+    sign-bucket.  Output: (query_id, neighbor_id, sim) — ≤ k rows per
+    query; a query whose bucket has < k neighbors returns fewer
+    (documented ANN semantics; raise ``planes`` ↔ recall trade-off).
+    """
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _bucket_key(F.col(vec_col), planes, seed).alias("bucket"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _bucket_key(F.col(vec_col), planes, seed).alias("bucket"),
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -1,0 +1,95 @@
+"""Text-analysis operators for training-data pipelines.
+
+All are pure native Column expressions — JVM-side, whole-stage
+codegen'd, zero Python in the hot path — so they cost one pass over the
+text bytes at any scale.  Each has an exactly-equivalent ANSI-SQL form
+(used by the DuckDB oracle), which doubles as the determinism contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+#: Tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic.  Deliberately small + frozen: the heuristic is the
+#: contract, not linguistic accuracy.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"),
+    "es": ("el", "la", "los", "las", "es", "un", "una", "en", "que", "por"),
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens; empty/null-safe (empty text → empty array)."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    """Number of whitespace-delimited tokens."""
+    return F.size(tokens(col)).cast("long")
+
+
+def lang_id(col: Column | str, default: str = "unknown") -> Column:
+    """Stopword-hit language ID: the language whose stopword set shares
+    the most DISTINCT tokens with the text wins; ties break to the
+    alphabetically-first code; zero hits everywhere → ``default``.
+
+    Shape is a chained CASE over per-language hit counts — exactly
+    replicable in ANSI SQL (the oracle uses the same argmax chain).
+    """
+    toks = tokens(col)
+    codes = sorted(STOPWORDS)
+    hits = {
+        code: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS[code]]))
+        )
+        for code in codes
+    }
+    expr = F.when(F.greatest(*hits.values()) <= 0, F.lit(default))
+    for i, code in enumerate(codes[:-1]):
+        cond = None
+        for other in codes[i + 1 :]:
+            c = hits[code] >= hits[other]
+            cond = c if cond is None else (cond & c)
+        expr = expr.when(cond, F.lit(code))
+    return expr.otherwise(F.lit(codes[-1]))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality heuristic in [0, 1] (rounded to 6 decimals):
+
+    ``0.4·distinct_token_ratio + 0.3·min(1, avg_word_len/8) +
+    0.3·alpha_char_ratio``
+
+    Each term is a ratio of integer counts, so the double arithmetic is
+    order-independent and oracle-exact.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    distinct_ratio = F.when(n_tok > 0, n_distinct / n_tok).otherwise(F.lit(0.0))
+    nonspace = F.length(F.regexp_replace(c, r"\s+", ""))
+    avg_word_len = F.when(n_tok > 0, nonspace / n_tok).otherwise(F.lit(0.0))
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    total = F.length(c)
+    alpha_ratio = F.when(total > 0, alpha / total).otherwise(F.lit(0.0))
+    score = (
+        distinct_ratio * 0.4
+        + F.least(F.lit(1.0), avg_word_len / 8.0) * 0.3
+        + alpha_ratio * 0.3
+    )
+    return F.round(score, 6)
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized, lowercased
+    text — the exact-dedup key."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))))

@@ -1,0 +1,204 @@
+"""Text analysis / dedup / similarity / multimodal tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from asakusafw_spark_spark.functions import (
+    tokens,
+    token_count,
+    lang_id,
+    quality_score,
+    fingerprint,
+    word_shingles,
+    minhash_signature,
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_dup_groups,
+    cosine_similarity,
+    brute_force_topk,
+    cosine_near_dup,
+    lsh_ann_topk,
+)
+from asakusafw_spark_spark.functions.multimodal import (
+    MEDIA_SCHEMA,
+    extract_features,
+    fake_decoder,
+    sample_frames,
+    fake_frame_sampler,
+    FEATURE_DIM,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "der hund und die katze ist nicht da"),
+        (4, "completely different text about spark engines"),
+        (5, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (6, ""),
+        (7, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count(docs):
+    r = {x.doc_id: x.n for x in docs.select("doc_id", token_count("text").alias("n")).collect()}
+    assert r[1] == 9 and r[6] == 0 and r[7] is None
+
+
+def test_lang_id(docs):
+    r = {x.doc_id: x.l for x in docs.select("doc_id", lang_id("text").alias("l")).collect()}
+    assert r[1] == "en" and r[3] == "de" and r[6] == "unknown"
+
+
+def test_quality_score_bounds(docs):
+    rows = docs.filter("text is not null").select(quality_score("text").alias("q")).collect()
+    assert all(0.0 <= x.q <= 1.0 for x in rows)
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame([("A  b\tC",), ("a b c",)], "t string")
+    fps = [r.fp for r in df.select(fingerprint("t").alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([("one two",), ("a b c d",)], "t string")
+    out = df.select(word_shingles("t", 3).alias("sh")).collect()
+    assert out[0].sh == ["one two"]  # < n tokens → whole text
+    assert set(out[1].sh) == {"a b c", "b c d"}
+
+
+def test_minhash_signature_properties(docs):
+    sigs = (
+        docs.filter("doc_id in (1,2,5)")
+        .select("doc_id", minhash_signature(word_shingles("text", 3), k=8).alias("sig"))
+        .collect()
+    )
+    by_id = {r.doc_id: r.sig for r in sigs}
+    assert by_id[1] == by_id[5]  # identical text → identical signature
+    assert len(by_id[1]) == 8
+    shared = sum(a == b for a, b in zip(by_id[1], by_id[2]))
+    assert shared >= 4  # near-dups share most minhashes
+
+
+def test_dedup_exact(docs):
+    out = dedup_exact(docs.filter("text is not null and text <> ''")).collect()
+    groups = {r.fp: (r.keeper_id, r.dup_count) for r in out}
+    assert (1, 2) in groups.values()  # docs 1+5 collapse, keeper=1
+    assert len(out) == 4
+
+
+def test_minhash_lsh_pairs_finds_near_dup(docs):
+    pairs = minhash_lsh_pairs(
+        docs.filter("text is not null and text <> ''"), threshold=0.4
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 5) in got  # exact dup jaccard=1
+    assert (1, 2) in got or (2, 5) in got  # near-dup
+    jac = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert jac[(1, 5)] == 1.0
+
+
+def test_ngram_jaccard_exact(docs):
+    pairs = ngram_jaccard_pairs(
+        docs.filter("text is not null and text <> ''"), threshold=0.3
+    ).collect()
+    jac = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert jac[(1, 5)] == 1.0
+    # docs 1,2: 7 shingles each, 6 shared → 6/8 = 0.75
+    assert abs(jac[(1, 2)] - 0.75) < 1e-9
+
+
+def test_simhash_dup_groups(docs):
+    groups = simhash_dup_groups(docs.filter("text is not null and text <> ''")).collect()
+    assert any(r.keeper_id == 1 and r.dup_count == 2 for r in groups)
+
+
+def test_simhash_is_long(docs):
+    out = docs.filter("doc_id = 1").select(simhash("text").alias("s")).first()
+    assert isinstance(out.s, int) and 0 <= out.s < 2**32
+
+
+@pytest.fixture(scope="module")
+def vecs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_brute_force_topk(vecs):
+    queries = vecs.filter(F.col("vec_id") < 3)
+    out = brute_force_topk(vecs, queries, k=5).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert set(per_q) == {0, 1, 2}
+    for q, rows in per_q.items():
+        assert len(rows) == 5
+        sims = [r.sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.neighbor_id != q for r in rows)
+
+
+def test_cosine_self_similarity(vecs):
+    one = vecs.limit(1)
+    r = one.select(cosine_similarity(F.col("embedding"), F.col("embedding")).alias("s")).first()
+    assert abs(r.s - 1.0) < 1e-6
+
+
+def test_lsh_ann_subset_of_bruteforce_scores(vecs):
+    queries = vecs.filter(F.col("vec_id") < 3)
+    ann = lsh_ann_topk(vecs, queries, k=5, planes=2)
+    bf = brute_force_topk(vecs, queries, k=1000)
+    ann_rows = {(r.query_id, r.neighbor_id): r.sim for r in ann.collect()}
+    bf_rows = {(r.query_id, r.neighbor_id): r.sim for r in bf.collect()}
+    assert ann_rows  # non-empty with 2 planes (4 buckets over 500 vecs)
+    for key, sim in ann_rows.items():
+        assert bf_rows[key] == sim  # same scoring, just fewer candidates
+
+
+def test_cosine_near_dup_exact_vs_lsh(spark):
+    # construct known near-identical vectors
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),  # ~same direction as 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = cosine_near_dup(df, threshold=0.99, exact=True).collect()
+    assert {(r.id_a, r.id_b) for r in exact} == {(1, 2)}
+    lsh = cosine_near_dup(df, threshold=0.99, planes=4).collect()
+    assert {(r.id_a, r.id_b) for r in lsh} <= {(1, 2)}
+
+
+def test_multimodal_extract_features(spark):
+    rows = [
+        (1, "image", b"\x89PNGfake", "image/png", 4, 4, None),
+        (2, "audio", b"RIFFfake", "audio/wav", None, None, 1200),
+        (3, "image", None, "image/png", 2, 2, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = extract_features(df, decoder=fake_decoder)
+    got = {r.media_id: r.features for r in out.collect()}
+    assert len(got[1]) == FEATURE_DIM
+    assert got[3] == [0.0] * FEATURE_DIM  # null payload path
+    # deterministic: same payload → same features
+    again = {r.media_id: r.features for r in extract_features(df, decoder=fake_decoder).collect()}
+    assert got == again
+
+
+def test_multimodal_stub_raises_without_codec(spark):
+    df = spark.createDataFrame([], MEDIA_SCHEMA)
+    with pytest.raises(NotImplementedError, match="codec"):
+        extract_features(df)
+
+
+def test_multimodal_frame_sampling_multiplies_rows(spark):
+    rows = [(1, "video", b"vid1", "video/mp4", None, None, 5000)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = sample_frames(df, every_ms=1000, sampler=fake_frame_sampler).collect()
+    assert len(out) == 3
+    assert [r.frame_ts_ms for r in out] == [0, 1000, 2000]
