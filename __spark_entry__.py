@@ -75,7 +75,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            # integer div: ts/1000 via double would round at 2024-epoch nanos
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -531,6 +532,43 @@ def q_similarity_near_dup(spark, sf):
     return cosine_near_dup(emb, threshold=0.9, planes=6)
 
 
+def q_streaming_window(spark, sf):
+    """Hourly windowed aggregation executed THROUGH the streaming engine
+    (file stream → watermark → window → availableNow drain), returned as
+    the drained batch table.  Oracle: plain GROUP BY date_trunc."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from asakusafw_spark_spark.streaming import (
+        run_available_now,
+        stream_parquet_source,
+        windowed_aggregate,
+    )
+
+    stage = tempfile.mkdtemp(prefix="stream_events_")
+    shutil.copy(f"{sf}/events.parquet", f"{stage}/events.parquet")
+    stream = stream_parquet_source(
+        spark,
+        stage,
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+        ts_is_nanos=True,
+    )
+    agg = windowed_aggregate(
+        stream,
+        "ts",
+        "1 hour",
+        {
+            "n": F.count(F.lit(1)),
+            "v_sum": F.sum(F.col("value").cast("decimal(27,6)")).cast("double"),
+        },
+        keys=["event_type"],
+    )
+    name = "q_stream_" + uuid.uuid4().hex[:8]
+    run_available_now(agg, name, tempfile.mkdtemp(prefix="ck_"))
+    return spark.table(name)
+
+
 # -- shared DuckDB SQL fragments for the sketch oracles ---------------------
 
 _DUCK_SHINGLES = """
@@ -759,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_bruteforce_topk": q_similarity_bruteforce,
         "similarity_lsh_ann": q_similarity_lsh_ann,
         "similarity_near_dup": q_similarity_near_dup,
+        "streaming_windowed_agg": q_streaming_window,
     }
 
 
@@ -941,4 +980,12 @@ def oracle_sql() -> dict[str, str]:
         "similarity_bruteforce_topk": _duck_bruteforce_sql(k=5, nq=10),
         "similarity_lsh_ann": _duck_lsh_ann_sql(k=5, nq=10, planes=6),
         "similarity_near_dup": _duck_near_dup_sql(threshold=0.9, planes=6),
+        "streaming_windowed_agg": """
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+                   date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS window_end,
+                   event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS v_sum
+            FROM events GROUP BY 1, 2, 3
+        """,
     }

@@ -38,7 +38,8 @@ def read_parquet(spark: SparkSession, *paths: str) -> DataFrame:
         # identify nanos columns via parquet footer vs spark schema is
         # lossy; convention: driver data uses `ts` for event time
         if "ts" in df.columns and isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            # integer div — double division rounds at ns magnitudes
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
 
 

@@ -1,0 +1,21 @@
+"""Structured-Streaming surface (beyond-reference capability, SURVEY.md
+§2.8 — the reference's iterative extension re-runs *batches*; it has no
+streaming)."""
+
+from .stream import (
+    stream_parquet_source,
+    windowed_aggregate,
+    sessionize,
+    stream_dedup,
+    stateful_running_agg,
+    run_available_now,
+)
+
+__all__ = [
+    "stream_parquet_source",
+    "windowed_aggregate",
+    "sessionize",
+    "stream_dedup",
+    "stateful_running_agg",
+    "run_available_now",
+]

@@ -1,0 +1,166 @@
+"""Structured Streaming operators.
+
+Batch operators in this engine translate 1:1 onto streams (DataFrame API
+is shared); what streams add is time: watermarks bound state for late
+data, windows/sessions group by event time, and
+``applyInPandasWithState`` hosts custom stateful operators (the
+streaming analogue of the reference's CoGroup-style user logic).
+
+Scale notes: watermark + window aggregation state is per-key-per-window
+in the state store — partitioned by key, RocksDB-backed on real
+clusters; ``availableNow`` triggers let the same pipeline drain a
+backlog as an incremental batch (used by the tests to drive parquet
+fixtures through the streaming path synchronously).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
+
+
+def stream_parquet_source(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    ts_col: str = "ts",
+    ts_is_nanos: bool = False,
+) -> DataFrame:
+    """File-stream source over a parquet directory (one-file-per-batch
+    discovery).  ``ts_is_nanos`` rebuilds a TIMESTAMP(NANOS) column
+    (read as long under the legacy flag) into a µs timestamp."""
+    if ts_is_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.readStream.schema(schema).parquet(path)
+    if ts_is_nanos:
+        df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000")))
+    return df
+
+
+def windowed_aggregate(
+    stream: DataFrame,
+    ts_col: str,
+    window: str,
+    aggs: Mapping[str, Column],
+    keys: Sequence[str] = (),
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling/sliding event-time window aggregation with a watermark.
+
+    Output columns: window_start, window_end, *keys, *aggs.
+    """
+    wm = stream.withWatermark(ts_col, watermark)
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    out = wm.groupBy(win, *keys).agg(*[e.alias(n) for n, e in aggs.items()])
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *keys,
+        *aggs.keys(),
+    )
+
+
+def sessionize(
+    stream: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: Sequence[str],
+    aggs: Mapping[str, Column],
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session windows: events within ``gap`` of each other merge."""
+    wm = stream.withWatermark(ts_col, watermark)
+    out = wm.groupBy(F.session_window(ts_col, gap), *keys).agg(
+        *[e.alias(n) for n, e in aggs.items()]
+    )
+    return out.select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        *keys,
+        *aggs.keys(),
+    )
+
+
+def stream_dedup(
+    stream: DataFrame, keys: Sequence[str], ts_col: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exact dedup: first record per key wins; state bounded
+    by the watermark (late duplicates beyond it are not caught — the
+    documented watermark trade-off)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates([*keys, ts_col])
+
+
+def stateful_running_agg(
+    stream: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running (count, sum) across micro-batches — the pattern for any
+    user-defined streaming state machine.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    out_schema = T.StructType(
+        [T.StructField(k, stream.schema[k].dataType, True) for k in keys]
+        + [
+            T.StructField("running_count", T.LongType(), True),
+            T.StructField("running_sum", T.DoubleType(), True),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("cnt", T.LongType(), True),
+            T.StructField("total", T.DoubleType(), True),
+        ]
+    )
+    vcol = value_col
+    keylist = list(keys)
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            cnt, total = state.get
+        else:
+            cnt, total = 0, 0.0
+        for pdf in pdf_iter:
+            cnt += len(pdf)
+            total += float(pdf[vcol].fillna(0.0).sum())
+        state.update((cnt, total))
+        yield pd.DataFrame(
+            [{**dict(zip(keylist, key)), "running_count": cnt, "running_sum": total}]
+        )
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", "NoTimeout"
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, checkpoint_dir: str, mode: str = "update"
+) -> None:
+    """Drain everything currently available through the streaming plan
+    into an in-memory table named ``query_name`` (synchronous) — the
+    batch-drive harness for streaming tests.
+
+    ``mode``: ``update`` for keyed aggregations; session windows only
+    support ``append``/``complete`` (append emits once the watermark
+    closes a session).
+    """
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,94 @@
+"""Structured-Streaming tests: drive the events parquet through the
+streaming path with availableNow triggers (synchronous)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from asakusafw_spark_spark.streaming import (
+    stream_parquet_source,
+    windowed_aggregate,
+    sessionize,
+    stream_dedup,
+    stateful_running_agg,
+    run_available_now,
+)
+
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(sf_dir, tmp_path_factory):
+    # file-stream sources watch a DIRECTORY; stage the single parquet file
+    d = tmp_path_factory.mktemp("events_stream")
+    import shutil
+
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+@pytest.fixture()
+def events_stream(spark, events_dir):
+    return stream_parquet_source(spark, events_dir, EVENTS_SCHEMA, ts_is_nanos=True)
+
+
+@pytest.fixture()
+def events_batch(spark, sf_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def test_windowed_aggregate_matches_batch(spark, events_stream, events_batch, tmp_path):
+    agg = windowed_aggregate(
+        events_stream,
+        "ts",
+        "1 hour",
+        {"n": F.count(F.lit(1)), "v": F.sum("value")},
+        keys=["event_type"],
+    )
+    run_available_now(agg, "win_agg", str(tmp_path / "ck"))
+    got = spark.sql("SELECT * FROM win_agg")
+    batch = (
+        events_batch.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+    )
+    assert got.count() == batch.count()
+    merged = got.select("window_start", "event_type", "n")
+    assert merged.agg(F.sum("n")).first()[0] == events_batch.count()
+
+
+def test_sessionize_runs(spark, events_stream, tmp_path):
+    s = sessionize(
+        events_stream,
+        "ts",
+        "5 minutes",
+        ["user_id"],
+        {"n_events": F.count(F.lit(1))},
+    )
+    run_available_now(s, "sessions", str(tmp_path / "ck2"), mode="complete")
+    out = spark.sql("SELECT * FROM sessions")
+    assert out.count() > 0
+    assert out.filter(F.col("session_end") <= F.col("session_start")).count() == 0
+
+
+def test_stream_dedup(spark, events_stream, events_batch, tmp_path):
+    d = stream_dedup(events_stream, ["user_id", "event_type"], "ts")
+    run_available_now(d, "dedup_out", str(tmp_path / "ck3"))
+    out = spark.sql("SELECT * FROM dedup_out")
+    # (user, type, ts) triples are unique in the synthetic data → no drops
+    assert out.count() == events_batch.dropDuplicates(["user_id", "event_type", "ts"]).count()
+
+
+def test_stateful_running_agg(spark, events_stream, events_batch, tmp_path):
+    r = stateful_running_agg(events_stream, ["user_id"], "value")
+    run_available_now(r, "running", str(tmp_path / "ck4"))
+    out = spark.sql("SELECT * FROM running")
+    # final state per user == batch aggregate (availableNow drains all)
+    batch = events_batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+    )
+    got = {r.user_id: (r.running_count, round(r.running_sum, 6)) for r in out.collect()}
+    want = {r.user_id: (r.n, round(r.s, 6)) for r in batch.collect()}
+    assert got == want
