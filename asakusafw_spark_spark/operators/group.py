@@ -23,12 +23,20 @@ Scale design:
   The Python-callable path uses ``applyInPandas``; groups must fit in
   executor memory (the reference's HEAP buffer had a SPILL variant —
   Arrow grouped-map has none, documented limit).
-- ``cogroup`` for 2 inputs uses the native cogrouped-pandas API (one
-  co-partitioned shuffle, sort-merge grouping JVM-side).  For N>2 inputs
-  it packs each input's record into a struct, unions with an input tag
-  (one shuffle for the union'd frame), and regroups — the same single
-  physical shuffle the reference achieves with its multiplexed branch
-  shuffle (BranchRDDFunctions.scala:32-105).
+- ``cogroup`` unions its inputs wide with an input tag (one physical
+  shuffle for the union'd frame — the analogue of the reference's
+  multiplexed branch shuffle, BranchRDDFunctions.scala:32-105), sorts
+  within partitions JVM-side on (key, tag, per-input ordering), then
+  streams groups out of Arrow batches with ``mapInPandas``.  This is
+  deliberately NOT ``applyInPandas``/cogrouped-pandas: grouped-map costs
+  one Python⇄JVM Arrow round-trip **per group**, which is pathological
+  for high-cardinality keys with small groups (millions of tiny groups
+  at 100 TB).  The stream path costs one round-trip per ~10k-row Arrow
+  batch regardless of group count; groups spanning batch boundaries are
+  carried over.  Memory bound = one group (+ one Arrow batch), same as
+  the reference's HEAP buffer; giant groups stream through the carry
+  buffer and must fit in worker memory (documented limit — the
+  reference's SPILL variant has no Arrow equivalent).
 """
 
 from __future__ import annotations
@@ -115,7 +123,8 @@ def fold(
 
     Slow path — ``fn(pdf) -> pdf`` receives the group's records (sorted
     by ``ordering``) and returns exactly one record of the SAME schema;
-    runs via ``applyInPandas`` (no partial reduction, group-fits-memory).
+    runs via the streaming cogroup path (per-batch Python cost, no
+    partial reduction, group-fits-memory).
     """
     if (exprs is None) == (fn is None):
         raise ValueError("fold: pass exactly one of exprs / fn")
@@ -123,17 +132,12 @@ def fold(
         out_exprs = [e.alias(c) for c, e in exprs.items()]
         return df.groupBy(*key).agg(*out_exprs)
 
-    schema = df.schema
-    sort_cols = [c for c, _ in ordering]
-    sort_asc = [d == "asc" for _, d in ordering]
+    cols = [f.name for f in df.schema.fields]
 
-    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
-        if sort_cols:
-            pdf = pdf.sort_values(by=sort_cols, ascending=sort_asc, kind="mergesort")
-        out = fn(pdf)
-        return out[[f.name for f in schema.fields]]
+    def apply(_key_vals, pdf: pd.DataFrame) -> pd.DataFrame:
+        return fn(pdf)[cols]
 
-    return df.groupBy(*key).applyInPandas(apply, schema=schema)
+    return cogroup([Grouping(df, key, ordering)], apply, df.schema)
 
 
 # ---------------------------------------------------------------------------
@@ -141,14 +145,19 @@ def fold(
 # ---------------------------------------------------------------------------
 
 
-def _sorted_group(pdf: pd.DataFrame, ordering: Ordering) -> pd.DataFrame:
-    if not len(ordering):
-        return pdf.reset_index(drop=True)
-    return pdf.sort_values(
-        by=[c for c, _ in ordering],
-        ascending=[d == "asc" for _, d in ordering],
-        kind="mergesort",  # stable, mirrors the reference's stable byte-sort
-    ).reset_index(drop=True)
+def _group_starts(pdf: pd.DataFrame, key_names: Sequence[str]):
+    """Indices where a new key begins in a key-contiguous frame
+    (null-safe: NaN == NaN for grouping, like SQL GROUP BY)."""
+    import numpy as np
+
+    neq = np.zeros(len(pdf), dtype=bool)
+    for kn in key_names:
+        col = pdf[kn]
+        prev = col.shift(1)
+        both_na = (col.isna() & prev.isna()).to_numpy()
+        neq |= (col != prev).to_numpy() & ~both_na
+    neq[0] = True
+    return np.flatnonzero(neq)
 
 
 def cogroup(
@@ -163,52 +172,38 @@ def cogroup(
     :func:`~asakusafw_spark_spark.operators.record.branch` downstream
     (same trick the reference plays with branch keys).
 
-    2 inputs → native ``cogroup().applyInPandas`` (co-partitioned
-    sort-merge, one shuffle per side).  N inputs → struct-pack + tagged
-    union → single grouped shuffle, regrouped in pandas.
+    Physical plan: wide tagged union (one shuffle total) →
+    ``repartition(key)`` + ``sortWithinPartitions(key, tag, orderings)``
+    (JVM Tungsten sort, spillable) → ``mapInPandas`` streaming groups out
+    of Arrow batches — per-BATCH Python cost, not per-GROUP, so millions
+    of tiny groups cost the same as a few huge ones.
     """
+    import numpy as np
+
     if len(inputs) == 0:
         raise ValueError("cogroup: need ≥1 input")
-    if len(inputs) == 1:
-        g = inputs[0]
-        ord1 = tuple(g.ordering)  # plain data only — closures must not capture DataFrames
 
-        def apply1(key_vals, pdf: pd.DataFrame) -> pd.DataFrame:
-            return fn(key_vals, _sorted_group(pdf, ord1))
+    n_in = len(inputs)
+    key_arity = len(inputs[0].key)
+    key_names = [f"__k{i}" for i in range(key_arity)]
+    for g in inputs:
+        if len(g.key) != key_arity:
+            raise ValueError("cogroup: all inputs must share key arity")
 
-        return g.df.groupBy(*g.key).applyInPandas(apply1, schema=output_schema)
-
-    if len(inputs) == 2:
-        a, b = inputs
-        ord_a, ord_b = tuple(a.ordering), tuple(b.ordering)
-
-        def apply2(key_vals, pa: pd.DataFrame, pb: pd.DataFrame) -> pd.DataFrame:
-            return fn(key_vals, _sorted_group(pa, ord_a), _sorted_group(pb, ord_b))
-
-        return (
-            a.df.groupBy(*a.key)
-            .cogroup(b.df.groupBy(*b.key))
-            .applyInPandas(apply2, schema=output_schema)
-        )
-
-    # N-way: tagged wide union — each input keeps its columns under a
+    # Wide tagged union — each input keeps its columns under a
     # disambiguated name (__in<i>__<col>), others null.  Types survive
     # (no JSON round-trip) and the union shuffles ONCE on the key, the
     # analogue of the reference's multiplexed branch shuffle.
-    key_names = [f"__k{i}" for i in range(len(inputs[0].key))]
     wide_fields: list[tuple[int, str, str]] = []  # (input idx, src col, wide name)
     for i, g in enumerate(inputs):
-        if len(g.key) != len(key_names):
-            raise ValueError("cogroup: all inputs must share key arity")
         for c in g.df.columns:
             wide_fields.append((i, c, f"__in{i}__{c}"))
+    types = {w: inputs[j].df.schema[c].dataType for j, c, w in wide_fields}
 
     packed = []
     for i, g in enumerate(inputs):
         cols = [F.col(k).alias(kn) for k, kn in zip(g.key, key_names)]
-        cols.append(F.lit(i).alias("__tag"))
-        own = {c: f"__in{i}__{c}" for c in g.df.columns}
-        types = {w: inputs[j].df.schema[c].dataType for j, c, w in wide_fields}
+        cols.append(F.lit(i).cast("int").alias("__tag"))
         for j, c, w in wide_fields:
             if j == i:
                 cols.append(F.col(c).alias(w))
@@ -219,18 +214,77 @@ def cogroup(
     for p in packed[1:]:
         union = union.unionByName(p)
 
-    metas = [(list(g.df.columns), tuple(g.ordering)) for g in inputs]
+    # JVM-side secondary sort (Tungsten, spills): key, tag, then each
+    # input's ordering columns.  Within tag i every other input's ordering
+    # columns are all-null, so the concatenated sort spec realizes each
+    # input's own asc/desc ordering (SortOrderingClassBuilder.scala:31-90).
+    sort_cols: list = [F.col(k) for k in key_names] + [F.col("__tag")]
+    for i, g in enumerate(inputs):
+        for c, d in g.ordering:
+            col = F.col(f"__in{i}__{c}")
+            sort_cols.append(col.asc() if d == "asc" else col.desc())
+    arranged = union.repartition(*[F.col(k) for k in key_names]).sortWithinPartitions(
+        *sort_cols
+    )
 
-    def applyN(key_vals, pdf: pd.DataFrame) -> pd.DataFrame:
-        groups = []
-        for i, (cols, ordering) in enumerate(metas):
-            sub = pdf[pdf["__tag"] == i]
-            recs = sub[[f"__in{i}__{c}" for c in cols]]
-            recs.columns = cols
-            groups.append(_sorted_group(recs, ordering))
-        return fn(key_vals, *groups)
+    # plain data only — closures must not capture DataFrames
+    metas = [list(g.df.columns) for g in inputs]
+    wide_by_input = [[f"__in{i}__{c}" for c in cols] for i, cols in enumerate(metas)]
+    out_schema = (
+        output_schema
+        if isinstance(output_schema, T.StructType)
+        else T.StructType.fromDDL(output_schema)
+    )
+    out_cols = [f.name for f in out_schema.fields]
 
-    return union.groupBy(*key_names).applyInPandas(applyN, schema=output_schema)
+    def emit(pdf: pd.DataFrame, starts) -> list[pd.DataFrame]:
+        """Run fn over each complete group in a key-contiguous frame."""
+        tags = pdf["__tag"].to_numpy()
+        key_arrays = [pdf[kn].to_numpy() for kn in key_names]
+        # one column-subset + rename per input per BATCH, row-sliced per group
+        subs = []
+        for i in range(n_in):
+            sub = pdf[wide_by_input[i]].reset_index(drop=True)
+            sub.columns = metas[i]
+            subs.append(sub)
+        bounds = list(starts) + [len(pdf)]
+        outs = []
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            key_vals = tuple(arr[a] for arr in key_arrays)
+            # tags are sorted within the group — per-input slices via searchsorted
+            gtags = tags[a:b]
+            groups = []
+            for i in range(n_in):
+                lo, hi = np.searchsorted(gtags, [i, i + 1])
+                groups.append(subs[i].iloc[a + lo : a + hi].reset_index(drop=True))
+            out = fn(key_vals, *groups)
+            if out is not None and len(out):
+                outs.append(out)
+        return outs
+
+    def stream(batches):
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if not len(pdf):
+                continue
+            starts = _group_starts(pdf, key_names)
+            if len(starts) == 1:
+                pending = pdf  # whole batch is one (possibly unfinished) group
+                continue
+            last = starts[-1]
+            pending = pdf.iloc[last:].reset_index(drop=True)
+            outs = emit(pdf.iloc[:last], starts[:-1])
+            if outs:
+                yield pd.concat(outs, ignore_index=True)[out_cols]
+        if pending is not None and len(pending):
+            outs = emit(pending, _group_starts(pending, key_names))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)[out_cols]
+
+    return arranged.mapInPandas(stream, schema=out_schema)
 
 
 def group_sort(

@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is materialized with the noop sink (full compute, no result
+serialization).  One warm-up pass of the flagship amortizes JVM/codegen
+start-up out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: The headline set: one per engine pillar (scan-agg, join chain, window,
+#: pandas cogroup, sketch dedup, vector search, streaming).
+HEADLINE = [
+    "summarize_q1",
+    "flagship_revenue_per_nation",
+    "master_join",
+    "master_check_found",
+    "top_k_per_group",
+    "fold",
+    "cogroup",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_analysis",
+    "similarity_bruteforce_topk",
+    "streaming_windowed_agg",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from asakusafw_spark_spark.session import get_spark
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app_name="bench")
+    qs = entry_mod.queries()
+
+    # warm-up (JVM, codegen, parquet footer caches)
+    qs["flagship_revenue_per_nation"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
