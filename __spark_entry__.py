@@ -24,13 +24,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from asakusafw_spark_spark.operators import (  # noqa: E402
     branch,
+    checkpoint,
     cogroup,
+    confluent,
     convert,
     distinct_records,
     extend,
     extract,
     fold,
     group_sort,
+    logging_op,
+    running_agg,
+    sessionize_batch,
     master_branch,
     master_check,
     master_join,
@@ -350,6 +355,77 @@ def q_master_join_where(spark, sf):
         selection=sel,
     )
     return out["joined"]
+
+
+def q_logging(spark, sf):
+    # @Logging contract: output == input exactly (side channel sampled)
+    return logging_op(_t(spark, sf, "nation"))
+
+
+def q_checkpoint(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") >= 25)
+    li = checkpoint(li, mode="local_checkpoint")
+    return summarize(
+        li,
+        ["l_returnflag"],
+        {"n_items": ("count", "l_orderkey"), "max_qty": ("max", "l_quantity")},
+    )
+
+
+def q_confluent(spark, sf):
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    hi = orders.filter(F.col("o_totalprice") >= 150000.0)
+    lo = orders.filter(F.col("o_totalprice") < 150000.0)
+    return confluent([hi, lo], ordering=[("o_orderkey", "asc")])
+
+
+def q_running_total(spark, sf):
+    orders = _t(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    out = running_agg(
+        orders,
+        ["o_custkey"],
+        [("o_orderdate", "asc"), ("o_orderkey", "asc")],
+        {
+            "running_spend": F.sum(F.col("o_totalprice").cast("decimal(27,6)")),
+            "order_seq": F.count(F.lit(1)),
+        },
+    )
+    return out.withColumn("running_spend", F.col("running_spend").cast("double"))
+
+
+def q_sessionize(spark, sf):
+    ev = _t(spark, sf, "events").select("user_id", "ts", "value")
+    return sessionize_batch(
+        ev,
+        "ts",
+        "30 minutes",
+        ["user_id"],
+        {
+            "n_events": F.count(F.lit(1)),
+            "v_sum": F.sum(F.col("value").cast("decimal(27,6)")).cast("double"),
+        },
+    )
+
+
+def q_summarize_any(spark, sf):
+    orders = _t(spark, sf, "orders")
+    return summarize(
+        orders,
+        ["o_orderpriority"],
+        {"any_status": ("any", "o_orderstatus"), "n_orders": ("count", "o_orderkey")},
+    )
+
+
+def q_approx_distinct(spark, sf):
+    # approximate aggregate (§2.8 beyond-reference); HLL++ sketch value is
+    # engine-specific → rows-only correctness check (no oracle entry).
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
 
 
 def q_summarize_q1(spark, sf):
@@ -783,6 +859,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "master_join_where": q_master_join_where,
         "summarize_q1": q_summarize_q1,
         "fold": q_fold,
+        "logging": q_logging,
+        "checkpoint": q_checkpoint,
+        "confluent": q_confluent,
+        "running_total": q_running_total,
+        "sessionize": q_sessionize,
+        "summarize_any": q_summarize_any,
+        "approx_distinct": q_approx_distinct,
         "cogroup": q_cogroup,
         "cogroup3": q_cogroup3,
         "group_sort": q_group_sort,
@@ -919,6 +1002,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS l_quantity,
                    MAX(l_extendedprice) AS l_extendedprice
             FROM lineitem GROUP BY l_suppkey
+        """,
+        "logging": "SELECT * FROM nation",
+        "checkpoint": """
+            SELECT l_returnflag, COUNT(*) AS n_items, MAX(l_quantity) AS max_qty
+            FROM lineitem WHERE l_quantity >= 25 GROUP BY l_returnflag
+        """,
+        "confluent": """
+            SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice >= 150000
+            UNION ALL
+            SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 150000
+        """,
+        "running_total": """
+            SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) OVER w AS DOUBLE)
+                       AS running_spend,
+                   COUNT(*) OVER w AS order_seq
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate ASC, o_orderkey ASC
+                         ROWS UNBOUNDED PRECEDING)
+        """,
+        "sessionize": """
+            WITH flagged AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 < INTERVAL 30 MINUTE
+                            THEN 0 ELSE 1 END AS new_sess
+                FROM events),
+            sess AS (
+                SELECT user_id, ts, value,
+                       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged)
+            SELECT MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                   user_id,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS v_sum
+            FROM sess GROUP BY user_id, sid
+        """,
+        "summarize_any": """
+            SELECT o_orderpriority, MIN(o_orderstatus) AS any_status, COUNT(*) AS n_orders
+            FROM orders GROUP BY o_orderpriority
         """,
         "cogroup": """
             WITH o AS (SELECT o_orderkey AS k, COUNT(*) AS n FROM orders GROUP BY 1),

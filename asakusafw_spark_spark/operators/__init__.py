@@ -5,7 +5,7 @@ plus Spark-native extensions (windows / top-k / distinct / set ops) the
 reference lacks (SURVEY.md §2.8).
 """
 
-from .core import project, extend, restructure, checkpoint
+from .core import project, extend, restructure, checkpoint, confluent
 from .record import extract, update, convert, branch, split, logging_op
 from .joins import (
     master_join,
@@ -15,7 +15,13 @@ from .joins import (
     MasterSelection,
 )
 from .group import summarize, fold, cogroup, group_sort, Grouping
-from .window import top_k_per_group, rank_in_group, distinct_records
+from .window import (
+    top_k_per_group,
+    rank_in_group,
+    distinct_records,
+    running_agg,
+    sessionize_batch,
+)
 
 __all__ = [
     "project",
@@ -41,4 +47,7 @@ __all__ = [
     "top_k_per_group",
     "rank_in_group",
     "distinct_records",
+    "confluent",
+    "running_agg",
+    "sessionize_batch",
 ]

@@ -77,3 +77,22 @@ def checkpoint(
     if mode == "local_checkpoint":
         return df.localCheckpoint(eager=False)
     raise ValueError(f"checkpoint: unknown mode {mode!r}")
+
+
+def confluent(frames, ordering=()):
+    """CONFLUENT: n-way union of datasets with the same schema
+    (reference: merge-sorted union of co-partitioned RDDs,
+    runtime/.../rdd/package.scala:47-69).
+
+    Spark mapping: ``unionByName`` — Catalyst unions lineages without any
+    extra shuffle; when a downstream operator needs per-partition order
+    (the reference's merge-sort contract), pass ``ordering`` to re-sort
+    within partitions (Tungsten sort, spillable, no shuffle).
+    """
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    if ordering:
+        cols = [F.col(c).asc() if d == "asc" else F.col(c).desc() for c, d in ordering]
+        out = out.sortWithinPartitions(*cols)
+    return out
