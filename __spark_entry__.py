@@ -428,6 +428,27 @@ def q_approx_distinct(spark, sf):
     )
 
 
+def q_multimodal_features(spark, sf):
+    """Full multimodal plumbing through mapInPandas: text bytes as an
+    opaque payload → fake (md5-derived) decoder → feature array.  The
+    decoder is deterministic, so the oracle reproduces features exactly
+    from md5 hex — a CONFIRMED check of the Arrow batch path."""
+    from asakusafw_spark_spark.functions.multimodal import extract_features, fake_decoder
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    feats = extract_features(docs, decoder=fake_decoder)
+    return feats.select(
+        "media_id",
+        F.col("features")[0].cast("double").alias("f0"),
+        F.col("features")[7].cast("double").alias("f7"),
+        F.col("features")[15].cast("double").alias("f15"),
+    )
+
+
 def q_summarize_q1(spark, sf):
     li = _t(spark, sf, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
@@ -584,7 +605,9 @@ def q_dedup_ngram_jaccard(spark, sf):
 
 
 def q_text_simhash(spark, sf):
-    return _t(spark, sf, "documents").select(
+    from asakusafw_spark_spark.functions.dedup import ensure_parallelism
+
+    return ensure_parallelism(_t(spark, sf, "documents")).select(
         "doc_id", simhash("text").alias("simhash")
     )
 
@@ -866,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "summarize_any": q_summarize_any,
         "approx_distinct": q_approx_distinct,
+        "multimodal_features": q_multimodal_features,
         "cogroup": q_cogroup,
         "cogroup3": q_cogroup3,
         "group_sort": q_group_sort,
@@ -1045,6 +1069,13 @@ def oracle_sql() -> dict[str, str]:
         "summarize_any": """
             SELECT o_orderpriority, MIN(o_orderstatus) AS any_status, COUNT(*) AS n_orders
             FROM orders GROUP BY o_orderpriority
+        """,
+        "multimodal_features": """
+            SELECT doc_id AS media_id,
+                   CAST('0x' || substr(md5(text), 1, 2) AS INT) / 256.0 AS f0,
+                   CAST('0x' || substr(md5(text), 15, 2) AS INT) / 256.0 AS f7,
+                   CAST('0x' || substr(md5(text), 31, 2) AS INT) / 256.0 AS f15
+            FROM documents
         """,
         "cogroup": """
             WITH o AS (SELECT o_orderkey AS k, COUNT(*) AS n FROM orders GROUP BY 1),

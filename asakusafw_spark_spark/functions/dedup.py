@@ -24,6 +24,24 @@ from .text import tokens, fingerprint
 MERSENNE_P = 2_147_483_647
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Spread compute-heavy per-row work across the cluster.
+
+    Parquet splits by BYTES (``spark.sql.files.maxPartitionBytes``), so a
+    small file scans as 1 partition — and a sketch that expands each row
+    into dozens of hashed shingles then serializes on one core.  When the
+    scan has fewer partitions than ``defaultParallelism``, round-robin
+    repartition (shuffles only the raw rows, cheap next to the per-shingle
+    work).  No-op on inputs that are already wide, so at 100 TB — where
+    scans come in thousands of partitions — this never adds a shuffle.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def str_hash64(col: Column) -> Column:
     """Deterministic 60-bit integer hash of a string (md5-prefix)."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
@@ -116,21 +134,24 @@ def minhash_lsh_pairs(
     Output: (id_a, id_b, jaccard) with id_a < id_b.  Jaccard is a ratio
     of integer set sizes (exact, order-free).
 
-    Scale: the only shuffles are the band-bucket self-join (bounded by
-    bucket size — collisions of 60-bit keys) and the distinct on pairs.
-    No cross join anywhere; skewed buckets are split by AQE.
+    Scale: the band-bucket self-join ships only slim ``(id, band, key)``
+    rows — shingle arrays do NOT ride the candidate shuffle; they are
+    re-joined only onto the (much smaller) deduped candidate-pair list
+    for exact verification.  No cross join anywhere; skewed buckets are
+    split by AQE.
     """
     if k % bands != 0:
         raise ValueError("bands must divide k")
     r = k // bands
+    df = ensure_parallelism(df)
     base = df.select(
         F.col(id_col).alias("id"),
         word_shingles(text_col, n).alias("shingles"),
-    ).withColumn("sig", minhash_signature(F.col("shingles"), k, seed))
+    )
+    sig = base.withColumn("sig", minhash_signature(F.col("shingles"), k, seed))
 
-    banded = base.select(
+    banded = sig.select(
         "id",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -144,25 +165,25 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "shingles", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
         a.join(b, on=[F.col("a.band") == F.col("b.band"), F.col("a.key") == F.col("b.key")])
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = cand.join(
+        base.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a"
+    ).join(
+        base.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b"
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
     return (
-        cand.withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        verified.withColumn("jaccard", inter.cast("double") / union.cast("double"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -186,7 +207,7 @@ def ngram_jaccard_pairs(
     the computed Jaccard (intersections lose pruned shingles) — it is a
     documented approximation for scale, off by default for exactness.
     """
-    base = df.select(
+    base = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
     ).withColumn("set_size", F.size("shingles"))
     exploded = base.select("id", "set_size", F.explode("shingles").alias("sh"))
@@ -222,26 +243,33 @@ def simhash(col: Column | str, bits: int = 32) -> Column:
     """SimHash sketch of the token multiset (frequency-weighted): for
     each bit position, sum ±1 over token hashes; sign → bit.
 
-    Native expressions only: the per-bit vote is an ``aggregate`` over
-    the token-hash array; int arithmetic → order-free.
+    Single-pass native expression: ONE ``aggregate`` over the token-hash
+    array with an array-of-``bits``-counters accumulator (each token's
+    md5 is computed exactly once), then a fold of the counter signs into
+    the integer sketch.  Int/dyadic-double arithmetic → order-free,
+    bit-identical to the SQL oracle.
     """
     hashes = _shingle_hashes(tokens(col))
+    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
 
-    def vote_fn(bp: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, bp).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
+    # bit bp of h, with bp a COLUMN: floor(h / 2^bp) % 2 — h < 2^31 and
+    # powers of two are exact in double, so the division is exact.
+    def bit_of(h, bp):
+        return F.pmod(F.floor(h / F.pow(F.lit(2.0), bp)), F.lit(2))
 
-    bit_cols = []
-    for bpos in range(bits):
-        vote = F.aggregate(hashes, F.lit(0), vote_fn(bpos))
-        bit_cols.append(
-            F.when(vote > 0, F.lit(2**bpos).cast("long")).otherwise(F.lit(0).cast("long"))
-        )
-    out = bit_cols[0]
-    for c in bit_cols[1:]:
-        out = out + c
-    return out
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc, bit_idx, lambda a, bp: a + F.when(bit_of(h, bp) == 1, 1).otherwise(-1)
+        ),
+    )
+    weighted = F.zip_with(
+        votes,
+        bit_idx,
+        lambda v, bp: F.when(v > 0, F.pow(F.lit(2.0), bp)).otherwise(F.lit(0.0)),
+    )
+    return F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x).cast("long")
 
 
 def simhash_dup_groups(
@@ -256,7 +284,8 @@ def simhash_dup_groups(
     groups are the hash-aggregate fast path.
     """
     return (
-        df.select(F.col(id_col).alias("id"), simhash(text_col, bits).alias("simhash"))
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), simhash(text_col, bits).alias("simhash"))
         .groupBy("simhash")
         .agg(F.min("id").alias("keeper_id"), F.count(F.lit(1)).alias("dup_count"))
         .filter(F.col("dup_count") >= 2)

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
-from .dedup import str_hash64
+from .dedup import str_hash64, ensure_parallelism
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -66,7 +66,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     scored = (
@@ -97,15 +97,17 @@ def cosine_near_dup(
     Default is LSH-bucketed (pairs scored only within a sign-bucket);
     ``exact=True`` scores all pairs (quadratic — small corpora only).
     """
+    df = ensure_parallelism(df)
     if exact:
         a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
         b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
+        dim = _probe_dim(df, vec_col)
         bucketed = df.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
-            _bucket_key(F.col(vec_col), planes, seed).alias("bucket"),
+            _bucket_key(F.col(vec_col), planes, seed, dim).alias("bucket"),
         )
         a = bucketed.select(
             F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket"
@@ -131,25 +133,35 @@ def _plane_component(plane: int, dim: int, seed: int) -> float:
     return ((h % 2001) - 1000) / 1000.0
 
 
-def _bucket_key(vec: Column, planes: int, seed: int) -> Column:
+MAX_DIM = 512
+
+
+def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Embedding dimension from the first row (tiny plan-time job);
+    None when the frame is empty."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    return row[0]["d"] if row else None
+
+
+def _bucket_key(vec: Column, planes: int, seed: int, dim: int | None = None) -> Column:
     """Sign-pattern bucket key: bit p = sign(vec · plane_p).
 
     Planes are md5-derived literal arrays (see :func:`_plane_component`)
-    zipped against the vector — a pure fold, SQL-replicable.  Dimension
-    is taken from the first row at plan time via a length-bounded
-    literal array (64 supported dims by default).
-    """
-    # Plane arrays are built at a fixed max dim and SLICED to the
-    # vector's length — zip_with pads the shorter side with nulls, which
-    # would null the whole projection.
-    MAX_DIM = 512
+    zipped against the vector — a pure fold, SQL-replicable.  Pass the
+    actual ``dim`` (probed from data) so plane literals are exactly
+    vector-sized; without it, arrays are built at MAX_DIM and sliced
+    per row (zip_with pads the shorter side with nulls, which would
+    null the whole projection)."""
     parts = []
     for p in range(planes):
-        plane = F.slice(
-            F.array(*[F.lit(_plane_component(p, d, seed)) for d in range(MAX_DIM)]),
-            1,
-            F.size(vec),
-        )
+        if dim is not None:
+            plane = F.array(*[F.lit(_plane_component(p, d, seed)) for d in range(dim)])
+        else:
+            plane = F.slice(
+                F.array(*[F.lit(_plane_component(p, d, seed)) for d in range(MAX_DIM)]),
+                1,
+                F.size(vec),
+            )
         proj = F.aggregate(
             F.zip_with(vec, plane, lambda x, w: x.cast("double") * w),
             F.lit(0.0),
@@ -173,15 +185,16 @@ def lsh_ann_topk(
     query; a query whose bucket has < k neighbors returns fewer
     (documented ANN semantics; raise ``planes`` ↔ recall trade-off).
     """
-    cb = corpus.select(
+    dim = _probe_dim(corpus, vec_col)
+    cb = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        _bucket_key(F.col(vec_col), planes, seed).alias("bucket"),
+        _bucket_key(F.col(vec_col), planes, seed, dim).alias("bucket"),
     )
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        _bucket_key(F.col(vec_col), planes, seed).alias("bucket"),
+        _bucket_key(F.col(vec_col), planes, seed, dim).alias("bucket"),
     )
     scored = (
         cb.join(F.broadcast(qb), "bucket")
