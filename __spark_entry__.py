@@ -626,6 +626,15 @@ def q_similarity_lsh_ann(spark, sf):
     return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, planes=6)
 
 
+def q_similarity_ivf(spark, sf):
+    from asakusafw_spark_spark.functions import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=8, nprobe=2
+    )
+
+
 def q_similarity_near_dup(spark, sf):
     emb = _t(spark, sf, "embeddings")
     return cosine_near_dup(emb, threshold=0.9, planes=6)
@@ -831,6 +840,45 @@ def _duck_bucket_expr(vec_expr: str, planes: int = 6, seed: int = 42, dim: int =
     return " || ".join(parts)
 
 
+def _duck_ivf_sql(k: int = 5, nq: int = 10, n_centroids: int = 8, nprobe: int = 2) -> str:
+    cos_qc = (
+        "round(list_sum(list_transform(list_zip(qv, cv), p -> p[1]*p[2]))"
+        " / (sqrt(list_sum(list_transform(qv, x -> x*x)))"
+        " * sqrt(list_sum(list_transform(cv, x -> x*x)))), 6)"
+    )
+    cos_nc = cos_qc.replace("qv", "nv")
+    return f"""
+        WITH cents AS (SELECT vec_id AS cid, {_duck_vec('embedding')} AS cv
+                       FROM embeddings ORDER BY vec_id LIMIT {n_centroids}),
+        corpus AS (SELECT vec_id AS neighbor_id, {_duck_vec('embedding')} AS nv
+                   FROM embeddings),
+        cassign AS (
+          SELECT neighbor_id, nv, cid FROM (
+            SELECT corpus.*, cents.cid,
+                   row_number() OVER (PARTITION BY neighbor_id
+                       ORDER BY {cos_nc} DESC, cents.cid ASC) AS pr
+            FROM corpus, cents) WHERE pr = 1),
+        q AS (SELECT vec_id AS query_id, {_duck_vec('embedding')} AS qv
+              FROM embeddings WHERE vec_id < {nq}),
+        qprobe AS (
+          SELECT query_id, qv, cid FROM (
+            SELECT q.*, cents.cid,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY {cos_qc} DESC, cents.cid ASC) AS pr
+            FROM q, cents) WHERE pr <= {nprobe}),
+        s AS (SELECT query_id, neighbor_id,
+                     round(list_sum(list_transform(list_zip(qv, nv), p -> p[1]*p[2]))
+                       / (sqrt(list_sum(list_transform(qv, x -> x*x)))
+                        * sqrt(list_sum(list_transform(nv, x -> x*x)))), 6) AS sim
+              FROM qprobe JOIN cassign USING (cid)
+              WHERE query_id <> neighbor_id)
+        SELECT query_id, neighbor_id, sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id ASC) AS rn FROM s
+        ) WHERE rn <= {k}
+    """
+
+
 def _duck_lsh_ann_sql(k: int = 5, nq: int = 10, planes: int = 6) -> str:
     bucket = _duck_bucket_expr("embedding", planes)
     return f"""
@@ -903,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_groups": q_dedup_simhash_groups,
         "similarity_bruteforce_topk": q_similarity_bruteforce,
         "similarity_lsh_ann": q_similarity_lsh_ann,
+        "similarity_ivf": q_similarity_ivf,
         "similarity_near_dup": q_similarity_near_dup,
         "streaming_windowed_agg": q_streaming_window,
     }
@@ -1136,6 +1185,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "similarity_bruteforce_topk": _duck_bruteforce_sql(k=5, nq=10),
         "similarity_lsh_ann": _duck_lsh_ann_sql(k=5, nq=10, planes=6),
+        "similarity_ivf": _duck_ivf_sql(k=5, nq=10, n_centroids=8, nprobe=2),
         "similarity_near_dup": _duck_near_dup_sql(threshold=0.9, planes=6),
         "streaming_windowed_agg": """
             SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,

@@ -21,7 +21,13 @@ from .dedup import (
     simhash,
     simhash_dup_groups,
 )
-from .similarity import cosine_similarity, brute_force_topk, cosine_near_dup, lsh_ann_topk
+from .similarity import (
+    cosine_similarity,
+    brute_force_topk,
+    cosine_near_dup,
+    lsh_ann_topk,
+    ivf_topk,
+)
 
 __all__ = [
     "F",
@@ -42,4 +48,5 @@ __all__ = [
     "brute_force_topk",
     "cosine_near_dup",
     "lsh_ann_topk",
+    "ivf_topk",
 ]

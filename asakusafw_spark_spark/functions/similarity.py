@@ -208,3 +208,81 @@ def lsh_ann_topk(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def _centroids(corpus: DataFrame, n: int, id_col: str, vec_col: str):
+    """Deterministic coarse centroids: the ``n`` lowest-id corpus
+    vectors.  A stand-in quantizer that is oracle-replicable in SQL;
+    swap for sampled k-means centroids in production (the IVF plumbing
+    is identical).  Driver-bounded collect of n rows — the same bounded
+    round-trip as the reference's MapBroadcast (MapBroadcast.scala:36-59).
+    """
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(n).collect()
+    return [(r[id_col], list(r[vec_col])) for r in rows]
+
+
+def _nearest_centroids(vec: Column, cents, nprobe: int) -> Column:
+    """array<long> of the ``nprobe`` centroid ids nearest to ``vec``
+    (cosine desc, centroid id asc tie-break)."""
+    scored = F.array(
+        *[
+            F.struct(
+                cosine_similarity(
+                    vec, F.array(*[F.lit(float(x)) for x in cvec])
+                ).alias("sim"),
+                F.lit(-int(cid)).cast("long").alias("negid"),
+            )
+            for cid, cvec in cents
+        ]
+    )
+    # struct max/sort compares (sim, negid): sim desc via sort desc, and
+    # negid desc == centroid id asc — the deterministic tie-break.
+    top = F.slice(F.sort_array(scored, asc=False), 1, nprobe)
+    return F.transform(top, lambda s: -s["negid"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style approximate top-k: the corpus is coarse-quantized into
+    ``n_centroids`` inverted lists (each vector assigned to its nearest
+    centroid); a query probes only its ``nprobe`` nearest lists.
+
+    Output: (query_id, neighbor_id, sim), ≤ k rows per query; neighbors
+    outside the probed lists are missed — documented ANN semantics,
+    recall grows with ``nprobe``.
+
+    Scale: assignment is a per-row expression over broadcast centroid
+    literals (no shuffle of the corpus); the probe join shuffles on the
+    centroid id — ``n_centroids`` partition-able lists, the classic IVF
+    shape.  At 100 TB raise ``n_centroids`` so each list fits a task.
+    """
+    cents = _centroids(corpus, n_centroids, id_col, vec_col)
+    cb = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.element_at(_nearest_centroids(F.col(vec_col), cents, 1), 1).alias("cid"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(_nearest_centroids(F.col(vec_col), cents, nprobe)).alias("cid"),
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -175,12 +175,16 @@ def _join_selected_cogroup(
     master: DataFrame, tx: DataFrame, pairs: list[tuple[str, str]], sel: MasterSelection
 ) -> tuple[DataFrame, list[str], list[str]]:
     """Slow path: custom Python master selection over the whole sorted
-    group — cogrouped applyInPandas, mirroring the reference's shuffled
-    join fragment (runtime/.../fragment/user/join/
-    ShuffledJoinOperatorFragment.scala:22-47: masters buffered,
-    transactions streamed)."""
+    group, mirroring the reference's shuffled join fragment
+    (runtime/.../fragment/user/join/ShuffledJoinOperatorFragment.scala:
+    22-47: masters buffered, transactions streamed).  Runs on the
+    streaming cogroup (per-Arrow-batch Python cost, JVM secondary sort of
+    the master group) so high-cardinality keys don't pay a per-group
+    round-trip."""
     import pandas as pd
     from pyspark.sql import types as T
+
+    from .group import Grouping, cogroup
 
     mkey = [p[0] for p in pairs]
     tkey = [p[1] for p in pairs]
@@ -193,16 +197,11 @@ def _join_selected_cogroup(
         T.StructField(f"__m_{f.name}", f.dataType, True) for f in master.schema.fields
     ]
     out_schema = T.StructType(out_fields)
+    names = [f.name for f in out_fields]
 
-    def fn(m_pdf: pd.DataFrame, t_pdf: pd.DataFrame) -> pd.DataFrame:
+    def fn(_key_vals, m_pdf: pd.DataFrame, t_pdf: pd.DataFrame) -> pd.DataFrame | None:
         if len(t_pdf) == 0:
-            return pd.DataFrame(columns=[f.name for f in out_fields])
-        if len(m_pdf):
-            m_pdf = m_pdf.sort_values(
-                by=[c for c, _ in ordering],
-                ascending=[d == "asc" for _, d in ordering],
-                kind="mergesort",
-            ).reset_index(drop=True)
+            return None
         rows = []
         for _, trow in t_pdf.iterrows():
             idx = select_fn(m_pdf, trow) if len(m_pdf) else None
@@ -210,12 +209,10 @@ def _join_selected_cogroup(
             for c in mcols_src:
                 rec[f"__m_{c}"] = m_pdf.iloc[idx][c] if idx is not None else None
             rows.append(rec)
-        return pd.DataFrame(rows, columns=[f.name for f in out_fields])
+        return pd.DataFrame(rows, columns=names)
 
-    joined = (
-        master.groupBy(*[F.col(k) for k in mkey])
-        .cogroup(tx.groupBy(*[F.col(k) for k in tkey]))
-        .applyInPandas(fn, schema=out_schema)
+    joined = cogroup(
+        [Grouping(master, mkey, ordering), Grouping(tx, tkey)], fn, out_schema
     )
     return joined, [f"__m_{c}" for c in mcols_src], tcols
 

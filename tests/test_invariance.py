@@ -1,0 +1,99 @@
+"""Partitioning-invariance: results must not depend on
+``spark.sql.shuffle.partitions`` (SURVEY.md §5 — the reference runs its
+cogroup specs over numSlices ∈ {None, 8, 4}).
+
+Runs a representative query per engine pillar under 1 / 4 / 17 shuffle
+partitions and asserts identical sorted results.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from asakusafw_spark_spark.operators import (
+    Grouping,
+    cogroup,
+    master_join,
+    summarize,
+    top_k_per_group,
+)
+
+
+def _lineitem(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def _orders(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+def q_summarize(spark, sf_dir):
+    return summarize(
+        _lineitem(spark, sf_dir),
+        ["l_returnflag"],
+        {"n": ("count", "l_orderkey"), "max_qty": ("max", "l_quantity")},
+    )
+
+
+def q_join(spark, sf_dir):
+    return master_join(
+        _orders(spark, sf_dir).select("o_orderkey", "o_custkey"),
+        _lineitem(spark, sf_dir).select("l_orderkey", "l_linenumber"),
+        [("o_orderkey", "l_orderkey")],
+    )["joined"]
+
+
+def q_cogroup(spark, sf_dir):
+    import pandas as pd
+
+    def fn(key, opdf, lpdf):
+        return pd.DataFrame(
+            {"k": [key[0]], "n_o": [len(opdf)], "n_l": [len(lpdf)]}
+        )
+
+    return cogroup(
+        [
+            Grouping(_orders(spark, sf_dir).select("o_orderkey"), ["o_orderkey"]),
+            Grouping(
+                _lineitem(spark, sf_dir).select("l_orderkey", "l_linenumber"),
+                ["l_orderkey"],
+                [("l_linenumber", "asc")],
+            ),
+        ],
+        fn,
+        "k long, n_o long, n_l long",
+    )
+
+
+def q_topk(spark, sf_dir):
+    return top_k_per_group(
+        _orders(spark, sf_dir).select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [("o_totalprice", "desc"), ("o_orderkey", "asc")],
+        3,
+    )
+
+
+QUERIES = {
+    "summarize": q_summarize,
+    "join": q_join,
+    "cogroup": q_cogroup,
+    "topk": q_topk,
+}
+
+
+@pytest.mark.parametrize("qname", sorted(QUERIES))
+def test_shuffle_partition_invariance(spark, sf_dir, qname):
+    fn = QUERIES[qname]
+    results = {}
+    original = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in (1, 4, 17):
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+            df = fn(spark, sf_dir)
+            rows = sorted(map(tuple, df.collect()))
+            results[parts] = rows
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", original)
+    assert results[1] == results[4] == results[17]
+    assert len(results[1]) > 0

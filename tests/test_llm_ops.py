@@ -202,3 +202,20 @@ def test_multimodal_frame_sampling_multiplies_rows(spark):
     out = sample_frames(df, every_ms=1000, sampler=fake_frame_sampler).collect()
     assert len(out) == 3
     assert [r.frame_ts_ms for r in out] == [0, 1000, 2000]
+
+
+def test_ivf_topk_scores_match_bruteforce(vecs):
+    from asakusafw_spark_spark.functions import ivf_topk
+
+    queries = vecs.filter(F.col("vec_id") < 3)
+    ivf = ivf_topk(vecs, queries, k=5, n_centroids=4, nprobe=2)
+    bf = brute_force_topk(vecs, queries, k=1000)
+    ivf_rows = {(r.query_id, r.neighbor_id): r.sim for r in ivf.collect()}
+    bf_rows = {(r.query_id, r.neighbor_id): r.sim for r in bf.collect()}
+    assert ivf_rows  # probed lists are non-empty
+    for key, sim in ivf_rows.items():
+        assert bf_rows[key] == sim  # same scoring, candidates from probed lists
+    per_q = {}
+    for (q, _n), _ in ivf_rows.items():
+        per_q[q] = per_q.get(q, 0) + 1
+    assert all(n <= 5 for n in per_q.values())
