@@ -497,15 +497,14 @@ def q_cogroup(spark, sf):
     orders = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
     li = _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
 
-    def fn(key, opdf: pd.DataFrame, lpdf: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "o_orderkey": [key[0]],
-                "n_orders": [len(opdf)],
-                "n_items": [len(lpdf)],
-                "sum_qty": [round(float(lpdf["l_quantity"].sum()), 2) if len(lpdf) else None],
-            }
-        )
+    def fn(key, opdf: pd.DataFrame, lpdf: pd.DataFrame) -> dict:
+        # dict return → engine's batched single-record fast path
+        return {
+            "o_orderkey": key[0],
+            "n_orders": len(opdf),
+            "n_items": len(lpdf),
+            "sum_qty": round(float(lpdf["l_quantity"].sum()), 2) if len(lpdf) else None,
+        }
 
     return cogroup(
         [
@@ -524,15 +523,13 @@ def q_cogroup3(spark, sf):
     orders = _t(spark, sf, "orders").select("o_custkey", "o_orderkey")
     events = _t(spark, sf, "events").select("user_id", "event_id")
 
-    def fn(key, cpdf, opdf, epdf) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "k": [key[0]],
-                "n_cust": [len(cpdf)],
-                "n_orders": [len(opdf)],
-                "n_events": [len(epdf)],
-            }
-        )
+    def fn(key, cpdf, opdf, epdf) -> dict:
+        return {
+            "k": key[0],
+            "n_cust": len(cpdf),
+            "n_orders": len(opdf),
+            "n_events": len(epdf),
+        }
 
     return cogroup(
         [

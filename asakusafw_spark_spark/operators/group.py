@@ -167,7 +167,12 @@ def cogroup(
 ) -> DataFrame:
     """@CoGroup: deliver each key's records as N sorted pandas frames.
 
-    ``fn(key_tuple, *group_pdfs) -> pd.DataFrame`` with ``output_schema``.
+    ``fn(key_tuple, *group_pdfs)`` returns rows matching ``output_schema``
+    as either a ``pd.DataFrame`` (any number of rows), a plain ``dict``
+    (exactly one record — the FAST path for aggregation-style cogroups:
+    the engine batches dicts into one frame per Arrow batch instead of
+    paying a DataFrame constructor + concat per group), or ``None``
+    (no output for this key).
     For M logical outputs, include a tag column and split with
     :func:`~asakusafw_spark_spark.operators.record.branch` downstream
     (same trick the reference plays with branch keys).
@@ -223,9 +228,20 @@ def cogroup(
         for c, d in g.ordering:
             col = F.col(f"__in{i}__{c}")
             sort_cols.append(col.asc() if d == "asc" else col.desc())
-    arranged = union.repartition(*[F.col(k) for k in key_names]).sortWithinPartitions(
-        *sort_cols
+    # EXPLICIT partition count: AQE's post-shuffle coalescing targets
+    # ~64 MB of JVM bytes per partition — the right call for JVM stages,
+    # but a Python grouped stage costs per GROUP, so coalescing to a few
+    # partitions idles most workers.  Pinning numPartitions keeps the
+    # mapInPandas stage at full cluster width (AQE respects explicit
+    # repartition counts).
+    spark = union.sparkSession
+    n_parts = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        spark.sparkContext.defaultParallelism,
     )
+    arranged = union.repartition(
+        n_parts, *[F.col(k) for k in key_names]
+    ).sortWithinPartitions(*sort_cols)
 
     # plain data only — closures must not capture DataFrames
     metas = [list(g.df.columns) for g in inputs]
@@ -248,7 +264,8 @@ def cogroup(
             sub.columns = metas[i]
             subs.append(sub)
         bounds = list(starts) + [len(pdf)]
-        outs = []
+        outs: list[pd.DataFrame] = []
+        records: list[dict] = []  # dict-returning fast path, batched
         for a, b in zip(bounds[:-1], bounds[1:]):
             key_vals = tuple(arr[a] for arr in key_arrays)
             # tags are sorted within the group — per-input slices via searchsorted
@@ -258,8 +275,14 @@ def cogroup(
                 lo, hi = np.searchsorted(gtags, [i, i + 1])
                 groups.append(subs[i].iloc[a + lo : a + hi].reset_index(drop=True))
             out = fn(key_vals, *groups)
-            if out is not None and len(out):
+            if out is None:
+                continue
+            if isinstance(out, dict):
+                records.append(out)
+            elif len(out):
                 outs.append(out)
+        if records:
+            outs.append(pd.DataFrame(records))
         return outs
 
     def stream(batches):
