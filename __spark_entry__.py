@@ -433,9 +433,10 @@ def q_multimodal_features(spark, sf):
     opaque payload → fake (md5-derived) decoder → feature array.  The
     decoder is deterministic, so the oracle reproduces features exactly
     from md5 hex — a CONFIRMED check of the Arrow batch path."""
+    from asakusafw_spark_spark.functions.dedup import ensure_parallelism
     from asakusafw_spark_spark.functions.multimodal import extract_features, fake_decoder
 
-    docs = _t(spark, sf, "documents").select(
+    docs = ensure_parallelism(_t(spark, sf, "documents")).select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
         F.encode("text", "UTF-8").alias("payload"),
@@ -579,7 +580,9 @@ def q_distinct(spark, sf):
 
 
 def q_text_analysis(spark, sf):
-    docs = _t(spark, sf, "documents")
+    from asakusafw_spark_spark.functions.dedup import ensure_parallelism
+
+    docs = ensure_parallelism(_t(spark, sf, "documents"))
     return docs.select(
         "doc_id",
         token_count("text").alias("n_tokens"),

@@ -108,7 +108,8 @@ def dedup_exact(
     map-side combine — the scalable shape (no sort, no window).
     """
     return (
-        df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+        ensure_parallelism(df)
+        .select(fingerprint(text_col).alias("fp"), F.col(id_col))
         .groupBy("fp")
         .agg(
             F.min(id_col).alias("keeper_id"),
