@@ -357,6 +357,57 @@ def q_master_join_where(spark, sf):
     return out["joined"]
 
 
+def q_fold_custom(spark, sf):
+    """@Fold via the Python slow path (streaming cogroup executor):
+    same reduce semantics as q_fold but through an arbitrary user fn."""
+    import pandas as pd
+
+    li = _t(spark, sf, "lineitem").select("l_suppkey", "l_quantity", "l_extendedprice")
+
+    from decimal import Decimal
+
+    TWO = Decimal("0.01")
+
+    def reduce_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        # mirror SUM(CAST(x AS DECIMAL(_,2))): quantize each value, then sum
+        qty = sum(Decimal(str(v)).quantize(TWO) for v in pdf["l_quantity"])
+        return pd.DataFrame(
+            {
+                "l_suppkey": [pdf["l_suppkey"].iloc[0]],
+                "l_quantity": [float(qty)],
+                "l_extendedprice": [pdf["l_extendedprice"].max()],
+            }
+        )
+
+    return fold(li, ["l_suppkey"], fn=reduce_fn)
+
+
+def q_master_join_shuffled(spark, sf):
+    out = master_join(
+        _t(spark, sf, "customer").select("c_custkey", "c_name", "c_mktsegment"),
+        _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        [("c_custkey", "o_custkey")],
+        mapping={
+            "o_orderkey": "t.o_orderkey",
+            "o_custkey": "t.o_custkey",
+            "o_totalprice": "t.o_totalprice",
+            "c_name": "m.c_name",
+            "c_mktsegment": "m.c_mktsegment",
+        },
+        strategy="shuffled",
+    )
+    return out["joined"]
+
+
+def q_direct_input(spark, sf):
+    """DirectInput path: glob-pattern read through the direct I/O
+    surface (sources/read.py), then a projection."""
+    from asakusafw_spark_spark.sources.read import direct_input
+
+    df = direct_input(spark, f"{sf}/natio*.parquet", format="parquet")
+    return df.select("n_nationkey", "n_name", "n_regionkey")
+
+
 def q_logging(spark, sf):
     # @Logging contract: output == input exactly (side channel sampled)
     return logging_op(_t(spark, sf, "nation"))
@@ -930,6 +981,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "master_join_where": q_master_join_where,
         "summarize_q1": q_summarize_q1,
         "fold": q_fold,
+        "fold_custom": q_fold_custom,
+        "master_join_shuffled": q_master_join_shuffled,
+        "direct_input": q_direct_input,
         "logging": q_logging,
         "checkpoint": q_checkpoint,
         "confluent": q_confluent,
@@ -1076,6 +1130,17 @@ def oracle_sql() -> dict[str, str]:
                    MAX(l_extendedprice) AS l_extendedprice
             FROM lineitem GROUP BY l_suppkey
         """,
+        "fold_custom": """
+            SELECT l_suppkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS l_quantity,
+                   MAX(l_extendedprice) AS l_extendedprice
+            FROM lineitem GROUP BY l_suppkey
+        """,
+        "master_join_shuffled": """
+            SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+            FROM orders JOIN customer ON c_custkey = o_custkey
+        """,
+        "direct_input": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
         "logging": "SELECT * FROM nation",
         "checkpoint": """
             SELECT l_returnflag, COUNT(*) AS n_items, MAX(l_quantity) AS max_qty

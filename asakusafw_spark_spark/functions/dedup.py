@@ -85,17 +85,28 @@ def minhash_signature(
     shingle_col: Column, k: int = 8, seed: int = 42
 ) -> Column:
     """MinHash signature (array<long> of length k): per permutation i,
-    ``min over shingles of (aᵢ·h + bᵢ) mod P``."""
+    ``min over shingles of (aᵢ·h + bᵢ) mod P``.
+
+    Single-pass: ONE ``aggregate`` over the shingle-hash array with an
+    array-of-k-minima accumulator and the (aᵢ, bᵢ) pairs as a literal
+    struct array.  k separate ``array_min(transform(...))`` projections
+    would each embed their own copy of the md5 subtree (Catalyst does
+    not CSE across them), hashing every shingle k times.
+    """
     hashes = _shingle_hashes(shingle_col)
-
-    def perm(a: int, b: int):
-        # closure factory: Spark counts lambda params, so no default-arg trick
-        return lambda h: F.pmod(h * a + b, F.lit(MERSENNE_P))
-
-    sig = [
-        F.array_min(F.transform(hashes, perm(a, b))) for a, b in _affine_params(k, seed)
-    ]
-    return F.array(*sig)
+    ab = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in _affine_params(k, seed)
+        ]
+    )
+    return F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(MERSENNE_P).cast("long"), k),
+        lambda acc, h: F.zip_with(
+            acc, ab, lambda m, p: F.least(m, F.pmod(h * p["a"] + p["b"], F.lit(MERSENNE_P)))
+        ),
+    )
 
 
 def dedup_exact(
