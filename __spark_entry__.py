@@ -501,6 +501,39 @@ def q_multimodal_features(spark, sf):
     )
 
 
+def q_rollup_agg(spark, sf):
+    """Hierarchical rollup totals (beyond-reference §2.8: grouping sets).
+    NULL-filled subtotal rows exactly as ANSI ROLLUP."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+def q_intersect_keys(spark, sf):
+    """INTERSECT as first-class set op (beyond-reference §2.8)."""
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = _t(spark, sf, "customer").filter(F.col("c_acctbal") >= 5000.0).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return o.intersect(c)
+
+
+def q_except_keys(spark, sf):
+    """EXCEPT (anti set-difference) as first-class set op (§2.8)."""
+    c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 200000.0)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return c.subtract(o)  # customers who never placed a big order
+
+
 def q_summarize_q1(spark, sf):
     li = _t(spark, sf, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
@@ -990,6 +1023,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_total": q_running_total,
         "sessionize": q_sessionize,
         "summarize_any": q_summarize_any,
+        "rollup_agg": q_rollup_agg,
+        "intersect_keys": q_intersect_keys,
+        "except_keys": q_except_keys,
         "approx_distinct": q_approx_distinct,
         "multimodal_features": q_multimodal_features,
         "cogroup": q_cogroup,
@@ -1183,6 +1219,21 @@ def oracle_sql() -> dict[str, str]:
         "summarize_any": """
             SELECT o_orderpriority, MIN(o_orderstatus) AS any_status, COUNT(*) AS n_orders
             FROM orders GROUP BY o_orderpriority
+        """,
+        "rollup_agg": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "intersect_keys": """
+            SELECT o_custkey AS custkey FROM orders
+            INTERSECT
+            SELECT c_custkey AS custkey FROM customer WHERE c_acctbal >= 5000
+        """,
+        "except_keys": """
+            SELECT c_custkey AS custkey FROM customer
+            EXCEPT
+            SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
         """,
         "multimodal_features": """
             SELECT doc_id AS media_id,
