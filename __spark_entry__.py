@@ -757,7 +757,47 @@ def q_streaming_window(spark, sf):
         keys=["event_type"],
     )
     name = "q_stream_" + uuid.uuid4().hex[:8]
-    run_available_now(agg, name, tempfile.mkdtemp(prefix="ck_"))
+    # few grouping keys (hour × event_type) → 8 state stores, not 32
+    run_available_now(agg, name, tempfile.mkdtemp(prefix="ck_"), state_partitions=8)
+    return spark.table(name)
+
+
+def q_streaming_sessionize(spark, sf):
+    """Session windows THROUGH the streaming engine (file stream →
+    watermark → session_window → availableNow drain, complete mode).
+    Oracle: the same gap-islands SQL as batch sessionize."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from asakusafw_spark_spark.streaming import (
+        run_available_now,
+        sessionize,
+        stream_parquet_source,
+    )
+
+    stage = tempfile.mkdtemp(prefix="stream_events_")
+    shutil.copy(f"{sf}/events.parquet", f"{stage}/events.parquet")
+    stream = stream_parquet_source(
+        spark,
+        stage,
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+        ts_is_nanos=True,
+    )
+    sess = sessionize(
+        stream,
+        "ts",
+        "30 minutes",
+        ["user_id"],
+        {
+            "n_events": F.count(F.lit(1)),
+            "v_sum": F.sum(F.col("value").cast("decimal(27,6)")).cast("double"),
+        },
+    )
+    name = "q_stream_sess_" + uuid.uuid4().hex[:8]
+    run_available_now(
+        sess, name, tempfile.mkdtemp(prefix="ck_"), mode="complete", state_partitions=8
+    )
     return spark.table(name)
 
 
@@ -1044,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": q_similarity_ivf,
         "similarity_near_dup": q_similarity_near_dup,
         "streaming_windowed_agg": q_streaming_window,
+        "streaming_sessionize": q_streaming_sessionize,
     }
 
 
@@ -1303,6 +1344,25 @@ def oracle_sql() -> dict[str, str]:
         "similarity_lsh_ann": _duck_lsh_ann_sql(k=5, nq=10, planes=6),
         "similarity_ivf": _duck_ivf_sql(k=5, nq=10, n_centroids=8, nprobe=2),
         "similarity_near_dup": _duck_near_dup_sql(threshold=0.9, planes=6),
+        "streaming_sessionize": """
+            WITH flagged AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 < INTERVAL 30 MINUTE
+                            THEN 0 ELSE 1 END AS new_sess
+                FROM events),
+            sess AS (
+                SELECT user_id, ts, value,
+                       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged)
+            SELECT MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                   user_id,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS v_sum
+            FROM sess GROUP BY user_id, sid
+        """,
         "streaming_windowed_agg": """
             SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
                    date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS window_end,

@@ -145,7 +145,11 @@ def stateful_running_agg(
 
 
 def run_available_now(
-    stream_df: DataFrame, query_name: str, checkpoint_dir: str, mode: str = "update"
+    stream_df: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    mode: str = "update",
+    state_partitions: int | None = None,
 ) -> None:
     """Drain everything currently available through the streaming plan
     into an in-memory table named ``query_name`` (synchronous) — the
@@ -154,13 +158,28 @@ def run_available_now(
     ``mode``: ``update`` for keyed aggregations; session windows only
     support ``append``/``complete`` (append emits once the watermark
     closes a session).
+
+    ``state_partitions``: stateful operators create one state store per
+    shuffle partition, PINNED at the first checkpoint — size it to the
+    KEY CARDINALITY, not the core count (a handful of grouping keys on
+    32 partitions pays 32 store setups per micro-batch for nothing).
+    Applied by setting ``spark.sql.shuffle.partitions`` for the stream
+    start only; the previous value is restored afterwards.
     """
-    q = (
-        stream_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
