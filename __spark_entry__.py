@@ -534,6 +534,79 @@ def q_except_keys(spark, sf):
     return c.subtract(o)  # customers who never placed a big order
 
 
+def q_asof_join(spark, sf):
+    """As-of join: each event matched to the user's most recent order at
+    or before the event time (reference expresses this inside a
+    @MasterSelection method; here via the tx-dependent where path)."""
+    from asakusafw_spark_spark.operators import asof_join
+
+    events = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    out = asof_join(
+        events,
+        orders,
+        [("o_custkey", "user_id")],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        direction="backward",
+        tie_break=["o_orderkey"],
+    )
+    return out["joined"].select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").alias("last_totalprice"),
+    )
+
+
+def q3_shipping_priority(spark, sf):
+    """TPC-H Q3-style: top-10 unshipped BUILDING-segment orders by
+    revenue, built entirely from engine operators (master_join →
+    update → summarize → global ordered limit)."""
+    CUT = "1998-01-01"
+    cust = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit(CUT).cast("timestamp")
+    )
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(CUT).cast("timestamp")
+    )
+    o_b = master_join(
+        cust,
+        orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        [("c_custkey", "o_custkey")],
+        strategy="broadcast",
+    )["joined"]
+    joined = master_join(
+        o_b.select("o_orderkey", "o_orderdate"),
+        li.select("l_orderkey", "l_extendedprice", "l_discount"),
+        [("o_orderkey", "l_orderkey")],
+    )["joined"]
+    rev = update(
+        joined,
+        revenue=(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(27,6)"
+        ),
+    )
+    agg = summarize(
+        rev,
+        ["l_orderkey", "o_orderdate"],
+        {"revenue": ("sum", "revenue")},
+    ).select(
+        "l_orderkey",
+        F.col("revenue").cast("double").alias("revenue"),
+        "o_orderdate",
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc()).limit(10)
+
+
 def q_summarize_q1(spark, sf):
     li = _t(spark, sf, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
@@ -1053,9 +1126,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "master_selection_custom_fn": q_master_selection_custom_fn,
         "master_join_where": q_master_join_where,
         "summarize_q1": q_summarize_q1,
+        "q3_shipping_priority": q3_shipping_priority,
         "fold": q_fold,
         "fold_custom": q_fold_custom,
         "master_join_shuffled": q_master_join_shuffled,
+        "asof_join": q_asof_join,
         "direct_input": q_direct_input,
         "logging": q_logging,
         "checkpoint": q_checkpoint,
@@ -1217,6 +1292,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
             FROM orders JOIN customer ON c_custkey = o_custkey
         """,
+        "asof_join": """
+            WITH cand AS (
+                SELECT e.event_id, e.user_id, e.ts,
+                       o.o_orderkey, o.o_totalprice,
+                       row_number() OVER (PARTITION BY e.event_id
+                           ORDER BY o.o_orderdate DESC, o.o_orderkey ASC) AS rn
+                FROM events e
+                JOIN orders o ON o.o_custkey = e.user_id
+                             AND o.o_orderdate <= e.ts)
+            SELECT event_id, user_id, ts,
+                   o_orderkey AS last_orderkey, o_totalprice AS last_totalprice
+            FROM cand WHERE rn = 1
+        """,
         "direct_input": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
         "logging": "SELECT * FROM nation",
         "checkpoint": """
@@ -1260,6 +1348,20 @@ def oracle_sql() -> dict[str, str]:
         "summarize_any": """
             SELECT o_orderpriority, MIN(o_orderstatus) AS any_status, COUNT(*) AS n_orders
             FROM orders GROUP BY o_orderpriority
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+                   o_orderdate
+            FROM customer
+            JOIN orders   ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate  > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
         """,
         "rollup_agg": """
             SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,

@@ -12,6 +12,7 @@ from .joins import (
     master_check,
     master_branch,
     master_join_update,
+    asof_join,
     MasterSelection,
 )
 from .group import summarize, fold, cogroup, group_sort, Grouping
@@ -38,6 +39,7 @@ __all__ = [
     "master_check",
     "master_branch",
     "master_join_update",
+    "asof_join",
     "MasterSelection",
     "summarize",
     "fold",

@@ -342,3 +342,41 @@ def master_join_update(
 
     upd = hit.withColumns({k: resolve(v) for k, v in updates.items()}).select(*tcols)
     return {"updated": upd, "missed": miss.select(*tcols)}
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: Sequence[str] | Sequence[tuple[str, str]],
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    tie_break: Sequence[str] = (),
+) -> dict[str, DataFrame]:
+    """As-of join: for each left row, the single right row with the
+    greatest ``right_ts`` ≤ ``left_ts`` (backward) or smallest ≥
+    (forward), per key group.
+
+    The reference expresses exactly this inside a ``@MasterSelection``
+    method (SURVEY.md §2.4: range/as-of/theta predicates inside the
+    group); here it is sugar over :func:`master_join`'s tx-dependent
+    ``where`` path — join candidates, keep the best per left row via a
+    single aggregation, no window sort in the all-asc case.
+
+    ``key`` as in master_join ((right_col, left_col) pairs or shared
+    names); ``tie_break``: right columns ordering equal-ts candidates
+    deterministically (recommended — an unordered tie is
+    planner-dependent).  Returns ``{"joined", "missed"}``.
+    """
+    if direction == "backward":
+        where = F.col(f"__m_{right_ts}") <= F.col(left_ts)
+        ts_dir = "desc"
+    elif direction == "forward":
+        where = F.col(f"__m_{right_ts}") >= F.col(left_ts)
+        ts_dir = "asc"
+    else:
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
+    ordering = [(right_ts, ts_dir)] + [(c, "asc") for c in tie_break]
+    return master_join(
+        right, left, key, selection=MasterSelection(ordering=ordering, where=where)
+    )

@@ -116,3 +116,32 @@ def test_master_join_update(masters, txs):
     assert by_tid[11].amount == 56.0  # first-of-group master m2a (50)
     assert {r.tid for r in out["missed"].collect()} == {12}
     assert out["updated"].columns == ["tid", "k", "amount"]
+
+
+def test_asof_join_backward_picks_latest_at_or_before(spark):
+    import datetime
+
+    from asakusafw_spark_spark.operators import asof_join
+
+    d = lambda s: datetime.datetime.fromisoformat(s)
+    quotes = spark.createDataFrame(
+        [(1, d("2024-01-01 10:00"), 100.0),
+         (1, d("2024-01-01 11:00"), 110.0),
+         (2, d("2024-01-01 10:30"), 200.0)],
+        "sym long, qts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [(1, d("2024-01-01 10:30")),   # → 10:00 quote
+         (1, d("2024-01-01 11:00")),   # boundary: ≤ includes 11:00
+         (1, d("2024-01-01 09:00")),   # no quote yet → missed
+         (2, d("2024-01-01 12:00")),
+         (3, d("2024-01-01 12:00"))],  # unknown symbol → missed
+        "sym long, tts timestamp",
+    )
+    out = asof_join(trades, quotes, ["sym"], left_ts="tts", right_ts="qts")
+    joined = {(r.sym, r.tts): r.px for r in out["joined"].collect()}
+    assert joined[(1, d("2024-01-01 10:30"))] == 100.0
+    assert joined[(1, d("2024-01-01 11:00"))] == 110.0
+    assert joined[(2, d("2024-01-01 12:00"))] == 200.0
+    missed = {(r.sym, r.tts) for r in out["missed"].collect()}
+    assert missed == {(1, d("2024-01-01 09:00")), (3, d("2024-01-01 12:00"))}
