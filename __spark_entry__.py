@@ -773,6 +773,12 @@ def q_dedup_simhash_groups(spark, sf):
     return simhash_dup_groups(_t(spark, sf, "documents"))
 
 
+def q_dedup_simhash_pairs(spark, sf):
+    from asakusafw_spark_spark.functions import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf, "documents"), bits=32, max_hamming=3)
+
+
 def q_similarity_bruteforce(spark, sf):
     emb = _t(spark, sf, "embeddings")
     return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
@@ -1154,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_simhash": q_text_simhash,
         "dedup_simhash_groups": q_dedup_simhash_groups,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "similarity_bruteforce_topk": q_similarity_bruteforce,
         "similarity_lsh_ann": q_similarity_lsh_ann,
         "similarity_ivf": q_similarity_ivf,
@@ -1441,6 +1448,21 @@ def oracle_sql() -> dict[str, str]:
                        FROM ({_DUCK_TOKEN_HASHES}))
             SELECT simhash, MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
             FROM s GROUP BY 1 HAVING COUNT(*) >= 2
+        """,
+        "dedup_simhash_pairs": f"""
+            WITH s AS (SELECT doc_id, {_duck_simhash_expr(32)} AS sh
+                       FROM ({_DUCK_TOKEN_HASHES})),
+            ch AS (SELECT doc_id, sh, i, (sh >> (i * 8)) & 255 AS cv
+                   FROM s, (SELECT unnest(range(0, 4)) AS i)),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                     FROM ch a JOIN ch b ON a.i = b.i AND a.cv = b.cv
+                     WHERE a.doc_id < b.doc_id)
+            SELECT id_a, id_b,
+                   CAST(bit_count(xor(sa.sh, sb.sh)) AS BIGINT) AS hamming
+            FROM cand
+            JOIN s sa ON sa.doc_id = id_a
+            JOIN s sb ON sb.doc_id = id_b
+            WHERE bit_count(xor(sa.sh, sb.sh)) <= 3
         """,
         "similarity_bruteforce_topk": _duck_bruteforce_sql(k=5, nq=10),
         "similarity_lsh_ann": _duck_lsh_ann_sql(k=5, nq=10, planes=6),

@@ -20,6 +20,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash,
     simhash_dup_groups,
+    simhash_pairs,
 )
 from .similarity import (
     cosine_similarity,
@@ -44,6 +45,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_dup_groups",
+    "simhash_pairs",
     "cosine_similarity",
     "brute_force_topk",
     "cosine_near_dup",

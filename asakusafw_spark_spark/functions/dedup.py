@@ -284,6 +284,66 @@ def simhash(col: Column | str, bits: int = 32) -> Column:
     return F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x).cast("long")
 
 
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs with ``hamming(simhash) ≤ max_hamming``.
+
+    Scale shape — the standard chunk-split (pigeonhole) trick: split the
+    sketch into ``max_hamming + 1`` equal chunks; any pair within the
+    bound must agree EXACTLY on at least one chunk, so candidates come
+    from an equi-join on (chunk index, chunk value) — bounded fan-out,
+    no cross join — and only candidates pay the popcount verify.
+    Output: (id_a, id_b, hamming), id_a < id_b.
+    """
+    c = max_hamming + 1
+    if bits % c != 0:
+        raise ValueError("simhash_pairs: (max_hamming + 1) must divide bits")
+    chunk_bits = bits // c
+    mask = (1 << chunk_bits) - 1
+
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), simhash(text_col, bits).alias("sh")
+    )
+    chunks = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright(F.col("sh"), i * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("cv"),
+                    )
+                    for i in range(c)
+                ]
+            )
+        ).alias("ch"),
+    ).select("id", F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv"))
+
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(b, on=[F.col("a.ci") == F.col("b.ci"), F.col("a.cv") == F.col("b.cv")])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = cand.join(
+        base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        verified.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_dup_groups(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
 ) -> DataFrame:
