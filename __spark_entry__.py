@@ -880,6 +880,38 @@ def q_streaming_sessionize(spark, sf):
     return spark.table(name)
 
 
+def q_streaming_dedup(spark, sf):
+    """Streaming exact dedup (watermark-bounded state) drained through
+    availableNow; output = the deduped key set, which is deterministic
+    regardless of which physical record won."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from asakusafw_spark_spark.streaming import (
+        run_available_now,
+        stream_dedup,
+        stream_parquet_source,
+    )
+
+    stage = tempfile.mkdtemp(prefix="stream_events_")
+    shutil.copy(f"{sf}/events.parquet", f"{stage}/events.parquet")
+    stream = stream_parquet_source(
+        spark,
+        stage,
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+        ts_is_nanos=True,
+    )
+    deduped = stream_dedup(stream, ["user_id", "event_type"], "ts").select(
+        "user_id", "event_type", "ts"
+    )
+    name = "q_stream_dedup_" + uuid.uuid4().hex[:8]
+    run_available_now(
+        deduped, name, tempfile.mkdtemp(prefix="ck_"), mode="append", state_partitions=8
+    )
+    return spark.table(name)
+
+
 # -- shared DuckDB SQL fragments for the sketch oracles ---------------------
 
 _DUCK_SHINGLES = """
@@ -1167,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_near_dup": q_similarity_near_dup,
         "streaming_windowed_agg": q_streaming_window,
         "streaming_sessionize": q_streaming_sessionize,
+        "streaming_dedup": q_streaming_dedup,
     }
 
 
@@ -1468,6 +1501,9 @@ def oracle_sql() -> dict[str, str]:
         "similarity_lsh_ann": _duck_lsh_ann_sql(k=5, nq=10, planes=6),
         "similarity_ivf": _duck_ivf_sql(k=5, nq=10, n_centroids=8, nprobe=2),
         "similarity_near_dup": _duck_near_dup_sql(threshold=0.9, planes=6),
+        "streaming_dedup": """
+            SELECT DISTINCT user_id, event_type, ts FROM events
+        """,
         "streaming_sessionize": """
             WITH flagged AS (
                 SELECT user_id, ts, value,
