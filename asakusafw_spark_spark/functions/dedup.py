@@ -17,6 +17,7 @@ Scale design (the point of these ops is the 100 TB case):
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .text import tokens, fingerprint
 
@@ -156,10 +157,16 @@ def minhash_lsh_pairs(
         raise ValueError("bands must divide k")
     r = k // bands
     df = ensure_parallelism(df)
+    # The shingle set feeds THREE consumers (signature + both sides of
+    # the candidate verify join); without a materialization Spark
+    # re-tokenizes and re-hashes the corpus once per consumer.  persist
+    # = the reference's CHECKPOINT-on-fanout policy (SURVEY §2.1);
+    # MEMORY_AND_DISK spills at 100 TB rather than OOMing, and Spark's
+    # cache manager dedupes identical plans across calls.
     base = df.select(
         F.col(id_col).alias("id"),
         word_shingles(text_col, n).alias("shingles"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sig = base.withColumn("sig", minhash_signature(F.col("shingles"), k, seed))
 
     banded = sig.select(
@@ -222,7 +229,10 @@ def ngram_jaccard_pairs(
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
     ).withColumn("set_size", F.size("shingles"))
-    exploded = base.select("id", "set_size", F.explode("shingles").alias("sh"))
+    # consumed by both join sides (+ doc_freq) — materialize once
+    exploded = base.select(
+        "id", "set_size", F.explode("shingles").alias("sh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     if max_doc_freq is not None:
         doc_freq = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
         pruned = exploded.join(
