@@ -219,3 +219,22 @@ def test_ivf_topk_scores_match_bruteforce(vecs):
     for (q, _n), _ in ivf_rows.items():
         per_q[q] = per_q.get(q, 0) + 1
     assert all(n <= 5 for n in per_q.values())
+
+
+def test_simhash_pairs_hamming_bound(spark):
+    from pyspark.sql import Row
+
+    from asakusafw_spark_spark.functions import simhash_pairs
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy dog"),  # identical → hamming 0
+            Row(doc_id=3, text="the quick brown fox leaps over the lazy dog"),  # near
+            Row(doc_id=4, text="completely unrelated text about spark engines"),
+        ]
+    )
+    out = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(docs, max_hamming=3).collect()}
+    assert out[(1, 2)] == 0
+    for (a, b), h in out.items():
+        assert h <= 3 and a < b
