@@ -514,6 +514,15 @@ def q_rollup_agg(spark, sf):
     )
 
 
+def q_cube_agg(spark, sf):
+    """CUBE over two dims (§2.8 grouping sets family)."""
+    orders = _t(spark, sf, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("sum_price"),
+    )
+
+
 def q_intersect_keys(spark, sf):
     """INTERSECT as first-class set op (beyond-reference §2.8)."""
     o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("custkey"))
@@ -912,6 +921,59 @@ def q_streaming_dedup(spark, sf):
     return spark.table(name)
 
 
+def q_streaming_interval_join(spark, sf):
+    """Stream-stream event-time interval join: each purchase matched to
+    the same user's clicks in the 10 minutes before it, drained via
+    availableNow.  The interval condition bounds join state — the
+    scalable shape (unbounded stream-stream joins grow state forever)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from asakusafw_spark_spark.streaming import (
+        run_available_now,
+        stream_interval_join,
+        stream_parquet_source,
+    )
+
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def ev_stream():
+        stage = tempfile.mkdtemp(prefix="stream_ev_")
+        shutil.copy(f"{sf}/events.parquet", f"{stage}/events.parquet")
+        return stream_parquet_source(spark, stage, schema, ts_is_nanos=True)
+
+    purchases = (
+        ev_stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"))
+    )
+    clicks = (
+        ev_stream()
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("c_id"), F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"))
+    )
+    joined = stream_interval_join(
+        purchases,
+        clicks,
+        [("p_user", "c_user")],
+        left_ts="p_ts",
+        right_ts="c_ts",
+        lower="0 seconds",
+        upper="10 minutes",
+    ).select("p_id", "c_id")
+    name = "q_stream_ij_" + uuid.uuid4().hex[:8]
+    run_available_now(
+        joined, name, tempfile.mkdtemp(prefix="ck_"), mode="append", state_partitions=8
+    )
+    return spark.table(name)
+
+
 # -- shared DuckDB SQL fragments for the sketch oracles ---------------------
 
 _DUCK_SHINGLES = """
@@ -1177,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "summarize_any": q_summarize_any,
         "rollup_agg": q_rollup_agg,
+        "cube_agg": q_cube_agg,
         "intersect_keys": q_intersect_keys,
         "except_keys": q_except_keys,
         "approx_distinct": q_approx_distinct,
@@ -1200,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_agg": q_streaming_window,
         "streaming_sessionize": q_streaming_sessionize,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_interval_join": q_streaming_interval_join,
     }
 
 
@@ -1408,6 +1472,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
+        "cube_agg": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_price
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
         "intersect_keys": """
             SELECT o_custkey AS custkey FROM orders
             INTERSECT
@@ -1503,6 +1572,14 @@ def oracle_sql() -> dict[str, str]:
         "similarity_near_dup": _duck_near_dup_sql(threshold=0.9, planes=6),
         "streaming_dedup": """
             SELECT DISTINCT user_id, event_type, ts FROM events
+        """,
+        "streaming_interval_join": """
+            SELECT p.event_id AS p_id, c.event_id AS c_id
+            FROM events p
+            JOIN events c ON p.user_id = c.user_id
+                         AND p.ts >= c.ts
+                         AND p.ts <= c.ts + INTERVAL 10 MINUTE
+            WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         """,
         "streaming_sessionize": """
             WITH flagged AS (

@@ -8,6 +8,7 @@ from .stream import (
     sessionize,
     stream_dedup,
     stateful_running_agg,
+    stream_interval_join,
     run_available_now,
 )
 
@@ -17,5 +18,6 @@ __all__ = [
     "sessionize",
     "stream_dedup",
     "stateful_running_agg",
+    "stream_interval_join",
     "run_available_now",
 ]

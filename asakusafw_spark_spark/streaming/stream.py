@@ -183,3 +183,36 @@ def run_available_now(
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[tuple[str, str]],
+    left_ts: str,
+    right_ts: str,
+    lower: str,
+    upper: str,
+    watermarks: tuple[str, str] = ("10 minutes", "10 minutes"),
+) -> DataFrame:
+    """Stream-stream inner join on equi-keys + an event-time interval:
+    ``right_ts + lower ≤ left_ts ≤ right_ts + upper``.
+
+    Both sides carry watermarks; the interval condition lets Spark bound
+    and evict join state (unbounded stream-stream joins would grow state
+    forever — the interval IS the scalability contract).  ``lower`` /
+    ``upper`` are SQL interval strings (e.g. ``"0 seconds"``,
+    ``"7 days"``).
+    """
+    lw = left.withWatermark(left_ts, watermarks[0])
+    rw = right.withWatermark(right_ts, watermarks[1])
+    cond = None
+    for lk, rk in keys:
+        c = lw[lk] == rw[rk]
+        cond = c if cond is None else (cond & c)
+    cond = (
+        cond
+        & (lw[left_ts] >= rw[right_ts] + F.expr(f"INTERVAL {lower}"))
+        & (lw[left_ts] <= rw[right_ts] + F.expr(f"INTERVAL {upper}"))
+    )
+    return lw.join(rw, on=cond, how="inner")
