@@ -460,6 +460,81 @@ def q_sessionize(spark, sf):
     )
 
 
+def q_moving_avg(spark, sf):
+    """Sliding-frame window (ROWS 4 PRECEDING): 5-order moving average
+    of spend per customer in order-date order."""
+    from pyspark.sql import Window as W
+
+    orders = _t(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(-4, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)")).over(w)
+            / F.count(F.lit(1)).over(w)
+        )
+        .cast("double")
+        .alias("moving_avg_5"),
+    )
+
+
+def q_pivot_agg(spark, sf):
+    """Pivot order counts: one column per order status (fixed value
+    list — the scalable form; dynamic pivot needs a values scan)."""
+    orders = _t(spark, sf, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+def q_training_pipeline(spark, sf):
+    """Composite LLM training-data pipeline over engine operators:
+    quality-filter → exact-dedup (keeper per fingerprint) → per-language
+    corpus stats.  The shape a 100 TB curation job takes."""
+    docs = _t(spark, sf, "documents")
+    scored = update(
+        docs.select("doc_id", "text"),
+        lang=lang_id("text"),
+        quality=quality_score("text"),
+        n_tokens=token_count("text"),
+        fp=fingerprint("text"),
+    ).filter(F.col("quality") >= 0.5)
+    keepers = summarize(
+        scored, ["fp"], {"keeper_id": ("min", "doc_id")}
+    )
+    kept = master_join(
+        keepers,
+        scored,
+        [("keeper_id", "doc_id")],
+        mapping={
+            "doc_id": "t.doc_id",
+            "lang": "t.lang",
+            "n_tokens": "t.n_tokens",
+        },
+        strategy="broadcast",
+    )["joined"]
+    return summarize(
+        kept,
+        ["lang"],
+        {"n_docs": ("count", "doc_id"), "total_tokens": ("sum", "n_tokens")},
+    ).withColumn("total_tokens", F.col("total_tokens").cast("long"))
+
+
 def q_summarize_any(spark, sf):
     orders = _t(spark, sf, "orders")
     return summarize(
@@ -1238,6 +1313,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_total": q_running_total,
         "sessionize": q_sessionize,
         "summarize_any": q_summarize_any,
+        "moving_avg": q_moving_avg,
+        "pivot_agg": q_pivot_agg,
+        "training_pipeline": q_training_pipeline,
         "rollup_agg": q_rollup_agg,
         "cube_agg": q_cube_agg,
         "intersect_keys": q_intersect_keys,
@@ -1471,6 +1549,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "moving_avg": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) OVER w
+                        / COUNT(*) OVER w AS DOUBLE) AS moving_avg_5
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate ASC, o_orderkey ASC
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "pivot_agg": """
+            SELECT o_orderpriority,
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "training_pipeline": f"""
+            WITH ta AS ({_duck_text_analysis_sql()}),
+            filtered AS (SELECT * FROM ta WHERE quality >= 0.5),
+            keepers AS (SELECT fp, MIN(doc_id) AS keeper_id
+                        FROM filtered GROUP BY fp),
+            kept AS (SELECT f.* FROM filtered f
+                     JOIN keepers k ON f.doc_id = k.keeper_id)
+            SELECT lang_guess AS lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+            FROM kept GROUP BY 1
         """,
         "cube_agg": """
             SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
