@@ -42,6 +42,7 @@ from asakusafw_spark_spark.operators import (  # noqa: E402
     master_join_update,
     MasterSelection,
     project,
+    rank_in_group,
     restructure,
     split,
     summarize,
@@ -457,6 +458,19 @@ def q_sessionize(spark, sf):
             "n_events": F.count(F.lit(1)),
             "v_sum": F.sum(F.col("value").cast("decimal(27,6)")).cast("double"),
         },
+    )
+
+
+def q_rank_in_group(spark, sf):
+    customer = _t(spark, sf, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    return rank_in_group(
+        customer,
+        ["c_nationkey"],
+        [("c_acctbal", "desc"), ("c_custkey", "asc")],
+        out_col="bal_rank",
+        method="dense_rank",
     )
 
 
@@ -1313,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_total": q_running_total,
         "sessionize": q_sessionize,
         "summarize_any": q_summarize_any,
+        "rank_in_group": q_rank_in_group,
         "moving_avg": q_moving_avg,
         "pivot_agg": q_pivot_agg,
         "training_pipeline": q_training_pipeline,
@@ -1549,6 +1564,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "rank_in_group": """
+            SELECT c_custkey, c_nationkey, c_acctbal,
+                   dense_rank() OVER (PARTITION BY c_nationkey
+                       ORDER BY c_acctbal DESC, c_custkey ASC) AS bal_rank
+            FROM customer
         """,
         "moving_avg": """
             SELECT o_custkey, o_orderkey,

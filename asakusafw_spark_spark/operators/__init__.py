@@ -16,6 +16,7 @@ from .joins import (
     MasterSelection,
 )
 from .group import summarize, fold, cogroup, group_sort, Grouping
+from .view import group_view
 from .window import (
     top_k_per_group,
     rank_in_group,
@@ -52,4 +53,5 @@ __all__ = [
     "confluent",
     "running_agg",
     "sessionize_batch",
+    "group_view",
 ]

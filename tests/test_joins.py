@@ -145,3 +145,45 @@ def test_asof_join_backward_picks_latest_at_or_before(spark):
     assert joined[(2, d("2024-01-01 12:00"))] == 200.0
     missed = {(r.sym, r.tts) for r in out["missed"].collect()}
     assert missed == {(1, d("2024-01-01 09:00")), (3, d("2024-01-01 12:00"))}
+
+
+def test_group_view_broadcast_lookup(spark, sf_dir):
+    import pandas as pd
+
+    from asakusafw_spark_spark.operators import group_view
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    view = group_view(nation, ["n_nationkey"])
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+
+    def enrich(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["n_name"] = [
+                (view.value.get((k,), [{}])[0].get("n_name")) for k in pdf["c_nationkey"]
+            ]
+            yield pdf
+
+    out = customer.mapInPandas(
+        enrich, schema="c_custkey long, c_nationkey int, n_name string"
+    )
+    rows = out.collect()
+    assert len(rows) == customer.count()
+    assert all(r.n_name is not None for r in rows)
+    # spot-check against a real join
+    joined = {r.c_custkey: r.n_name for r in customer.join(
+        nation, customer.c_nationkey == nation.n_nationkey).select(
+        "c_custkey", "n_name").collect()}
+    assert all(joined[r.c_custkey] == r.n_name for r in rows)
+
+
+def test_group_view_enforces_cap(spark, sf_dir):
+    import pytest as _pytest
+
+    from asakusafw_spark_spark.operators import group_view
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    with _pytest.raises(ValueError, match="max_rows"):
+        group_view(li, ["l_orderkey"], max_rows=10)
