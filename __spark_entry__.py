@@ -705,6 +705,29 @@ def q3_shipping_priority(spark, sf):
     return agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc()).limit(10)
 
 
+def q_master_join_multikey(spark, sf):
+    """Composite (2-column) group key: enrich lineitems from a
+    high-quantity master keyed on (orderkey, linenumber)."""
+    li = _t(spark, sf, "lineitem")
+    masters = li.filter(F.col("l_quantity") > 40).select(
+        F.col("l_orderkey").alias("m_ok"),
+        F.col("l_linenumber").alias("m_ln"),
+        F.col("l_extendedprice").alias("m_price"),
+    )
+    out = master_join(
+        masters,
+        li.select("l_orderkey", "l_linenumber", "l_quantity"),
+        [("m_ok", "l_orderkey"), ("m_ln", "l_linenumber")],
+        mapping={
+            "l_orderkey": "t.l_orderkey",
+            "l_linenumber": "t.l_linenumber",
+            "l_quantity": "t.l_quantity",
+            "m_price": "m.m_price",
+        },
+    )
+    return out["joined"]
+
+
 def q_summarize_q1(spark, sf):
     li = _t(spark, sf, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
@@ -1320,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fold_custom": q_fold_custom,
         "master_join_shuffled": q_master_join_shuffled,
         "asof_join": q_asof_join,
+        "master_join_multikey": q_master_join_multikey,
         "direct_input": q_direct_input,
         "logging": q_logging,
         "checkpoint": q_checkpoint,
@@ -1488,6 +1512,18 @@ def oracle_sql() -> dict[str, str]:
         "master_join_shuffled": """
             SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
             FROM orders JOIN customer ON c_custkey = o_custkey
+        """,
+        "master_join_multikey": """
+            -- master selection: ≤1 master per tx — default ordering (all
+            -- master columns asc) picks MIN(price) within each key group
+            SELECT t.l_orderkey, t.l_linenumber, t.l_quantity,
+                   m.m_price
+            FROM lineitem t
+            JOIN (SELECT l_orderkey, l_linenumber,
+                         MIN(l_extendedprice) AS m_price
+                  FROM lineitem WHERE l_quantity > 40
+                  GROUP BY l_orderkey, l_linenumber) m
+              ON m.l_orderkey = t.l_orderkey AND m.l_linenumber = t.l_linenumber
         """,
         "asof_join": """
             WITH cand AS (

@@ -1,0 +1,53 @@
+"""Physical-plan contracts: the join strategies must lower to the
+physical operators they promise (SURVEY.md §2.4 Shuffled*/Broadcast*
+compiler twins), and projections must prune the scan."""
+
+from pyspark.sql import functions as F
+
+from asakusafw_spark_spark.operators import master_join, project
+from asakusafw_spark_spark.schema import record_type
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_broadcast_strategy_uses_broadcast_hash_join(spark, sf_dir):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = master_join(
+        nation, customer, [("n_nationkey", "c_nationkey")], strategy="broadcast"
+    )["joined"]
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_shuffled_strategy_uses_sort_merge_join(spark, sf_dir):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = master_join(
+        nation, customer, [("n_nationkey", "c_nationkey")], strategy="shuffled"
+    )["joined"]
+    assert "SortMergeJoin" in _plan(out)
+
+
+def test_project_prunes_scan_columns(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    t = record_type({"l_orderkey": "long", "l_quantity": "double"})
+    plan = _plan(project(li, t))
+    # ReadSchema must carry ONLY the projected columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema and "l_comment" not in read_schema
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plan = _plan(li.filter(F.col("l_quantity") > 40).select("l_orderkey"))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "l_quantity" in pushed
