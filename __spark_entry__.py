@@ -1086,6 +1086,81 @@ def q_streaming_interval_join(spark, sf):
     return spark.table(name)
 
 
+def q_streaming_stateful_count(spark, sf):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running counts drained via availableNow.  Counts are
+    order-independent → oracle-exact (the float running_sum is dropped
+    here precisely because cross-batch float accumulation order is not
+    part of the contract)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from asakusafw_spark_spark.streaming import (
+        run_available_now,
+        stateful_running_agg,
+        stream_parquet_source,
+    )
+
+    stage = tempfile.mkdtemp(prefix="stream_events_")
+    shutil.copy(f"{sf}/events.parquet", f"{stage}/events.parquet")
+    stream = stream_parquet_source(
+        spark,
+        stage,
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+        ts_is_nanos=True,
+    )
+    agg = stateful_running_agg(stream, ["user_id"], "value")
+    name = "q_stream_state_" + uuid.uuid4().hex[:8]
+    run_available_now(
+        agg, name, tempfile.mkdtemp(prefix="ck_"), mode="update", state_partitions=8
+    )
+    return spark.table(name).select("user_id", "running_count")
+
+
+def q_iterative_rounds(spark, sf):
+    """Iterative batch (§3.3): one flow re-executed over parameter
+    rounds (market segment per round); parameter-independent nodes are
+    built once and persisted across rounds.  Output = union of per-round
+    results tagged with the round's parameter."""
+    from asakusafw_spark_spark.plans.iterative import IterativeRunner
+
+    runner = IterativeRunner()
+    runner.node(
+        "joined",
+        lambda sp, p: master_join(
+            _t(sp, sf, "customer").select("c_custkey", "c_nationkey", "c_mktsegment"),
+            _t(sp, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+            [("c_custkey", "o_custkey")],
+            mapping={
+                "o_totalprice": "t.o_totalprice",
+                "c_nationkey": "m.c_nationkey",
+                "c_mktsegment": "m.c_mktsegment",
+            },
+        )["joined"],
+    )  # no param_keys → built ONCE, persisted, shared by all rounds
+    runner.node(
+        "seg_rev",
+        lambda sp, p, joined: summarize(
+            joined.filter(F.col("c_mktsegment") == p["segment"]),
+            ["c_nationkey"],
+            {"n_orders": ("count", "o_totalprice")},
+        ).withColumn("segment", F.lit(p["segment"])),
+        inputs=["joined"],
+        param_keys=["segment"],
+    )
+    results = []
+    runner.run(
+        spark,
+        rounds=[{"segment": "BUILDING"}, {"segment": "MACHINERY"}],
+        collect=lambda i, p, frames: results.append(frames["seg_rev"]),
+    )
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 # -- shared DuckDB SQL fragments for the sketch oracles ---------------------
 
 _DUCK_SHINGLES = """
@@ -1381,6 +1456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize": q_streaming_sessionize,
         "streaming_dedup": q_streaming_dedup,
         "streaming_interval_join": q_streaming_interval_join,
+        "streaming_stateful_count": q_streaming_stateful_count,
+        "iterative_rounds": q_iterative_rounds,
     }
 
 
@@ -1742,6 +1819,18 @@ def oracle_sql() -> dict[str, str]:
                          AND p.ts >= c.ts
                          AND p.ts <= c.ts + INTERVAL 10 MINUTE
             WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        """,
+        "streaming_stateful_count": """
+            SELECT user_id, COUNT(*) AS running_count FROM events GROUP BY user_id
+        """,
+        "iterative_rounds": """
+            SELECT c_nationkey, COUNT(*) AS n_orders, 'BUILDING' AS segment
+            FROM orders JOIN customer ON c_custkey = o_custkey
+            WHERE c_mktsegment = 'BUILDING' GROUP BY c_nationkey
+            UNION ALL
+            SELECT c_nationkey, COUNT(*) AS n_orders, 'MACHINERY' AS segment
+            FROM orders JOIN customer ON c_custkey = o_custkey
+            WHERE c_mktsegment = 'MACHINERY' GROUP BY c_nationkey
         """,
         "streaming_sessionize": """
             WITH flagged AS (
