@@ -58,6 +58,10 @@ def engine_builder(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 50k-row Arrow batches: the streaming cogroup pays per-batch
+        # Python overhead, so fewer/larger batches win (~20% on grouped
+        # stages); memory bound = batch-rows × row-width per worker.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(TINY_BROADCAST_BYTES))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))

@@ -119,3 +119,43 @@ def test_group_sort_emits_per_group(spark, bar):
     out = group_sort(bar, ["grp"], [("ord", "desc")], top1, bar.schema)
     r = {x.grp: x.ord for x in out.collect()}
     assert r == {0: 9, 1: 8, 2: 7}
+
+
+def test_cogroup_null_keys_group_together(spark):
+    import pandas as pd
+    from pyspark.sql import Row
+
+    a = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=None, v="x"), Row(k=None, v="y")],
+        "k int, v string",
+    )
+    b = spark.createDataFrame([Row(k=None, w=9)], "k int, w int")
+
+    def fn(key, apdf, bpdf):
+        return {"k": key[0], "n_a": len(apdf), "n_b": len(bpdf)}
+
+    out = {
+        r.k: (r.n_a, r.n_b)
+        for r in cogroup(
+            [Grouping(a, ["k"]), Grouping(b, ["k"])],
+            fn,
+            "k int, n_a long, n_b long",
+        ).collect()
+    }
+    assert out[1] == (1, 0)
+    assert out[None] == (2, 1)  # SQL GROUP BY semantics: nulls form one group
+
+
+def test_cogroup_empty_input_side(spark):
+    from pyspark.sql import Row
+
+    a = spark.createDataFrame([Row(k=1, v="a")], "k int, v string")
+    b = spark.createDataFrame([], "k int, w int")
+
+    def fn(key, apdf, bpdf):
+        return {"k": key[0], "n_a": len(apdf), "n_b": len(bpdf)}
+
+    rows = cogroup(
+        [Grouping(a, ["k"]), Grouping(b, ["k"])], fn, "k int, n_a long, n_b long"
+    ).collect()
+    assert [(r.k, r.n_a, r.n_b) for r in rows] == [(1, 1, 0)]
