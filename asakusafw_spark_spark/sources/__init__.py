@@ -3,13 +3,14 @@ grouped outputs, and a multi-dataset two-phase commit."""
 
 from .read import direct_input, read_parquet
 from .pattern import OutputPattern
-from .write import write_flat, write_grouped, TransactionalOutput
+from .write import write_flat, write_grouped, write_bucketed, TransactionalOutput
 
 __all__ = [
     "direct_input",
     "read_parquet",
     "OutputPattern",
     "write_flat",
+    "write_bucketed",
     "write_grouped",
     "TransactionalOutput",
 ]

@@ -176,3 +176,34 @@ class TransactionalOutput:
             self.commit()
         elif exc_type is not None:
             self.abort()
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: Sequence[str],
+    num_buckets: int,
+    sort_by: Sequence[str] | None = None,
+    path: str | None = None,
+    format: str = "parquet",
+) -> None:
+    """Bucketed (hash-clustered) table write — the co-located-join
+    primitive: two tables bucketed on the same key with the same bucket
+    count join WITHOUT any Exchange (verified by test_io), because every
+    bucket pair is already co-partitioned on disk.
+
+    At 100 TB this converts every repeated fact⋈fact join on the bucket
+    key from a full shuffle into a local merge — the Spark-native
+    equivalent of the reference pre-partitioning subplan outputs
+    (SubPlanOutputInfo PARTITIONED, SURVEY.md §3.1).  ``sort_by`` adds
+    within-bucket sort so the join skips its sort phase too.
+
+    Bucketing metadata lives in the session catalog (``saveAsTable``);
+    read back with ``spark.table(table)``.
+    """
+    w = df.write.format(format).mode("overwrite").bucketBy(num_buckets, *key)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)

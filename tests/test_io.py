@@ -119,3 +119,33 @@ def test_transactional_output_abort_leaves_nothing(spark, orders, tmp_path):
         pass
     assert not os.path.exists(os.path.join(base, "_TRANSACTION_SUCCESS"))
     assert not os.path.exists(os.path.join(base, "orders_small"))
+
+
+def test_bucketed_join_has_no_exchange(spark, orders, tmp_path):
+    from asakusafw_spark_spark.sources import write_bucketed
+
+    left = orders.select("o_orderkey", "o_totalprice").limit(1000)
+    right = orders.select("o_orderkey", "o_orderstatus").limit(1000)
+    write_bucketed(
+        left, "t_bleft", ["o_orderkey"], 4,
+        sort_by=["o_orderkey"], path=str(tmp_path / "bleft"),
+    )
+    write_bucketed(
+        right, "t_bright", ["o_orderkey"], 4,
+        sort_by=["o_orderkey"], path=str(tmp_path / "bright"),
+    )
+    try:
+        l, r = spark.table("t_bleft"), spark.table("t_bright")
+        # merge hint: small test tables would auto-broadcast, hiding the
+        # property under test (co-located sort-merge without shuffle)
+        joined = l.hint("merge").join(r, "o_orderkey")
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "SortMergeJoin" in plan
+        # co-located: neither side repartitions
+        assert "hashpartitioning" not in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bleft")
+        spark.sql("DROP TABLE IF EXISTS t_bright")
