@@ -119,29 +119,32 @@ def split(
 
 def logging_op(
     df: DataFrame,
-    message: Column | None = None,
-    level: str = "info",
-    sample: float | None = 0.001,
+    observation=None,
+    metrics: Mapping[str, Column] | None = None,
 ) -> DataFrame:
-    """@Logging: pass-through + per-record side-effect log.
+    """@Logging: pass-through + side-effect log channel.
 
     Reference: runtime/.../fragment/user/LoggingOperatorFragment.scala:21-35.
 
-    Per-record driver logging does not scale to 100 TB, so the engine's
-    contract is: output == input exactly, and the log side-effect is a
-    bounded sample printed at action time via an observation-style branch.
-    ``sample=None`` disables the side channel entirely (pure pass-through).
-    The reference's semantics (log fires once per record) is inherently
-    at odds with Spark's re-computation model; we document sampling as the
-    scalable equivalent.
+    Per-record driver logging does not scale to 100 TB, and "log once per
+    record" is at odds with Spark's re-computation model.  The engine
+    contract: output == input EXACTLY, and the side channel is Spark's
+    ``Observation`` API — aggregate metrics computed during the action
+    (exactly once per action, no extra pass, no plan perturbation)::
+
+        from pyspark.sql import Observation, functions as F
+        obs = Observation("audit")
+        out = logging_op(df, obs, {"rows": F.count(F.lit(1)),
+                                   "null_keys": F.count_if(F.col("k").isNull())})
+        out.write.parquet(...)     # action fires the metrics
+        log.info(obs.get)          # {'rows': ..., 'null_keys': ...}
+
+    With ``observation=None`` this is a pure pass-through.
     """
-    if sample is None:
+    if observation is None:
         return df
-    # Observation without perturbing the main lineage: attach a listener-free
-    # sampled foreach at action time is not expressible lazily; instead we
-    # piggyback a no-op projection so the plan is unchanged and expose the
-    # sample as a separate lineage the caller may act on.
-    return df
+    mx = metrics or {"rows": F.count(F.lit(1))}
+    return df.observe(observation, *[e.alias(n) for n, e in mx.items()])
 
 
 def assemble_branches(parts: Mapping[str, DataFrame], tag_col: str = "branch") -> DataFrame:

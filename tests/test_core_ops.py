@@ -111,3 +111,28 @@ def test_split(foo):
     outs = split(foo, ["id", "grp"], ["foo"])
     assert outs["left"].columns == ["id", "grp"]
     assert outs["right"].columns == ["foo"]
+
+
+def test_logging_op_observes_metrics_once_per_action(spark):
+    from pyspark.sql import Observation, Row
+
+    from asakusafw_spark_spark.operators import logging_op
+
+    df = spark.createDataFrame([Row(k=1), Row(k=None), Row(k=3)])
+    obs = Observation("audit")
+    out = logging_op(
+        df, obs, {"rows": F.count(F.lit(1)), "null_k": F.count_if(F.col("k").isNull())}
+    )
+    # output == input exactly
+    assert sorted(r.k for r in out.collect() if r.k is not None) == [1, 3]
+    got = obs.get
+    assert got["rows"] == 3 and got["null_k"] == 1
+
+
+def test_logging_op_default_is_pure_passthrough(spark):
+    from pyspark.sql import Row
+
+    from asakusafw_spark_spark.operators import logging_op
+
+    df = spark.createDataFrame([Row(k=1)])
+    assert logging_op(df) is df
