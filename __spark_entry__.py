@@ -728,6 +728,57 @@ def q_master_join_multikey(spark, sf):
     return out["joined"]
 
 
+def q_range_join_bands(spark, sf):
+    """Keyless band lookup: classify orders into literal price bands
+    (broadcast nested-loop over the tiny band table — range_join)."""
+    from asakusafw_spark_spark.operators import range_join
+
+    bands = spark.createDataFrame(
+        [
+            ("small", 0.0, 100000.0),
+            ("medium", 100000.0, 250000.0),
+            ("large", 250000.0, 1e12),
+        ],
+        "band string, lo double, hi double",
+    )
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    out = range_join(
+        bands,
+        orders,
+        value_col="o_totalprice",
+        lo_col="lo",
+        hi_col="hi",
+        inclusive="[)",
+    )
+    return out["joined"].select(
+        "o_orderkey", "o_totalprice", F.col("band").alias("price_band")
+    )
+
+
+def q_percentile_agg(spark, sf):
+    """Exact percentiles (linear interpolation) per group — bit-identical
+    to DuckDB quantile_cont."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_quantity, 0.95)").alias("p95_qty"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
+    )
+
+
+def q_grouping_sets(spark, sf):
+    """Arbitrary GROUPING SETS via the SQL surface (rollup/cube's general
+    form): totals by (returnflag), by (linestatus), and overall."""
+    _t(spark, sf, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items
+        FROM v_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
 def q_summarize_q1(spark, sf):
     li = _t(spark, sf, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
@@ -1419,6 +1470,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "master_join_shuffled": q_master_join_shuffled,
         "asof_join": q_asof_join,
         "master_join_multikey": q_master_join_multikey,
+        "range_join_bands": q_range_join_bands,
+        "percentile_agg": q_percentile_agg,
+        "grouping_sets": q_grouping_sets,
         "direct_input": q_direct_input,
         "logging": q_logging,
         "checkpoint": q_checkpoint,
@@ -1601,6 +1655,26 @@ def oracle_sql() -> dict[str, str]:
                   FROM lineitem WHERE l_quantity > 40
                   GROUP BY l_orderkey, l_linenumber) m
               ON m.l_orderkey = t.l_orderkey AND m.l_linenumber = t.l_linenumber
+        """,
+        "range_join_bands": """
+            SELECT o_orderkey, o_totalprice, b.band AS price_band
+            FROM orders
+            JOIN (VALUES ('small', 0.0, 100000.0),
+                         ('medium', 100000.0, 250000.0),
+                         ('large', 250000.0, 1e12)) AS b(band, lo, hi)
+              ON o_totalprice >= b.lo AND o_totalprice < b.hi
+        """,
+        "percentile_agg": """
+            SELECT l_returnflag,
+                   quantile_cont(l_quantity, 0.5) AS median_qty,
+                   quantile_cont(l_quantity, 0.95) AS p95_qty,
+                   quantile_cont(l_extendedprice, 0.5) AS median_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "grouping_sets": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """,
         "asof_join": """
             WITH cand AS (

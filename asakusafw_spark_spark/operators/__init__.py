@@ -13,6 +13,7 @@ from .joins import (
     master_branch,
     master_join_update,
     asof_join,
+    range_join,
     MasterSelection,
 )
 from .group import summarize, fold, cogroup, group_sort, Grouping
@@ -41,6 +42,7 @@ __all__ = [
     "master_branch",
     "master_join_update",
     "asof_join",
+    "range_join",
     "MasterSelection",
     "summarize",
     "fold",

@@ -137,14 +137,20 @@ def _join_selected(
         cond = c if cond is None else (cond & c)
 
     if sel.where is None:
+        if cond is None:
+            raise ValueError("master join without key requires selection.where")
         # selection independent of tx → pre-reduce master groups, then 1:N join
         m1 = _prefix(_dedupe_masters(master, mkey, sel), "__m_")
         joined = tx.join(_apply_strategy(m1, strategy), on=cond, how="left")
         return joined, mcols, list(tx.columns)
 
-    # tx-dependent candidate predicate: join all candidates, keep best per tx row
+    # tx-dependent candidate predicate: join all candidates, keep best per tx
+    # row.  An EMPTY key is allowed (pure theta/range predicate — e.g. band
+    # lookups); the master must then be broadcast-small, as the join is a
+    # nested-loop over the broadcast side.
+    full_cond = sel.where if cond is None else (cond & sel.where)
     txid = tx.withColumn("__txid__", F.monotonically_increasing_id())
-    cand = txid.join(_apply_strategy(m, strategy), on=cond & sel.where, how="inner")
+    cand = txid.join(_apply_strategy(m, strategy), on=full_cond, how="inner")
     ordering = sel.ordering or [(c, "asc") for c in master.columns]
     if all(d == "asc" for _, d in ordering):
         ord_struct = F.struct(*[F.col(f"__m_{c}") for c, _ in ordering])
@@ -243,7 +249,10 @@ def master_join(
     """
     pairs = [(k, k) if isinstance(k, str) else tuple(k) for k in key]
     joined, mcols, tcols = _join_selected(master, tx, key, selection, strategy)
-    probe = "__m_" + pairs[0][0]
+    # keyless (theta) joins probe the first master column — masters with a
+    # null first column would misreport as missed there; key joins probe the
+    # key itself (never null on a match)
+    probe = "__m_" + (pairs[0][0] if pairs else mcols[0].removeprefix("__m_"))
     hit, miss = _null_split(joined, probe)
 
     if mapping is None:
@@ -332,7 +341,10 @@ def master_join_update(
     """
     pairs = [(k, k) if isinstance(k, str) else tuple(k) for k in key]
     joined, mcols, tcols = _join_selected(master, tx, key, selection, strategy)
-    probe = "__m_" + pairs[0][0]
+    # keyless (theta) joins probe the first master column — masters with a
+    # null first column would misreport as missed there; key joins probe the
+    # key itself (never null on a match)
+    probe = "__m_" + (pairs[0][0] if pairs else mcols[0].removeprefix("__m_"))
     hit, miss = _null_split(joined, probe)
 
     def resolve(spec: Column | str) -> Column:
@@ -380,3 +392,43 @@ def asof_join(
     return master_join(
         right, left, key, selection=MasterSelection(ordering=ordering, where=where)
     )
+
+
+def range_join(
+    master: DataFrame,
+    tx: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    key: Sequence[str] | Sequence[tuple[str, str]] = (),
+    inclusive: str = "[)",
+    selection_ordering: Ordering | None = None,
+    strategy: str = "broadcast",
+) -> dict[str, DataFrame]:
+    """Range/band join: match each tx row to the master whose
+    ``[lo_col, hi_col)`` interval contains ``value_col`` (optionally
+    also equi-joined on ``key``).  ≤1 master per tx row — overlapping
+    intervals resolve by ``selection_ordering`` (default: (lo, hi) asc).
+
+    The reference expresses this inside @MasterSelection methods; here
+    it is the tx-dependent ``where`` path.  Keyless band tables must be
+    broadcast-small (nested-loop over the broadcast side — the classic
+    dimension-band shape); with a ``key`` the range is evaluated within
+    hash-join groups.  Returns ``{"joined", "missed"}``.
+    """
+    lo = F.col(f"__m_{lo_col}")
+    hi = F.col(f"__m_{hi_col}")
+    v = F.col(value_col)
+    bounds = {
+        "[)": (v >= lo) & (v < hi),
+        "[]": (v >= lo) & (v <= hi),
+        "()": (v > lo) & (v < hi),
+        "(]": (v > lo) & (v <= hi),
+    }
+    if inclusive not in bounds:
+        raise ValueError(f"range_join: inclusive must be one of {sorted(bounds)}")
+    sel = MasterSelection(
+        ordering=selection_ordering or [(lo_col, "asc"), (hi_col, "asc")],
+        where=bounds[inclusive],
+    )
+    return master_join(master, tx, key, selection=sel, strategy=strategy)

@@ -187,3 +187,28 @@ def test_group_view_enforces_cap(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     with _pytest.raises(ValueError, match="max_rows"):
         group_view(li, ["l_orderkey"], max_rows=10)
+
+
+def test_range_join_band_lookup(spark):
+    from asakusafw_spark_spark.operators import range_join
+
+    bands = spark.createDataFrame(
+        [("low", 0, 10), ("high", 10, 100)], "band string, lo int, hi int"
+    )
+    vals = spark.createDataFrame([(1, 5), (2, 10), (3, 150)], "id int, v int")
+    out = range_join(bands, vals, value_col="v", lo_col="lo", hi_col="hi")
+    joined = {r.id: r.band for r in out["joined"].collect()}
+    assert joined == {1: "low", 2: "high"}  # [) bounds: 10 → high
+    assert [r.id for r in out["missed"].collect()] == [3]
+
+
+def test_range_join_overlap_resolves_by_ordering(spark):
+    from asakusafw_spark_spark.operators import range_join
+
+    bands = spark.createDataFrame(
+        [("wide", 0, 100), ("narrow", 4, 6)], "band string, lo int, hi int"
+    )
+    vals = spark.createDataFrame([(1, 5)], "id int, v int")
+    out = range_join(bands, vals, value_col="v", lo_col="lo", hi_col="hi")
+    # default ordering (lo asc, hi asc): 'wide' (lo=0) wins
+    assert out["joined"].collect()[0].band == "wide"
