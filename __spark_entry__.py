@@ -972,7 +972,10 @@ def q_similarity_ivf(spark, sf):
 
 def q_similarity_near_dup(spark, sf):
     emb = _t(spark, sf, "embeddings")
-    return cosine_near_dup(emb, threshold=0.9, planes=6)
+    # synthetic embeddings are near-orthogonal (max pairwise cosine ~0.51),
+    # so the threshold is set where real pairs exist; 2 planes → 4 buckets
+    # → dense-enough candidates for a non-empty, still-oracle-exact result
+    return cosine_near_dup(emb, threshold=0.45, planes=2)
 
 
 def q_streaming_window(spark, sf):
@@ -1882,7 +1885,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_bruteforce_topk": _duck_bruteforce_sql(k=5, nq=10),
         "similarity_lsh_ann": _duck_lsh_ann_sql(k=5, nq=10, planes=6),
         "similarity_ivf": _duck_ivf_sql(k=5, nq=10, n_centroids=8, nprobe=2),
-        "similarity_near_dup": _duck_near_dup_sql(threshold=0.9, planes=6),
+        "similarity_near_dup": _duck_near_dup_sql(threshold=0.45, planes=2),
         "streaming_dedup": """
             SELECT DISTINCT user_id, event_type, ts FROM events
         """,
