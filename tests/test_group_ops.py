@@ -159,3 +159,24 @@ def test_cogroup_empty_input_side(spark):
         [Grouping(a, ["k"]), Grouping(b, ["k"])], fn, "k int, n_a long, n_b long"
     ).collect()
     assert [(r.k, r.n_a, r.n_b) for r in rows] == [(1, 1, 0)]
+
+
+def test_fold_python_path_matches_native_exprs(spark, sf_dir):
+    import pandas as pd
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_suppkey", "l_quantity")
+        .limit(500)
+    )
+    native = fold(li, ["l_suppkey"], exprs={"l_quantity": F.max("l_quantity")})
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"l_suppkey": [pdf["l_suppkey"].iloc[0]], "l_quantity": [pdf["l_quantity"].max()]}
+        )
+
+    python = fold(li, ["l_suppkey"], fn=fn)
+    a = sorted(map(tuple, native.collect()))
+    b = sorted(map(tuple, python.collect()))
+    assert a == b

@@ -212,3 +212,26 @@ def test_range_join_overlap_resolves_by_ordering(spark):
     out = range_join(bands, vals, value_col="v", lo_col="lo", hi_col="hi")
     # default ordering (lo asc, hi asc): 'wide' (lo=0) wins
     assert out["joined"].collect()[0].band == "wide"
+
+
+def test_asof_join_forward_picks_earliest_at_or_after(spark):
+    import datetime
+
+    from asakusafw_spark_spark.operators import asof_join
+
+    d = lambda s: datetime.datetime.fromisoformat(s)
+    quotes = spark.createDataFrame(
+        [(1, d("2024-01-01 10:00"), 100.0), (1, d("2024-01-01 11:00"), 110.0)],
+        "sym long, qts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [(1, d("2024-01-01 10:30")), (1, d("2024-01-01 11:30"))],
+        "sym long, tts timestamp",
+    )
+    out = asof_join(
+        trades, quotes, ["sym"], left_ts="tts", right_ts="qts", direction="forward"
+    )
+    joined = {r.tts: r.px for r in out["joined"].collect()}
+    assert joined[d("2024-01-01 10:30")] == 110.0  # earliest at-or-after
+    missed = [r.tts for r in out["missed"].collect()]
+    assert missed == [d("2024-01-01 11:30")]  # nothing after it
