@@ -1,12 +1,13 @@
 """Direct I/O surface (SURVEY.md §2.5): sources, sinks, pattern-generated
 grouped outputs, and a multi-dataset two-phase commit."""
 
-from .read import direct_input, read_parquet
+from .read import hadoop_input, direct_input, read_parquet
 from .pattern import OutputPattern
 from .write import write_flat, write_grouped, write_bucketed, TransactionalOutput
 
 __all__ = [
     "direct_input",
+    "hadoop_input",
     "read_parquet",
     "OutputPattern",
     "write_flat",

@@ -84,3 +84,24 @@ def direct_input(
         if infer:
             options.setdefault("inferSchema", True)
     return reader.options(**options).format(fmt).load(list(paths))
+
+
+def hadoop_input(
+    spark: SparkSession,
+    format: str,
+    paths: str | Sequence[str],
+    schema: T.StructType | str | None = None,
+    **options,
+) -> DataFrame:
+    """NewHadoopInput escape hatch (runtime/.../graph/NewHadoopInput.scala):
+    read through ANY registered DataSource format (avro, delta, jdbc,
+    custom connectors) with no format-name validation — the analogue of
+    the reference's "any mapreduce.InputFormat" door.  Prefer
+    :func:`direct_input` for the standard file formats (it validates and
+    applies per-format defaults)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if isinstance(paths, str):
+        paths = [paths]
+    return reader.options(**options).format(format).load(list(paths))

@@ -149,3 +149,15 @@ def test_bucketed_join_has_no_exchange(spark, orders, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bleft")
         spark.sql("DROP TABLE IF EXISTS t_bright")
+
+
+def test_hadoop_input_arbitrary_format_passthrough(spark, orders, tmp_path):
+    from asakusafw_spark_spark.sources import hadoop_input
+
+    # 'text' through the unvalidated escape hatch (any DataSource name goes)
+    path = str(tmp_path / "lines")
+    orders.select(F.col("o_orderkey").cast("string").alias("value")).limit(
+        10
+    ).write.text(path)
+    back = hadoop_input(spark, "text", path)
+    assert back.count() == 10
