@@ -21,18 +21,61 @@ hot path into numbered parts (relaxation flagged to the caller).
 from __future__ import annotations
 
 import os
-import shutil
 import time
 import urllib.parse
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .pattern import OutputPattern
 
 Ordering = Sequence[tuple[str, str]]
 
 _PATH_COL = "__output_path__"
+
+
+class HadoopFs:
+    """Filesystem operations through ``org.apache.hadoop.fs.FileSystem``.
+
+    The reference's Direct I/O promotion and transaction manager run over
+    Hadoop FileSystem (runtime/.../graph/DirectOutputPrepare.scala:201-258,
+    TransactionManager.scala), so they work identically on ``file://``,
+    ``hdfs://`` and ``s3a://``.  This wrapper gives the sinks below the
+    same property: one code path, resolved per-URI via
+    ``Path.getFileSystem(hadoopConf)`` — never driver-local ``os``/
+    ``shutil`` calls, which silently break on any remote filesystem.
+    """
+
+    def __init__(self, spark: SparkSession, base: str):
+        self._jpath = spark._jvm.org.apache.hadoop.fs.Path
+        self._fs = self._jpath(base).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+
+    def exists(self, p: str) -> bool:
+        return self._fs.exists(self._jpath(p))
+
+    def mkdirs(self, p: str) -> None:
+        self._fs.mkdirs(self._jpath(p))
+
+    def delete(self, p: str) -> None:
+        self._fs.delete(self._jpath(p), True)
+
+    def rename(self, src: str, dst: str) -> None:
+        if not self._fs.rename(self._jpath(src), self._jpath(dst)):
+            raise IOError(f"rename failed: {src} -> {dst}")
+
+    def listdir(self, p: str) -> list[str]:
+        return sorted(
+            st.getPath().getName() for st in self._fs.listStatus(self._jpath(p))
+        )
+
+    def write_text(self, p: str, text: str) -> None:
+        out = self._fs.create(self._jpath(p), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
 
 
 def write_flat(
@@ -84,7 +127,7 @@ def write_grouped(
     ]
     pathed = pathed.repartition(F.col(_PATH_COL)).sortWithinPartitions(*sort_cols)
 
-    staging = os.path.join(base_path, f"_staging_{int(time.time() * 1000)}")
+    staging = f"{base_path}/_staging_{int(time.time() * 1000)}"
     w = pathed.write.mode("overwrite").partitionBy(_PATH_COL)
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
@@ -97,8 +140,10 @@ def write_grouped(
     w.options(**options).format(fmt).save(staging)
 
     # promotion pass: <staging>/__output_path__=<enc>/part-*.ext → <base>/<path>
+    # (Hadoop FS throughout — same code path on file://, hdfs://, s3a://)
+    fs = HadoopFs(df.sparkSession, base_path)
     written: list[str] = []
-    for entry in sorted(os.listdir(staging)):
+    for entry in fs.listdir(staging):
         if not entry.startswith(_PATH_COL + "="):
             continue
         rel = urllib.parse.unquote(entry.split("=", 1)[1])
@@ -106,16 +151,19 @@ def write_grouped(
             raise ValueError(f"grouped output path escapes base: {rel!r}")
         parts = sorted(
             f
-            for f in os.listdir(os.path.join(staging, entry))
-            if f.startswith("part-") and not f.endswith(".crc")
+            for f in fs.listdir(f"{staging}/{entry}")
+            if f.startswith("part-")
         )
         for i, part in enumerate(parts):
             dest_rel = rel if len(parts) == 1 else f"{rel}.{i}"
-            dest = os.path.join(base_path, dest_rel)
-            os.makedirs(os.path.dirname(dest), exist_ok=True)
-            shutil.move(os.path.join(staging, entry, part), dest)
+            dest = f"{base_path}/{dest_rel}"
+            parent = dest.rsplit("/", 1)[0]
+            fs.mkdirs(parent)
+            if fs.exists(dest):
+                fs.delete(dest)
+            fs.rename(f"{staging}/{entry}/{part}", dest)
             written.append(dest_rel)
-    shutil.rmtree(staging)
+    fs.delete(staging)
     return written
 
 
@@ -131,42 +179,60 @@ class TransactionalOutput:
     (marker absent) and re-runnable (promotion is idempotent moves).
     """
 
-    def __init__(self, base_path: str, tx_id: str | None = None):
+    def __init__(
+        self,
+        base_path: str,
+        tx_id: str | None = None,
+        spark: SparkSession | None = None,
+    ):
         self.base_path = base_path
         self.tx_id = tx_id or f"tx_{int(time.time() * 1000)}"
         self._staged: list[tuple[str, str]] = []  # (staging dir, final dir)
         self._committed = False
+        self._spark = spark
 
     @property
     def staging_root(self) -> str:
-        return os.path.join(self.base_path, f"_tx_{self.tx_id}")
+        return f"{self.base_path}/_tx_{self.tx_id}"
+
+    def _fs(self) -> HadoopFs:
+        spark = self._spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "TransactionalOutput needs a SparkSession (pass spark= or "
+                "create one before setup/commit)"
+            )
+        return HadoopFs(spark, self.base_path)
 
     def setup(self) -> "TransactionalOutput":
-        os.makedirs(self.staging_root, exist_ok=True)
+        self._fs().mkdirs(self.staging_root)
         return self
 
     def prepare(
         self, name: str, df: DataFrame, format: str = "parquet", **options
     ) -> None:
         """Stage one dataset (DirectOutputPrepare)."""
-        staging = os.path.join(self.staging_root, name)
+        if self._spark is None:
+            self._spark = df.sparkSession
+        staging = f"{self.staging_root}/{name}"
         write_flat(df, staging, format=format, mode="overwrite", **options)
-        self._staged.append((staging, os.path.join(self.base_path, name)))
+        self._staged.append((staging, f"{self.base_path}/{name}"))
 
     def commit(self) -> None:
         """Promote every staged dataset, then seal the transaction."""
+        fs = self._fs()
         for staging, final in self._staged:
-            if os.path.exists(final):
-                shutil.rmtree(final)
-            shutil.move(staging, final)
-        marker = os.path.join(self.base_path, "_TRANSACTION_SUCCESS")
-        with open(marker, "w") as f:
-            f.write(self.tx_id + "\n")
-        shutil.rmtree(self.staging_root, ignore_errors=True)
+            if fs.exists(final):
+                fs.delete(final)
+            fs.rename(staging, final)
+        fs.write_text(f"{self.base_path}/_TRANSACTION_SUCCESS", self.tx_id + "\n")
+        fs.delete(self.staging_root)
         self._committed = True
 
     def abort(self) -> None:
-        shutil.rmtree(self.staging_root, ignore_errors=True)
+        fs = self._fs()
+        if fs.exists(self.staging_root):
+            fs.delete(self.staging_root)
 
     def __enter__(self) -> "TransactionalOutput":
         return self.setup()

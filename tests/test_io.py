@@ -109,6 +109,36 @@ def test_transactional_output_commit(spark, orders, tmp_path):
     assert not os.path.exists(os.path.join(base, f"_tx_{tx.tx_id}"))
 
 
+def test_write_grouped_hadoop_fs_uri(spark, orders, tmp_path):
+    """Promotion runs through Hadoop FileSystem: an explicit ``file:`` URI
+    exercises the exact code path a ``hdfs://``/``s3a://`` URI would."""
+    base_uri = f"file:{tmp_path}/grouped_uri"
+    sub = orders.select("o_orderkey", "o_orderstatus").limit(200)
+    written = write_grouped(
+        sub, base_uri, "st={o_orderstatus}/orders.csv",
+        ordering=[("o_orderkey", "asc")], format="csv",
+    )
+    statuses = {r.o_orderstatus for r in sub.select("o_orderstatus").distinct().collect()}
+    assert {w.split("/")[0] for w in written} == {f"st={s}" for s in statuses}
+    local = os.path.join(str(tmp_path), "grouped_uri", written[0])
+    with open(local) as f:
+        keys = [int(line.split(",")[0]) for line in f.readlines()[1:]]
+    assert keys == sorted(keys)
+    # staging cleaned up
+    assert not [d for d in os.listdir(f"{tmp_path}/grouped_uri") if d.startswith("_staging")]
+
+
+def test_transactional_output_hadoop_fs_uri(spark, orders, tmp_path):
+    base_uri = f"file:{tmp_path}/tx_uri"
+    with TransactionalOutput(base_uri) as tx:
+        tx.prepare("ds", orders.limit(7))
+    local = os.path.join(str(tmp_path), "tx_uri")
+    assert os.path.exists(os.path.join(local, "_TRANSACTION_SUCCESS"))
+    assert open(os.path.join(local, "_TRANSACTION_SUCCESS")).read().strip() == tx.tx_id
+    assert spark.read.parquet(os.path.join(local, "ds")).count() == 7
+    assert not os.path.exists(os.path.join(local, f"_tx_{tx.tx_id}"))
+
+
 def test_transactional_output_abort_leaves_nothing(spark, orders, tmp_path):
     base = str(tmp_path / "tx2")
     try:
