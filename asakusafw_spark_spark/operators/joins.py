@@ -40,6 +40,11 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 Ordering = Sequence[tuple[str, str]]  # [(col, "asc"|"desc"), ...]
 
+# constant match marker carried on the master side through every join path:
+# non-null iff the row matched a master (probing a data column instead would
+# misclassify matched masters whose probed column happens to be null)
+_HIT = "__m_hit__"
+
 
 @dataclass
 class MasterSelection:
@@ -55,12 +60,19 @@ class MasterSelection:
     ``select_fn``  — optional Python callable
                      ``(masters: pd.DataFrame, tx: pd.Series) -> int|None``
                      returning the index of the chosen master (or None);
-                     forces the cogroup slow path.
+                     forces the cogroup slow path.  Per-ROW Python — prefer
+                     ``select_batch_fn`` on hot keys.
+    ``select_batch_fn`` — vectorized variant:
+                     ``(masters: pd.DataFrame, txs: pd.DataFrame) ->
+                     array-like of int`` with one positional master index
+                     per tx row (−1 / None / NaN = no match).  One Python
+                     call per (group × Arrow batch) instead of per tx row.
     """
 
     ordering: Ordering | None = None
     where: Column | None = None
     select_fn: Callable | None = field(default=None, repr=False)
+    select_batch_fn: Callable | None = field(default=None, repr=False)
 
 
 def _dedupe_masters(master: DataFrame, key: Sequence[str], sel: MasterSelection) -> DataFrame:
@@ -121,15 +133,20 @@ def _join_selected(
     Returns (joined frame with master columns prefixed ``m_``…, master
     column names as present in the joined frame, tx column names).
     ``key`` is either shared column names or (master_col, tx_col) pairs.
+
+    The joined frame always carries a ``__m_hit__`` boolean column that is
+    non-null iff the row matched a master — callers probe it for the
+    hit/miss split instead of a data column (a genuinely matched master
+    whose probed column is null would otherwise misreport as missed).
     """
     sel = selection or MasterSelection()
     pairs = [(k, k) if isinstance(k, str) else tuple(k) for k in key]
     mkey = [p[0] for p in pairs]
 
-    if sel.select_fn is not None:
+    if sel.select_fn is not None or sel.select_batch_fn is not None:
         return _join_selected_cogroup(master, tx, pairs, sel)
 
-    m = _prefix(master, "__m_")
+    m = _prefix(master, "__m_").withColumn(_HIT, F.lit(True))
     mcols = [f"__m_{c}" for c in master.columns]
     cond = None
     for mk, tk in pairs:
@@ -140,25 +157,35 @@ def _join_selected(
         if cond is None:
             raise ValueError("master join without key requires selection.where")
         # selection independent of tx → pre-reduce master groups, then 1:N join
-        m1 = _prefix(_dedupe_masters(master, mkey, sel), "__m_")
+        m1 = _prefix(_dedupe_masters(master, mkey, sel), "__m_").withColumn(
+            _HIT, F.lit(True)
+        )
         joined = tx.join(_apply_strategy(m1, strategy), on=cond, how="left")
         return joined, mcols, list(tx.columns)
 
-    # tx-dependent candidate predicate: join all candidates, keep best per tx
-    # row.  An EMPTY key is allowed (pure theta/range predicate — e.g. band
-    # lookups); the master must then be broadcast-small, as the join is a
-    # nested-loop over the broadcast side.
+    # tx-dependent candidate predicate: LEFT-join all candidates, keep the
+    # best per tx row with one aggregation.  An EMPTY key is allowed (pure
+    # theta/range predicate — e.g. band lookups); the master must then be
+    # broadcast-small, as the join is a nested-loop over the broadcast side.
+    #
+    # The tx row id feeds a single linear plan (project → left join →
+    # reduce): the non-deterministic id expression is evaluated exactly once
+    # and its VALUES flow downstream.  (An earlier design inner-joined and
+    # then self-joined `best` back onto a second branch of the id frame —
+    # two independent evaluations of monotonically_increasing_id that can
+    # silently diverge under AQE re-planning or task retries.)  The left
+    # join also keeps unmatched tx rows, so no re-join is needed at all.
     full_cond = sel.where if cond is None else (cond & sel.where)
     txid = tx.withColumn("__txid__", F.monotonically_increasing_id())
-    cand = txid.join(_apply_strategy(m, strategy), on=full_cond, how="inner")
+    cand = txid.join(_apply_strategy(m, strategy), on=full_cond, how="left")
     ordering = sel.ordering or [(c, "asc") for c in master.columns]
     if all(d == "asc" for _, d in ordering):
         ord_struct = F.struct(*[F.col(f"__m_{c}") for c, _ in ordering])
         row_struct = F.struct(*[F.col(c) for c in cand.columns if c != "__txid__"])
-        best = (
+        joined = (
             cand.groupBy("__txid__")
             .agg(F.min_by(row_struct, ord_struct).alias("__r__"))
-            .select("__txid__", "__r__.*")
+            .select("__r__.*")
         )
     else:
         from pyspark.sql import Window as W
@@ -168,12 +195,11 @@ def _join_selected(
             for c, d in ordering
         ]
         w = W.partitionBy("__txid__").orderBy(*order_cols)
-        best = (
+        joined = (
             cand.withColumn("__rn__", F.row_number().over(w))
             .filter(F.col("__rn__") == 1)
-            .drop("__rn__")
+            .drop("__rn__", "__txid__")
         )
-    joined = txid.join(best.select("__txid__", *mcols), on="__txid__", how="left").drop("__txid__")
     return joined, mcols, list(tx.columns)
 
 
@@ -186,7 +212,14 @@ def _join_selected_cogroup(
     22-47: masters buffered, transactions streamed).  Runs on the
     streaming cogroup (per-Arrow-batch Python cost, JVM secondary sort of
     the master group) so high-cardinality keys don't pay a per-group
-    round-trip."""
+    round-trip.
+
+    Selector indices are gathered per batch; output columns are built
+    column-wise with numpy ``take`` (no per-row dict building).  With
+    ``select_batch_fn`` the whole path is one Python call per
+    (group × batch); the per-row ``select_fn`` still pays a Python call
+    per tx row to compute indices, but nothing else is per-row."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -196,26 +229,56 @@ def _join_selected_cogroup(
     tkey = [p[1] for p in pairs]
     ordering = sel.ordering or [(c, "asc") for c in master.columns]
     select_fn = sel.select_fn
+    select_batch_fn = sel.select_batch_fn
     mcols_src = list(master.columns)
     tcols = list(tx.columns)
 
-    out_fields = [tx.schema[c] for c in tcols] + [
-        T.StructField(f"__m_{f.name}", f.dataType, True) for f in master.schema.fields
-    ]
+    out_fields = (
+        [tx.schema[c] for c in tcols]
+        + [T.StructField(f"__m_{f.name}", f.dataType, True) for f in master.schema.fields]
+        + [T.StructField(_HIT, T.BooleanType(), True)]
+    )
     out_schema = T.StructType(out_fields)
     names = [f.name for f in out_fields]
 
     def fn(_key_vals, m_pdf: pd.DataFrame, t_pdf: pd.DataFrame) -> pd.DataFrame | None:
-        if len(t_pdf) == 0:
+        n = len(t_pdf)
+        if n == 0:
             return None
-        rows = []
-        for _, trow in t_pdf.iterrows():
-            idx = select_fn(m_pdf, trow) if len(m_pdf) else None
-            rec = {c: trow[c] for c in tcols}
-            for c in mcols_src:
-                rec[f"__m_{c}"] = m_pdf.iloc[idx][c] if idx is not None else None
-            rows.append(rec)
-        return pd.DataFrame(rows, columns=names)
+        if len(m_pdf) == 0:
+            idx = np.full(n, -1, dtype="int64")
+        elif select_batch_fn is not None:
+            raw = np.asarray(select_batch_fn(m_pdf, t_pdf))
+            if raw.dtype == object:
+                idx = np.array(
+                    [-1 if v is None else int(v) for v in raw], dtype="int64"
+                )
+            elif raw.dtype.kind == "f":
+                idx = np.where(np.isnan(raw), -1, raw).astype("int64")
+            else:
+                idx = raw.astype("int64")
+        else:
+            idx = np.array(
+                [
+                    -1 if (i := select_fn(m_pdf, trow)) is None else int(i)
+                    for _, trow in t_pdf.iterrows()
+                ],
+                dtype="int64",
+            )
+        matched = idx >= 0
+        safe = np.where(matched, idx, 0)
+        out = t_pdf[tcols].reset_index(drop=True).copy()
+        for c in mcols_src:
+            if len(m_pdf):
+                vals = m_pdf[c].to_numpy(dtype=object, copy=True)[safe]
+                vals[~matched] = None
+            else:
+                vals = np.full(n, None, dtype=object)
+            out[f"__m_{c}"] = vals
+        hit = np.full(n, None, dtype=object)
+        hit[matched] = True
+        out[_HIT] = hit
+        return out[names]
 
     joined = cogroup(
         [Grouping(master, mkey, ordering), Grouping(tx, tkey)], fn, out_schema
@@ -223,9 +286,9 @@ def _join_selected_cogroup(
     return joined, [f"__m_{c}" for c in mcols_src], tcols
 
 
-def _null_split(joined: DataFrame, probe: str) -> tuple[DataFrame, DataFrame]:
-    hit = joined.filter(F.col(probe).isNotNull())
-    miss = joined.filter(F.col(probe).isNull())
+def _null_split(joined: DataFrame) -> tuple[DataFrame, DataFrame]:
+    hit = joined.filter(F.col(_HIT).isNotNull())
+    miss = joined.filter(F.col(_HIT).isNull())
     return hit, miss
 
 
@@ -249,11 +312,7 @@ def master_join(
     """
     pairs = [(k, k) if isinstance(k, str) else tuple(k) for k in key]
     joined, mcols, tcols = _join_selected(master, tx, key, selection, strategy)
-    # keyless (theta) joins probe the first master column — masters with a
-    # null first column would misreport as missed there; key joins probe the
-    # key itself (never null on a match)
-    probe = "__m_" + (pairs[0][0] if pairs else mcols[0].removeprefix("__m_"))
-    hit, miss = _null_split(joined, probe)
+    hit, miss = _null_split(joined)
 
     if mapping is None:
         mapping = {c: f"t.{c}" for c in tcols}
@@ -341,11 +400,7 @@ def master_join_update(
     """
     pairs = [(k, k) if isinstance(k, str) else tuple(k) for k in key]
     joined, mcols, tcols = _join_selected(master, tx, key, selection, strategy)
-    # keyless (theta) joins probe the first master column — masters with a
-    # null first column would misreport as missed there; key joins probe the
-    # key itself (never null on a match)
-    probe = "__m_" + (pairs[0][0] if pairs else mcols[0].removeprefix("__m_"))
-    hit, miss = _null_split(joined, probe)
+    hit, miss = _null_split(joined)
 
     def resolve(spec: Column | str) -> Column:
         if isinstance(spec, str):

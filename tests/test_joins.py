@@ -235,3 +235,49 @@ def test_asof_join_forward_picks_earliest_at_or_after(spark):
     assert joined[d("2024-01-01 10:30")] == 110.0  # earliest at-or-after
     missed = [r.tts for r in out["missed"].collect()]
     assert missed == [d("2024-01-01 11:30")]  # nothing after it
+
+
+def test_master_join_batch_fn_selection(masters, txs):
+    # vectorized selector: one Python call per (group, batch); pick the
+    # LAST master of the sorted group, matching test_master_join_custom_fn
+    import numpy as np
+
+    def pick_last_batch(m_pdf: pd.DataFrame, t_pdf: pd.DataFrame):
+        return np.full(len(t_pdf), len(m_pdf) - 1)
+
+    sel = MasterSelection(ordering=[("name", "asc")], select_batch_fn=pick_last_batch)
+    out = master_join(masters, txs, ["k"], selection=sel)
+    by_tid = {r.tid: r for r in out["joined"].collect()}
+    assert by_tid[11].name == "m2b"
+    assert {r.tid for r in out["missed"].collect()} == {12}
+
+
+def test_master_join_batch_fn_none_means_miss(masters, txs):
+    # batch selector may return None/-1 per row → that tx row is missed
+    def reject_all(m_pdf, t_pdf):
+        return [None] * len(t_pdf)
+
+    sel = MasterSelection(select_batch_fn=reject_all)
+    out = master_join(masters, txs, ["k"], selection=sel)
+    assert out["joined"].count() == 0
+    assert {r.tid for r in out["missed"].collect()} == {10, 11, 12, 13}
+
+
+def test_keyless_join_null_first_master_column_still_hits(spark):
+    # ADVICE fix: a matched master whose FIRST column is null must land in
+    # joined, not missed — hit/miss probes the constant __m_hit__ marker
+    bands = spark.createDataFrame(
+        [(None, 0.0, 10.0), ("hi", 10.0, 100.0)],
+        "label string, lo double, hi double",
+    )
+    txs = spark.createDataFrame([(1, 5.0), (2, 50.0), (3, 500.0)], "tid int, v double")
+    sel = MasterSelection(
+        ordering=[("lo", "asc")],
+        where=(F.col("v") >= F.col("__m_lo")) & (F.col("v") < F.col("__m_hi")),
+    )
+    out = master_join(bands, txs, [], selection=sel, strategy="broadcast")
+    by_tid = {r.tid: r for r in out["joined"].collect()}
+    assert set(by_tid) == {1, 2}           # tid 1 matches the null-label band
+    assert by_tid[1].label is None
+    assert by_tid[2].label == "hi"
+    assert {r.tid for r in out["missed"].collect()} == {3}
