@@ -72,19 +72,14 @@ from asakusafw_spark_spark.functions.dedup import (  # noqa: E402
 )
 from asakusafw_spark_spark.functions.similarity import _plane_component  # noqa: E402
 from asakusafw_spark_spark.functions.text import STOPWORDS  # noqa: E402
+from asakusafw_spark_spark.sources import read_parquet  # noqa: E402
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS); Spark reads it as long
-        # under the legacy flag — normalize to a µs timestamp column.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            # integer div: ts/1000 via double would round at 2024-epoch nanos
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # read_parquet footer-detects TIMESTAMP(NANOS) columns (events.ts),
+    # scopes the legacy-read flag to relation resolution, and rebuilds them
+    # to µs timestamps — no session conf left flipped.
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
 def _dsum(col, scale: int = 6):

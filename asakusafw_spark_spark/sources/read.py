@@ -13,34 +13,105 @@ pushdown, column pruning, and partition discovery come free (check
 
 from __future__ import annotations
 
+import glob
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 _FORMATS = {"parquet", "orc", "csv", "tsv", "json", "text"}
 
+_NANOS_FLAG = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def _first_parquet_file(path: str) -> str | None:
+    """Resolve a path/dir/glob to one representative parquet data file
+    (local filesystem only — used for footer inspection)."""
+    p = path[5:] if path.startswith("file:") else path
+    if any(ch in p for ch in "*?["):
+        hits = sorted(glob.glob(p))
+    elif os.path.isdir(p):
+        hits = sorted(glob.glob(os.path.join(p, "*.parquet"))) or sorted(
+            f for f in glob.glob(os.path.join(p, "part-*")) if not f.endswith(".crc")
+        )
+    else:
+        hits = [p]
+    for h in hits:
+        if os.path.isfile(h):
+            return h
+    return None
+
+
+def _nanos_columns(paths: Sequence[str]) -> set[str] | None:
+    """Columns that are TIMESTAMP(NANOS) per the parquet footer, or None
+    when no footer is locally readable (remote URI)."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow.types as pat
+    except ImportError:  # pragma: no cover
+        return None
+    cols: set[str] = set()
+    found = False
+    for path in paths:
+        f = _first_parquet_file(path)
+        if f is None:
+            continue
+        try:
+            schema = pq.read_schema(f)
+        except Exception:
+            continue
+        found = True
+        for field in schema:
+            if pat.is_timestamp(field.type) and field.type.unit == "ns":
+                cols.add(field.name)
+    return cols if found else None
+
 
 def read_parquet(spark: SparkSession, *paths: str) -> DataFrame:
     """Parquet source, tolerant of TIMESTAMP(NANOS) columns.
 
-    Spark rejects INT64 TIMESTAMP(NANOS) parquet columns by default; we
-    flip the legacy read flag (nanos arrive as ``long``) and rebuild any
-    ``*_ns``-typed columns to µs timestamps.  Detection is by retry: the
-    fast path is a plain read.
+    Spark rejects INT64 TIMESTAMP(NANOS) parquet columns by default.  The
+    fast path is a plain read; on failure the nanos columns are identified
+    from the parquet FOOTER (pyarrow), the legacy read flag is flipped only
+    for the duration of relation resolution (the conf is consulted when the
+    relation resolves, so restoring it immediately afterwards is safe —
+    later reads in the same session see the original value), and every
+    affected column is rebuilt to a µs timestamp.  Sub-µs precision is
+    truncated — Spark timestamps are µs-resolution (SURVEY §7 boundary
+    semantics; the reference's DateTimeOption is seconds-resolution, so µs
+    strictly widens it).
     """
+    nanos = _nanos_columns(paths)
+    if not nanos:
+        try:
+            df = spark.read.parquet(*paths)
+            df.schema  # force schema resolution
+            return df
+        except Exception:
+            if nanos is not None:
+                raise  # footer was readable and showed no nanos: a real error
+            # footer not locally readable (remote URI) and the plain read
+            # rejected the file — assume nanos under the historical `ts`
+            # event-time convention
+            nanos = {"ts"}
+    prev = spark.conf.get(_NANOS_FLAG, None)
+    spark.conf.set(_NANOS_FLAG, "true")
     try:
         df = spark.read.parquet(*paths)
-        df.schema  # force schema resolution
-        return df
-    except Exception:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(*paths)
-        # identify nanos columns via parquet footer vs spark schema is
-        # lossy; convention: driver data uses `ts` for event time
-        if "ts" in df.columns and isinstance(df.schema["ts"].dataType, T.LongType):
-            # integer div — double division rounds at ns magnitudes
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        df.schema  # resolve the relation while the flag is set
+    finally:
+        if prev is None:
+            spark.conf.unset(_NANOS_FLAG)
+        else:
+            spark.conf.set(_NANOS_FLAG, prev)
+    rebuilds = {
+        c: F.timestamp_micros(F.expr(f"`{c}` div 1000"))  # int div: double rounds at ns
+        for c in nanos
+        if c in df.columns and isinstance(df.schema[c].dataType, T.LongType)
+    }
+    if rebuilds:
+        df = df.withColumns(rebuilds)
+    return df
 
 
 def direct_input(

@@ -1,0 +1,119 @@
+"""Date/timestamp boundary semantics (SURVEY §7 hard part).
+
+The reference's DateOption is days-since-year-1 and DateTimeOption is
+seconds-resolution (KryoRegistrator.scala:42-52); Spark dates are proleptic
+Gregorian days and timestamps µs-resolution — both strictly wider.  These
+tests pin the I/O boundary: pre-1582 dates survive a parquet roundtrip
+unchanged, TIMESTAMP(NANOS) columns are footer-detected (any name, any
+count) and truncate to µs, and the legacy-read fallback never leaks session
+state.
+"""
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from asakusafw_spark_spark.sources import read_parquet
+
+NANOS_FLAG = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+@pytest.fixture(scope="module")
+def nanos_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("nanos")
+    f = str(d / "events_ns.parquet")
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "created": pa.array(
+                [1700000000_123456789, 1700000003_999999999], pa.timestamp("ns")
+            ),
+            "updated": pa.array(
+                [1700000001_000000500, 1700000002_000000999], pa.timestamp("ns")
+            ),
+        }
+    )
+    pq.write_table(tbl, f)
+    return f
+
+
+@pytest.fixture(scope="module")
+def micros_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("micros")
+    f = str(d / "events_us.parquet")
+    tbl = pa.table(
+        {
+            "id": pa.array([1], pa.int64()),
+            "at": pa.array([1700000000_000001], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tbl, f)
+    return f
+
+
+def test_nanos_footer_detection_any_column_name(spark, nanos_file):
+    df = read_parquet(spark, nanos_file)
+    types = dict(df.dtypes)
+    # BOTH nanos columns rebuilt (not just a 'ts'-named one)
+    assert types["created"] == "timestamp" and types["updated"] == "timestamp"
+    rows = {r.id: r for r in df.collect()}
+    # sub-µs truncated (not rounded): …999999999 ns → …999999 µs
+    assert rows[1].created.microsecond == 123456
+    assert rows[2].created.microsecond == 999999
+    assert rows[1].updated.microsecond == 0  # 500 ns truncates away
+
+
+def test_nanos_read_does_not_leak_session_conf(spark, nanos_file, micros_file):
+    assert spark.conf.get(NANOS_FLAG, None) is None
+    read_parquet(spark, nanos_file).collect()
+    assert spark.conf.get(NANOS_FLAG, None) is None, "legacy flag leaked"
+    # non-nanos read AFTER a nanos read: timestamps stay timestamps
+    df = read_parquet(spark, micros_file)
+    assert dict(df.dtypes)["at"].startswith("timestamp")
+    # and nanos again after micros (either order works)
+    df2 = read_parquet(spark, nanos_file)
+    assert dict(df2.dtypes)["created"] == "timestamp"
+    assert spark.conf.get(NANOS_FLAG, None) is None
+
+
+def test_pre1582_dates_roundtrip_proleptic(spark, tmp_path):
+    # proleptic Gregorian: 1500-02-28 is pre-Gregorian-reform; year 1 is the
+    # reference DateOption epoch. Spark 3+/DuckDB/pyarrow all agree on
+    # proleptic days, so values roundtrip exactly.
+    dates = [
+        datetime.date(1, 1, 1),
+        datetime.date(1500, 2, 28),
+        datetime.date(1899, 12, 31),
+        datetime.date(2024, 2, 29),
+    ]
+    f = str(tmp_path / "d.parquet")
+    pq.write_table(pa.table({"d": pa.array(dates, pa.date32())}), f)
+    got = sorted(r.d for r in read_parquet(spark, f).collect())
+    assert got == dates
+
+    import duckdb
+
+    oracle = [
+        r[0] for r in duckdb.sql(f"SELECT d FROM '{f}' ORDER BY d").fetchall()
+    ]
+    assert got == oracle
+
+
+def test_pre1900_timestamps_match_duckdb(spark, tmp_path):
+    # pre-1900 µs timestamps: Spark's proleptic µs representation matches
+    # DuckDB's on the same file (no rebasing drift)
+    ts = [
+        datetime.datetime(1880, 1, 2, 3, 4, 5, 123456),
+        datetime.datetime(1969, 12, 31, 23, 59, 59, 999999),
+    ]
+    f = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({"t": pa.array(ts, pa.timestamp("us"))}), f)
+    got = sorted(r.t for r in read_parquet(spark, f).collect())
+    assert got == ts
+
+    import duckdb
+
+    oracle = [r[0] for r in duckdb.sql(f"SELECT t FROM '{f}' ORDER BY t").fetchall()]
+    assert got == oracle
