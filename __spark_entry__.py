@@ -378,6 +378,31 @@ def q_fold_custom(spark, sf):
     return fold(li, ["l_suppkey"], fn=reduce_fn)
 
 
+def q_fold_partial(spark, sf):
+    """Giant-group fold (reference BufferType.SPILL analogue,
+    compiler/.../user/CoGroupOperatorCompiler.scala:122-131): lineitem is
+    exploded 10x so each l_returnflag group far exceeds one Arrow batch;
+    partial=True folds the carry buffer into one accumulator record at
+    every batch boundary, so memory stays bounded by a single batch."""
+    import pandas as pd
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    big = li.crossJoin(spark.range(10).select(F.lit(1).alias("__rep"))).drop("__rep")
+
+    def fmax(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [{
+                "l_returnflag": pdf["l_returnflag"].iloc[0],
+                "l_quantity": pdf["l_quantity"].max(),
+                "l_extendedprice": pdf["l_extendedprice"].min(),
+            }]
+        )
+
+    return fold(big, ["l_returnflag"], fn=fmax, partial=True)
+
+
 def q_master_join_shuffled(spark, sf):
     out = master_join(
         _t(spark, sf, "customer").select("c_custkey", "c_name", "c_mktsegment"),
@@ -1478,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful_count": q_streaming_stateful_count,
         "iterative_rounds": q_iterative_rounds,
         "approx_distinct": q_approx_distinct,
+        "fold_partial": q_fold_partial,
         "flagship_revenue_per_nation": _flagship,
         "project": q_project,
         "extend": q_extend,
@@ -1654,6 +1680,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS l_quantity,
                    MAX(l_extendedprice) AS l_extendedprice
             FROM lineitem GROUP BY l_suppkey
+        """,
+        "fold_partial": """
+            SELECT l_returnflag,
+                   MAX(l_quantity) AS l_quantity,
+                   MIN(l_extendedprice) AS l_extendedprice
+            FROM lineitem GROUP BY l_returnflag
         """,
         "master_join_shuffled": """
             SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment

@@ -113,6 +113,7 @@ def fold(
     exprs: Mapping[str, Column] | None = None,
     fn: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
     ordering: Ordering = (),
+    partial: bool = False,
 ) -> DataFrame:
     """@Fold: associative per-key fold; input and output same type.
 
@@ -123,8 +124,16 @@ def fold(
 
     Slow path — ``fn(pdf) -> pdf`` receives the group's records (sorted
     by ``ordering``) and returns exactly one record of the SAME schema;
-    runs via the streaming cogroup path (per-batch Python cost, no
-    partial reduction, group-fits-memory).
+    runs via the streaming cogroup path (per-batch Python cost).
+
+    ``partial=True`` is the giant-group path (the analogue of the
+    reference's spill-safe PARTIAL fold, CoGroupOperatorCompiler.scala's
+    BufferType.SPILL): when a single group outgrows an Arrow batch, the
+    records seen so far are collapsed through ``fn`` into one accumulator
+    record that re-enters the stream as the group's first row — a left
+    fold over chunks in sort order, memory-bounded by one batch.  Requires
+    the reference @Fold contract: ``fn`` must accept previously-folded
+    output as input (associativity).
     """
     if (exprs is None) == (fn is None):
         raise ValueError("fold: pass exactly one of exprs / fn")
@@ -137,7 +146,7 @@ def fold(
     def apply(_key_vals, pdf: pd.DataFrame) -> pd.DataFrame:
         return fn(pdf)[cols]
 
-    return cogroup([Grouping(df, key, ordering)], apply, df.schema)
+    return cogroup([Grouping(df, key, ordering)], apply, df.schema, partial=partial)
 
 
 # ---------------------------------------------------------------------------
@@ -164,6 +173,8 @@ def cogroup(
     inputs: Sequence[Grouping],
     fn: Callable[..., pd.DataFrame],
     output_schema: T.StructType | str,
+    partial: bool = False,
+    max_buffered_rows: int | None = None,
 ) -> DataFrame:
     """@CoGroup: deliver each key's records as N sorted pandas frames.
 
@@ -182,11 +193,24 @@ def cogroup(
     (JVM Tungsten sort, spillable) → ``mapInPandas`` streaming groups out
     of Arrow batches — per-BATCH Python cost, not per-GROUP, so millions
     of tiny groups cost the same as a few huge ones.
+
+    Giant-group handling (reference BufferType.SPILL,
+    compiler/.../user/CoGroupOperatorCompiler.scala:122-131): a group
+    larger than one Arrow batch is carried across batches.  With
+    ``partial=True`` (arity 1, fold-style ``fn`` returning exactly one
+    record of the input schema) the carried records are eagerly collapsed
+    through ``fn`` at every batch boundary, so memory stays bounded by
+    one batch no matter the group size.  Otherwise ``max_buffered_rows``
+    (optional) fail-fasts with the offending KEY VALUE once a group's
+    carry buffer exceeds it — a diagnosable error instead of an executor
+    OOM.
     """
     import numpy as np
 
     if len(inputs) == 0:
         raise ValueError("cogroup: need ≥1 input")
+    if partial and len(inputs) != 1:
+        raise ValueError("cogroup: partial=True requires exactly one input")
 
     n_in = len(inputs)
     key_arity = len(inputs[0].key)
@@ -252,6 +276,12 @@ def cogroup(
         else T.StructType.fromDDL(output_schema)
     )
     out_cols = [f.name for f in out_schema.fields]
+    if partial and set(out_cols) != set(metas[0]):
+        raise ValueError(
+            "cogroup: partial=True needs output schema == input schema "
+            "(the collapsed record re-enters the stream as the group's "
+            "accumulator)"
+        )
 
     def emit(pdf: pd.DataFrame, starts) -> list[pd.DataFrame]:
         """Run fn over each complete group in a key-contiguous frame."""
@@ -285,6 +315,42 @@ def cogroup(
             outs.append(pd.DataFrame(records))
         return outs
 
+    def collapse(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Partial fold of an in-progress giant group: run fn over the
+        records so far (already in sort order) and re-enter its single
+        output record as the group's carried accumulator row."""
+        key_vals = tuple(pdf[kn].iloc[0] for kn in key_names)
+        sub = pdf[wide_by_input[0]].reset_index(drop=True)
+        sub.columns = metas[0]
+        out = fn(key_vals, sub)
+        if isinstance(out, dict):
+            rec = out
+        elif out is not None and len(out) == 1:
+            rec = out.iloc[0].to_dict()
+        else:
+            raise ValueError(
+                "cogroup(partial=True): fn must return exactly one record "
+                f"per group (key={key_vals!r})"
+            )
+        row = {kn: key_vals[i] for i, kn in enumerate(key_names)}
+        row["__tag"] = pdf["__tag"].iloc[0]
+        for c in metas[0]:
+            row[f"__in0__{c}"] = rec[c]
+        return pd.DataFrame([row], columns=list(pdf.columns))
+
+    def carry(pending: pd.DataFrame) -> pd.DataFrame:
+        """Bound the cross-batch carry buffer for an unfinished group."""
+        if partial and len(pending) > 1:
+            pending = collapse(pending)
+        if max_buffered_rows is not None and len(pending) > max_buffered_rows:
+            key_vals = tuple(pending[kn].iloc[0] for kn in key_names)
+            raise RuntimeError(
+                f"cogroup: group {key_vals!r} exceeded max_buffered_rows="
+                f"{max_buffered_rows} ({len(pending)} rows buffered); use a "
+                "fold-style consumer with partial=True or raise the limit"
+            )
+        return pending
+
     def stream(batches):
         pending: pd.DataFrame | None = None
         for pdf in batches:
@@ -295,10 +361,11 @@ def cogroup(
                 continue
             starts = _group_starts(pdf, key_names)
             if len(starts) == 1:
-                pending = pdf  # whole batch is one (possibly unfinished) group
+                # whole batch is one (possibly unfinished) group
+                pending = carry(pdf)
                 continue
             last = starts[-1]
-            pending = pdf.iloc[last:].reset_index(drop=True)
+            pending = carry(pdf.iloc[last:].reset_index(drop=True))
             outs = emit(pdf.iloc[:last], starts[:-1])
             if outs:
                 yield pd.concat(outs, ignore_index=True)[out_cols]

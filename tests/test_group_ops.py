@@ -180,3 +180,72 @@ def test_fold_python_path_matches_native_exprs(spark, sf_dir):
     a = sorted(map(tuple, native.collect()))
     b = sorted(map(tuple, python.collect()))
     assert a == b
+
+
+def test_fold_partial_giant_group_bounded_memory(spark):
+    """A group ~100x the Arrow batch size completes via eager partial
+    collapse (reference BufferType.SPILL analogue): the carry buffer is
+    folded into one accumulator record at every batch boundary."""
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1000")
+    try:
+        df = spark.range(200_000).select(
+            (F.col("id") % 2).cast("int").alias("k"), F.col("id").alias("v")
+        )
+
+        def fsum(pdf):
+            return pd.DataFrame([{"k": pdf["k"].iloc[0], "v": pdf["v"].sum()}])
+
+        rows = {r.k: r.v for r in fold(df, ["k"], fn=fsum, partial=True).collect()}
+        n = 200_000
+        total = n * (n - 1) // 2
+        odd = sum(range(1, n, 2))
+        assert rows == {0: total - odd, 1: odd}
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_cogroup_max_buffered_rows_fail_fast_names_key(spark):
+    """Without partial, an over-limit group raises a diagnosable error
+    carrying the key value instead of OOMing the executor."""
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
+    try:
+        df = spark.range(10_000).select(F.lit(42).alias("k"), F.col("id").alias("v"))
+
+        def fn(key, pdf):
+            return {"k": key[0], "n": len(pdf)}
+
+        bad = cogroup(
+            [Grouping(df, ["k"])], fn, "k int, n long", max_buffered_rows=2_000
+        )
+        with pytest.raises(Exception, match=r"\(42,\).*max_buffered_rows"):
+            bad.collect()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_fold_partial_matches_unpartial(spark, sf_dir):
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+    )
+
+    def fmax(pdf):
+        return pd.DataFrame(
+            [{
+                "l_returnflag": pdf["l_returnflag"].iloc[0],
+                "l_quantity": pdf["l_quantity"].max(),
+                "l_extendedprice": pdf["l_extendedprice"].min(),
+            }]
+        )
+
+    a = sorted(map(tuple, fold(li, ["l_returnflag"], fn=fmax).collect()))
+    b = sorted(map(tuple, fold(li, ["l_returnflag"], fn=fmax, partial=True).collect()))
+    assert a == b
