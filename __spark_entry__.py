@@ -963,7 +963,10 @@ def q_dedup_minhash_lsh(spark, sf):
 
 
 def q_dedup_ngram_jaccard(spark, sf):
-    return ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.3)
+    # max_doc_freq=5 actually prunes at the oracle corpus (29 shingles have
+    # df>5 at sf0.01), so the driver verifies the CAPPED semantics — the
+    # scale path — not just the exact quadratic one
+    return ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.3, max_doc_freq=5)
 
 
 def q_text_simhash(spark, sf):
@@ -1303,14 +1306,18 @@ def _duck_minhash_lsh_sql(threshold: float = 0.5, k: int = 8, bands: int = 4) ->
     """
 
 
-def _duck_ngram_jaccard_sql(threshold: float = 0.3) -> str:
+def _duck_ngram_jaccard_sql(threshold: float = 0.3, max_doc_freq: int = 5) -> str:
+    # mirrors ngram_jaccard_pairs' doc-freq cut: shingles in > max_doc_freq
+    # docs are dropped from intersections; unions keep FULL set sizes
     return f"""
         WITH base AS ({_DUCK_SHINGLES}),
         ex AS (SELECT id, len(shingles) AS sz, unnest(shingles) AS sh FROM base),
+        keep AS (SELECT sh FROM ex GROUP BY sh HAVING COUNT(*) <= {max_doc_freq}),
+        exk AS (SELECT ex.* FROM ex JOIN keep USING (sh)),
         inter AS (
           SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n,
                  any_value(a.sz) AS sa, any_value(b.sz) AS sb
-          FROM ex a JOIN ex b ON a.sh = b.sh AND a.id < b.id
+          FROM exk a JOIN exk b ON a.sh = b.sh AND a.id < b.id
           GROUP BY 1, 2)
         SELECT id_a, id_b, round(CAST(n AS DOUBLE) / (sa + sb - n), 6) AS jaccard
         FROM inter WHERE round(CAST(n AS DOUBLE) / (sa + sb - n), 6) >= {threshold}

@@ -214,17 +214,21 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 10_000,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard near-dup pairs (no sketch): candidates =
-    pairs sharing ≥1 distinct shingle via an exploded equi-join on the
-    shingle itself; the join's group count IS the intersection size.
+    """n-gram Jaccard near-dup pairs (no sketch): candidates = pairs
+    sharing ≥1 distinct shingle via an exploded equi-join on the shingle
+    itself; the join's group count IS the intersection size.
 
-    Scale: cost ∝ Σ_shingle df(shingle)² — hot shingles dominate, so
-    pass ``max_doc_freq`` to cut stop-shingles (a shingle appearing in
-    thousands of docs carries no dedup signal).  NOTE the cut changes
-    the computed Jaccard (intersections lose pruned shingles) — it is a
-    documented approximation for scale, off by default for exactness.
+    Scale: cost ∝ Σ_shingle df(shingle)² — ONE stop-shingle shared by a
+    million documents is a 10¹²-row join partition, so ``max_doc_freq``
+    caps per-shingle cost at df² ≤ cap² and is ON by default (10 000: far
+    above any real dedup signal — a shingle in 10k+ docs identifies
+    nothing — and bounds the hottest shingle's candidate fan-out to 10⁸
+    spread across the cluster).  NOTE the cut changes the computed
+    Jaccard (intersections lose pruned shingles while union keeps full
+    set sizes) — a documented approximation; pass ``max_doc_freq=None``
+    for the exact quadratic computation.
     """
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
