@@ -31,14 +31,37 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     Parquet splits by BYTES (``spark.sql.files.maxPartitionBytes``), so a
     small file scans as 1 partition — and a sketch that expands each row
     into dozens of hashed shingles then serializes on one core.  When the
-    scan has fewer partitions than ``defaultParallelism``, round-robin
-    repartition (shuffles only the raw rows, cheap next to the per-shingle
-    work).  No-op on inputs that are already wide, so at 100 TB — where
-    scans come in thousands of partitions — this never adds a shuffle.
+    scan would have fewer partitions than ``defaultParallelism``,
+    round-robin repartition (shuffles only the raw rows, cheap next to the
+    per-shingle work).  No-op on inputs that are already wide, so at
+    100 TB — where scans come in thousands of partitions — this never adds
+    a shuffle.
+
+    Width is estimated from the source FILE LISTING (count + bytes vs
+    ``maxPartitionBytes``), NOT ``df.rdd.getNumPartitions()`` — the RDD
+    probe forces a full analysis + physical-planning pass of the frame at
+    graph-build time on every call site.  Non-file sources (no listing)
+    skip the check.
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    files = df.inputFiles()
+    if not files or len(files) >= target:
+        return df  # already wide, or not a file scan — leave the plan alone
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    digits = "".join(ch for ch in raw if ch.isdigit()) or "134217728"
+    max_bytes = int(digits)
+    try:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path
+        hconf = spark._jsc.hadoopConfiguration()
+        total = 0
+        for f in files:
+            p = jpath(f)
+            total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+        est = max(len(files), -(-total // max_bytes))  # ceil-div, ≥1 per file
+    except Exception:
+        est = len(files)  # listing failed: assume 1 split per file
+    if est < target:
         return df.repartition(target)
     return df
 
@@ -320,8 +343,12 @@ def simhash_pairs(
     chunk_bits = bits // c
     mask = (1 << chunk_bits) - 1
 
-    base = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"), simhash(text_col, bits).alias("sh")
+    # (id, sh) feeds the chunk explode AND both verify joins — without the
+    # persist the per-token sketch expression is computed 3×
+    base = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), simhash(text_col, bits).alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     chunks = base.select(
         "id",

@@ -28,6 +28,17 @@ from pyspark.sql import Column, DataFrame, Window as W, functions as F
 from .dedup import str_hash64, ensure_parallelism
 
 
+def _lit_doubles(vals) -> str:
+    """SQL text for a literal array<double> — ONE parsed expression.
+
+    Building the same array via ``F.array(*[F.lit(x) …])`` costs a py4j
+    round-trip per element; a 64-dim vector × 8 centroids × 2 call sites
+    is >1000 driver RPCs per plan build, which dominated the IVF/LSH
+    queries' wall-clock at small scale.  ``repr(float)`` is the shortest
+    round-trip form, so the JVM parses back the identical double."""
+    return "array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")"
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Sequential double dot product (order-pinned fold)."""
     return F.aggregate(
@@ -155,10 +166,10 @@ def _bucket_key(vec: Column, planes: int, seed: int, dim: int | None = None) -> 
     parts = []
     for p in range(planes):
         if dim is not None:
-            plane = F.array(*[F.lit(_plane_component(p, d, seed)) for d in range(dim)])
+            plane = F.expr(_lit_doubles(_plane_component(p, d, seed) for d in range(dim)))
         else:
             plane = F.slice(
-                F.array(*[F.lit(_plane_component(p, d, seed)) for d in range(MAX_DIM)]),
+                F.expr(_lit_doubles(_plane_component(p, d, seed) for d in range(MAX_DIM))),
                 1,
                 F.size(vec),
             )
@@ -223,13 +234,18 @@ def _centroids(corpus: DataFrame, n: int, id_col: str, vec_col: str):
 
 def _nearest_centroids(vec: Column, cents, nprobe: int) -> Column:
     """array<long> of the ``nprobe`` centroid ids nearest to ``vec``
-    (cosine desc, centroid id asc tie-break)."""
+    (cosine desc, centroid id asc tie-break).
+
+    Each centroid vector is ONE parsed literal array (see
+    :func:`_lit_doubles` — not a py4j call per element).  The per-centroid
+    cosine stays a top-level expression, NOT inside a higher-order-function
+    lambda: a column reference captured in a lambda trips Spark's
+    deduplicate-relations rewrite when the same scan feeds both join sides
+    (observed INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on warm sessions)."""
     scored = F.array(
         *[
             F.struct(
-                cosine_similarity(
-                    vec, F.array(*[F.lit(float(x)) for x in cvec])
-                ).alias("sim"),
+                cosine_similarity(vec, F.expr(_lit_doubles(cvec))).alias("sim"),
                 F.lit(-int(cid)).cast("long").alias("negid"),
             )
             for cid, cvec in cents

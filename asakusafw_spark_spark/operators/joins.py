@@ -127,6 +127,7 @@ def _join_selected(
     key: Sequence[str] | Sequence[tuple[str, str]],
     selection: MasterSelection | None,
     strategy: str,
+    skew_salt: int = 1,
 ) -> tuple[DataFrame, list[str], list[str]]:
     """Left-join tx with its selected master.
 
@@ -160,6 +161,27 @@ def _join_selected(
         m1 = _prefix(_dedupe_masters(master, mkey, sel), "__m_").withColumn(
             _HIT, F.lit(True)
         )
+        if skew_salt > 1:
+            # Hot-tx-key mitigation for the SHUFFLED path: AQE's skew-split
+            # can't rewrite this join (the master child is an aggregate, not
+            # a bare shuffle stage — OptimizeSkewedJoin requires both SMJ
+            # children to be plain ENSURE_REQUIREMENTS shuffles), so spread
+            # the hot key classically: replicate each (already 1-row-per-key)
+            # master `skew_salt`× and give tx rows a random salt.  Output is
+            # salt-invariant, so retries are safe even though rand() isn't
+            # replay-stable.
+            m1 = m1.withColumn(
+                "__m_salt__",
+                F.explode(F.array(*[F.lit(i) for i in range(skew_salt)])),
+            )
+            tx_s = tx.withColumn(
+                "__salt__", (F.rand(42) * skew_salt).cast("int")
+            )
+            salted = cond & (F.col("__m_salt__") == F.col("__salt__"))
+            joined = tx_s.join(
+                _apply_strategy(m1, strategy), on=salted, how="left"
+            ).drop("__salt__", "__m_salt__")
+            return joined, mcols, list(tx.columns)
         joined = tx.join(_apply_strategy(m1, strategy), on=cond, how="left")
         return joined, mcols, list(tx.columns)
 
@@ -299,6 +321,7 @@ def master_join(
     mapping: dict[str, Column | str] | None = None,
     selection: MasterSelection | None = None,
     strategy: str = "auto",
+    skew_salt: int = 1,
 ) -> dict[str, DataFrame]:
     """@MasterJoin → ``{"joined", "missed"}``.
 
@@ -309,9 +332,16 @@ def master_join(
     ``"t.col"`` strings or arbitrary Columns over the joined frame (master
     columns visible as ``__m_<name>``).  Default: all tx columns + all
     non-key master columns.
+
+    ``skew_salt > 1`` spreads a hot transaction key over that many
+    partitions on the shuffled path (master rows replicated per salt) —
+    use when one key dominates and the master side is too big to
+    broadcast; broadcast strategy is inherently skew-immune.
     """
     pairs = [(k, k) if isinstance(k, str) else tuple(k) for k in key]
-    joined, mcols, tcols = _join_selected(master, tx, key, selection, strategy)
+    joined, mcols, tcols = _join_selected(
+        master, tx, key, selection, strategy, skew_salt=skew_salt
+    )
     hit, miss = _null_split(joined)
 
     if mapping is None:

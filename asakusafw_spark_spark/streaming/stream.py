@@ -84,12 +84,35 @@ def sessionize(
 
 
 def stream_dedup(
-    stream: DataFrame, keys: Sequence[str], ts_col: str, watermark: str = "10 minutes"
+    stream: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    watermark: str = "10 minutes",
+    scope: str = "key_and_time",
 ) -> DataFrame:
-    """Streaming exact dedup: first record per key wins; state bounded
-    by the watermark (late duplicates beyond it are not caught — the
-    documented watermark trade-off)."""
-    return stream.withWatermark(ts_col, watermark).dropDuplicates([*keys, ts_col])
+    """Streaming dedup with watermark-bounded state.
+
+    ``scope="key_and_time"`` (default): EXACT (key, event-time) dedup —
+    records sharing key AND timestamp collapse to one; the same key at a
+    different event time is kept.  Deterministic (replaying the stream
+    yields the same survivors), which is why the batch oracle can
+    hash-check it.
+
+    ``scope="key"``: true per-key dedup via
+    ``dropDuplicatesWithinWatermark`` — the FIRST ARRIVAL per key within
+    the watermark horizon wins and later event times for that key are
+    dropped.  Which record survives depends on arrival order, so this
+    mode is arrival-order-deterministic, not data-deterministic.
+
+    Either way state is bounded by the watermark: duplicates arriving
+    later than it are not caught (the documented trade-off).
+    """
+    wm = stream.withWatermark(ts_col, watermark)
+    if scope == "key_and_time":
+        return wm.dropDuplicates([*keys, ts_col])
+    if scope == "key":
+        return wm.dropDuplicatesWithinWatermark([*keys])
+    raise ValueError(f"stream_dedup: unknown scope {scope!r}")
 
 
 def stateful_running_agg(

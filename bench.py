@@ -33,8 +33,11 @@ HEADLINE = [
     "cogroup",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
     "text_analysis",
     "similarity_bruteforce_topk",
+    "similarity_ivf",
     "streaming_windowed_agg",
 ]
 

@@ -281,3 +281,17 @@ def test_keyless_join_null_first_master_column_still_hits(spark):
     assert by_tid[1].label is None
     assert by_tid[2].label == "hi"
     assert {r.tid for r in out["missed"].collect()} == {3}
+
+
+@pytest.mark.parametrize("strategy", ["auto", "shuffled"])
+def test_master_join_skew_salt_same_result(masters, txs, strategy):
+    # salting is a pure physical spread: results identical to unsalted
+    plain = master_join(masters, txs, ["k"], strategy=strategy)
+    salted = master_join(masters, txs, ["k"], strategy=strategy, skew_salt=4)
+    assert sorted(map(tuple, plain["joined"].collect())) == sorted(
+        map(tuple, salted["joined"].collect())
+    )
+    assert sorted(map(tuple, plain["missed"].collect())) == sorted(
+        map(tuple, salted["missed"].collect())
+    )
+    assert salted["joined"].columns == plain["joined"].columns

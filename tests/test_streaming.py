@@ -92,3 +92,14 @@ def test_stateful_running_agg(spark, events_stream, events_batch, tmp_path):
     got = {r.user_id: (r.running_count, round(r.running_sum, 6)) for r in out.collect()}
     want = {r.user_id: (r.n, round(r.s, 6)) for r in batch.collect()}
     assert got == want
+
+
+def test_stream_dedup_per_key_scope(spark, events_stream, events_batch, tmp_path):
+    # scope="key": dropDuplicatesWithinWatermark — exactly one survivor per
+    # (user, type) key regardless of how many event times each key has
+    d = stream_dedup(events_stream, ["user_id", "event_type"], "ts", scope="key")
+    run_available_now(d, "dedup_key_out", str(tmp_path / "ck_dk"))
+    out = spark.sql("SELECT * FROM dedup_key_out")
+    keys = events_batch.select("user_id", "event_type").distinct().count()
+    assert out.count() == keys
+    assert out.select("user_id", "event_type").distinct().count() == keys

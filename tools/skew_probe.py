@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Skew probe (VERDICT r01 #10): a hot key owning ~10% of all rows,
+driven through (a) the shuffled sort-merge master_join — AQE
+OptimizeSkewedJoin territory — and (b) the pinned-partition streaming
+cogroup, where AQE skew handling is intentionally defeated by the explicit
+repartition that keeps Python stages at cluster width.
+
+Findings this probe encodes (see BASELINE.md "Skew probe"):
+
+- AQE splits a skewed partition at MAP-OUTPUT granularity.  A small-file
+  scan is ONE map task, so there is nothing to split and the rule
+  correctly reports zero skewed partitions regardless of thresholds —
+  the probe pre-repartitions to 32 maps to model a real multi-task scan
+  (a 100 TB scan has thousands).
+- Skew detection reads COMPRESSED shuffle sizes; compressible padding
+  (repeated chars) never trips the threshold.  The probe pads with md5
+  hex to keep bytes honest.
+- Plan inspection must run on the SAME QueryExecution that executed
+  (``df.collect()``); ``df.write`` plans a separate command and shows
+  ``isFinalPlan=false`` with no AQE rewrites.
+
+Usage: python tools/skew_probe.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from asakusafw_spark_spark.session import get_spark  # noqa: E402
+from asakusafw_spark_spark.operators import Grouping, cogroup, master_join  # noqa: E402
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def timed_collect(df) -> tuple[float, int, str]:
+    t0 = time.perf_counter()
+    n = len(df.collect())
+    dt = time.perf_counter() - t0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return dt, n, plan
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    spark = get_spark(app_name="skew_probe")
+    # scale AQE's skew thresholds DOWN to the probe's data size (sf0.1's hot
+    # partition is tens of MB — real clusters hit the default 256 MB): the
+    # claim under test is that the shuffled-join plan SHAPE is skew-eligible
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+
+    # 32 map tasks (models a real multi-file scan) + incompressible payload
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey").repartition(32)
+    pad = F.concat(
+        *[F.md5(F.concat(F.col("l_orderkey").cast("string"), F.lit(str(i)))) for i in range(6)]
+    )
+    skew_key = F.when(F.col("l_orderkey") % 10 == 0, F.lit(0)).otherwise(F.col("l_orderkey"))
+    skewed = li.withColumn("k", skew_key).withColumn("pad", pad)
+    uniform = li.withColumn("k", F.col("l_orderkey")).withColumn("pad", pad)
+    masters = spark.range(200_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("payload")
+    )
+
+    # warm-up
+    master_join(masters, uniform, ["k"], strategy="shuffled")["joined"].count()
+
+    # -- (a) shuffled sort-merge join: AQE OptimizeSkewedJoin splits the hot
+    #    partition across tasks (duplicating the matching master partition)
+    for label, tx in [("uniform", uniform), ("skewed ", skewed)]:
+        out = master_join(masters, tx, ["k"], strategy="shuffled")["joined"]
+        dt, n, plan = timed_collect(out.select("k"))
+        print(f"join    {label}: {dt:6.2f}s rows={n} skew_rewrite={'skew=true' in plan}")
+
+    # -- (b) pinned-partition streaming cogroup — the hot group rides ONE
+    #    task, but Python cost is per-BATCH, so one 60k-row group is CHEAPER
+    #    than 6k small groups; the skew risk here is carry-buffer MEMORY,
+    #    bounded by fold(partial=True) / cogroup(max_buffered_rows=...)
+    def fn(key, pdf: pd.DataFrame) -> dict:
+        return {"k": int(key[0]), "n": len(pdf)}
+
+    for label, src in [("uniform", uniform), ("skewed ", skewed)]:
+        g = src.select("k")
+        out = cogroup([Grouping(g, ["k"])], fn, "k long, n long")
+        dt, n, _ = timed_collect(out)
+        print(f"cogroup {label}: {dt:6.2f}s groups={n}")
+
+
+if __name__ == "__main__":
+    main()
