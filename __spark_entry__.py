@@ -958,6 +958,48 @@ def q_dedup_exact(spark, sf):
     return dedup_exact(_t(spark, sf, "documents"))
 
 
+def q_sample_stratified(spark, sf):
+    # deterministic per-language sampling quotas (hash-derived, no rand())
+    from asakusafw_spark_spark.functions.sampling import hash_sample
+
+    docs = _t(spark, sf, "documents")
+    rates = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 0.1}
+    return hash_sample(docs, rates, "doc_id", strata_col="lang").select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_train_val_split(spark, sf):
+    from asakusafw_spark_spark.functions.sampling import assign_split
+
+    docs = _t(spark, sf, "documents")
+    out = assign_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id")
+    return out.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def q_contamination_check(spark, sf):
+    # benchmark hygiene: training docs sharing any 5-gram with the "eval"
+    # slice (every 10th doc stands in for a held-out benchmark)
+    from asakusafw_spark_spark.functions.dedup import ngram_contamination
+
+    docs = _t(spark, sf, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    eval_set = docs.filter(F.col("doc_id") % 10 == 0)
+    return ngram_contamination(train, eval_set, n=5)
+
+
+def q_corpus_stats(spark, sf):
+    from asakusafw_spark_spark.functions.text import corpus_stats
+
+    return corpus_stats(_t(spark, sf, "documents"))
+
+
+def q_embedding_centroids(spark, sf):
+    from asakusafw_spark_spark.functions.similarity import label_centroids
+
+    return label_centroids(_t(spark, sf, "embeddings"))
+
+
 def q_dedup_minhash_lsh(spark, sf):
     return minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.5)
 
@@ -1264,6 +1306,27 @@ _DUCK_SHINGLES = """
 """
 
 
+def _duck_shingles_n(n: int) -> str:
+    """word_shingles(text, n) in DuckDB (distinct word n-grams)."""
+    return f"""
+    SELECT doc_id AS id,
+           list_distinct(CASE WHEN len(toks) >= {n}
+             THEN list_transform(range(1, len(toks) - {n - 2}),
+                                 i -> array_to_string(toks[i:i+{n - 1}], ' '))
+             ELSE [array_to_string(toks, ' ')] END) AS shingles
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+          FROM documents)
+"""
+
+
+#: functions.sampling.unit_hash in DuckDB: 60-bit md5-prefix of
+#: "<key>:42" mod 1e6, scaled to [0, 1)
+_DUCK_UNIT_HASH = (
+    "(CAST('0x' || substr(md5(CAST({key} AS VARCHAR) || ':42'), 1, 15) AS BIGINT)"
+    " % 1000000) / 1000000.0"
+)
+
+
 def _duck_sig_terms(k: int = 8, seed: int = 42) -> str:
     terms = [
         f"list_min(list_transform(hs, h -> (h*{a}+{b})%{MERSENNE_P}))"
@@ -1511,6 +1574,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iterative_rounds": q_iterative_rounds,
         "approx_distinct": q_approx_distinct,
         "fold_partial": q_fold_partial,
+        "sample_stratified": q_sample_stratified,
+        "train_val_split": q_train_val_split,
+        "contamination_check": q_contamination_check,
+        "corpus_stats": q_corpus_stats,
+        "embedding_centroids": q_embedding_centroids,
         "flagship_revenue_per_nation": _flagship,
         "project": q_project,
         "extend": q_extend,
@@ -1909,6 +1977,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
         """,
         "text_analysis": _duck_text_analysis_sql(),
+        "sample_stratified": f"""
+            SELECT doc_id, lang, source FROM documents
+            WHERE ({_DUCK_UNIT_HASH.format(key='doc_id')}) <
+                  CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                            WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.25
+                            WHEN 'zh' THEN 0.1 ELSE 0.0 END
+        """,
+        "train_val_split": f"""
+            WITH u AS (SELECT lang, {_DUCK_UNIT_HASH.format(key='doc_id')} AS uh
+                       FROM documents)
+            SELECT CASE WHEN uh < 0.8 THEN 'train'
+                        WHEN uh < 0.9 THEN 'val' ELSE 'test' END AS split,
+                   lang, COUNT(*) AS n_docs
+            FROM u GROUP BY 1, 2
+        """,
+        "contamination_check": f"""
+            WITH sh AS ({_duck_shingles_n(5)}),
+            tr AS (SELECT id AS train_id, unnest(shingles) AS gram
+                   FROM sh WHERE id % 10 != 0),
+            ev AS (SELECT id AS eval_id, unnest(shingles) AS gram
+                   FROM sh WHERE id % 10 = 0)
+            SELECT train_id, COUNT(*) AS n_shared_grams,
+                   COUNT(DISTINCT eval_id) AS n_eval_docs
+            FROM tr JOIN ev USING (gram)
+            GROUP BY train_id HAVING COUNT(*) >= 1
+        """,
+        "corpus_stats": """
+            WITH t AS (SELECT lang, text,
+                              string_split_regex(trim(text), '\\s+') AS toks
+                       FROM documents),
+            q AS (SELECT lang, len(toks) AS nt,
+                         round(
+                           (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.4
+                           + least(1.0, (CAST(length(regexp_replace(text,'\\s+','','g')) AS DOUBLE)
+                                         / len(toks)) / 8.0) * 0.3
+                           + (CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)
+                              / length(text)) * 0.3, 6) AS qs
+                  FROM t)
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(nt) AS BIGINT) AS total_tokens,
+                   round(quantile_cont(nt, 0.5), 6) AS median_tokens,
+                   round(AVG(qs), 6) AS avg_quality
+            FROM q GROUP BY lang
+        """,
+        "embedding_centroids": """
+            SELECT label, pos, round(AVG(v), 6) AS c, COUNT(*) AS n_vecs
+            FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+                         CAST(unnest(embedding) AS DOUBLE) AS v
+                  FROM embeddings)
+            GROUP BY label, pos
+        """,
         "dedup_exact": """
             SELECT md5(lower(trim(regexp_replace(text,'\\s+',' ','g')))) AS fp,
                    MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count

@@ -288,6 +288,46 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_contamination(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination check: training docs sharing ≥
+    ``min_overlap`` distinct word ``n``-grams with ANY eval doc.
+
+    Output: (train_id, n_shared_grams, n_eval_docs) — the docs to drop
+    (or audit) before training.  The standard pre-training hygiene step:
+    eval sets leak into web scrapes, and an n-gram match (typically
+    n=8..13 for real corpora) is the cheap high-precision detector.
+
+    Scale shape: the eval side is exploded to DISTINCT grams and
+    broadcast when small (the common case — benchmarks are tiny next to
+    the corpus); the train side explodes per gram and the equi-join on
+    the gram itself bounds fan-out to true matches.  No all-pairs.
+    """
+    t = ensure_parallelism(train).select(
+        F.col(id_col).alias("train_id"),
+        F.explode(word_shingles(text_col, n)).alias("gram"),
+    )
+    e = eval_set.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(word_shingles(text_col, n)).alias("gram"),
+    )
+    joined = t.join(e, "gram")
+    return (
+        joined.groupBy("train_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_grams"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+        .filter(F.col("n_shared_grams") >= min_overlap)
+    )
+
+
 def simhash(col: Column | str, bits: int = 32) -> Column:
     """SimHash sketch of the token multiset (frequency-weighted): for
     each bit position, sum ±1 over token hashes; sign → bit.

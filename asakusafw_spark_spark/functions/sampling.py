@@ -1,0 +1,81 @@
+"""Deterministic sampling / dataset-split operators for training-data
+pipelines.
+
+Everything here is HASH-derived, never ``rand()``: a row's fate depends
+only on its key and the seed, so samples are reproducible across runs,
+retries, cluster sizes, and engines (the md5-prefix hash is the repo's
+cross-engine determinism primitive — see ``functions.dedup.str_hash64``),
+and a re-run of a 100 TB job selects byte-identical training sets.  All
+expressions are native Columns: sampling is a filter pushed into the
+scan's partition-parallel evaluation — no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import str_hash64
+
+#: hash-unit denominator: u = h mod 1e6 / 1e6 gives ~20 bits of rate
+#: resolution, enough for any practical sampling rate while keeping the
+#: arithmetic exact in both Spark and DuckDB integers.
+_UNIT = 1_000_000
+
+
+def unit_hash(key: Column, seed: int = 42) -> Column:
+    """Uniform [0, 1) hash of a key column — the sampling coin flip.
+    ``u = (md5_60bit(key || ':' || seed) mod 1e6) / 1e6``."""
+    h = str_hash64(F.concat(key.cast("string"), F.lit(f":{seed}")))
+    return F.pmod(h, F.lit(_UNIT)) / F.lit(float(_UNIT))
+
+
+def hash_sample(
+    df: DataFrame,
+    rate: float | Mapping[str, float],
+    key_col: str,
+    strata_col: str | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows with ``unit_hash < rate``.
+
+    ``rate`` may be a single float or, with ``strata_col``, a mapping of
+    stratum value → rate (unlisted strata keep rate 0.0) — per-language /
+    per-source quota curation in one pass.
+    """
+    u = unit_hash(F.col(key_col), seed)
+    if isinstance(rate, Mapping):
+        if strata_col is None:
+            raise ValueError("hash_sample: per-stratum rates need strata_col")
+        expr: Column = F.lit(0.0)
+        for value, r in sorted(rate.items()):
+            expr = F.when(F.col(strata_col) == value, F.lit(float(r))).otherwise(expr)
+        return df.filter(u < expr)
+    return df.filter(u < F.lit(float(rate)))
+
+
+def assign_split(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    key_col: str,
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: one ``split`` label per
+    row by cumulative hash-unit thresholds.  Weights must sum to ~1;
+    insertion order of ``weights`` defines the threshold order."""
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"assign_split: weights sum to {total}, expected 1")
+    u = unit_hash(F.col(key_col), seed)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        case = F.when(u < F.lit(acc), F.lit(name))
+        expr = case if expr is None else expr.when(u < F.lit(acc), F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)

@@ -221,6 +221,33 @@ def lsh_ann_topk(
     )
 
 
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-label embedding centroid, one (label, pos, c) row per
+    dimension — class prototypes for nearest-centroid classification,
+    cluster drift monitoring, or IVF seeding.
+
+    Scale shape: ``posexplode`` fans each vector into (label, pos, value)
+    rows — dim× the input, but slim — then ONE partial-aggregable hash
+    aggregate computes the per-dimension mean.  No collect, no windows;
+    exploded-row shuffle only carries (label, pos, partial sum) after
+    map-side combine.  Mean is rounded to 6 dp for cross-engine hash
+    stability (parallel double sums drift at ~1e-15).
+    """
+    exploded = ensure_parallelism(df).select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    )
+    return exploded.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("c"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
 def _centroids(corpus: DataFrame, n: int, id_col: str, vec_col: str):
     """Deterministic coarse centroids: the ``n`` lowest-id corpus
     vectors.  A stand-in quantizer that is oracle-replicable in SQL;

