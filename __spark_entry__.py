@@ -1000,6 +1000,18 @@ def q_embedding_centroids(spark, sf):
     return label_centroids(_t(spark, sf, "embeddings"))
 
 
+def q_token_budget(spark, sf):
+    # corpus token budgeting: whitespace vs BPE-piece counts per source
+    from asakusafw_spark_spark.functions.text import bpe_token_count, token_count
+
+    docs = _t(spark, sf, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("ws_tokens"),
+        F.sum(bpe_token_count("text")).alias("bpe_tokens"),
+    )
+
+
 def q_dedup_minhash_lsh(spark, sf):
     return minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.5)
 
@@ -1579,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": q_contamination_check,
         "corpus_stats": q_corpus_stats,
         "embedding_centroids": q_embedding_centroids,
+        "token_budget": q_token_budget,
         "flagship_revenue_per_nation": _flagship,
         "project": q_project,
         "extend": q_extend,
@@ -2027,6 +2040,16 @@ def oracle_sql() -> dict[str, str]:
                          CAST(unnest(embedding) AS DOUBLE) AS v
                   FROM embeddings)
             GROUP BY label, pos
+        """,
+        "token_budget": r"""
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END)
+                        AS BIGINT) AS ws_tokens,
+                   CAST(SUM(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]')))
+                        AS BIGINT) AS bpe_tokens
+            FROM documents GROUP BY source
         """,
         "dedup_exact": """
             SELECT md5(lower(trim(regexp_replace(text,'\\s+',' ','g')))) AS fp,

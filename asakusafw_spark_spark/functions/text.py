@@ -35,6 +35,22 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col)).cast("long")
 
 
+#: BPE-style pre-tokenization pieces (GPT-2-family shape, simplified to a
+#: subset that Java regex and RE2/DuckDB interpret identically): letter
+#: runs, digit runs (length-capped at 3 like modern tokenizers), and
+#: single non-space symbols.  The CONTRACT is the regex, not any specific
+#: tokenizer's vocab — counts approximate LLM token budgets ~piece-level.
+BPE_PIECE_REGEX = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Approximate LLM-token count: number of BPE-style pre-tokenization
+    pieces (``BPE_PIECE_REGEX`` matches).  Native ``regexp_count`` — one
+    JVM-side pass, no Python — for corpus token budgeting at 100 TB."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_PIECE_REGEX)).cast("long")
+
+
 def lang_id(col: Column | str, default: str = "unknown") -> Column:
     """Stopword-hit language ID: the language whose stopword set shares
     the most DISTINCT tokens with the text wins; ties break to the

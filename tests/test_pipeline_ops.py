@@ -86,3 +86,14 @@ def test_label_centroids_match_manual(spark):
     assert rows[(0, 1)] == (3.0, 2)
     assert rows[(1, 0)] == (10.0, 1)
     assert rows[(1, 1)] == (20.0, 1)
+
+
+def test_bpe_token_count_pieces(spark):
+    from asakusafw_spark_spark.functions.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [("hello world!",), ("abc1234 x-y",), ("",)], "text string"
+    )
+    got = [r.n for r in df.select(bpe_token_count("text").alias("n")).collect()]
+    # "hello","world","!" = 3 ; "abc","123","4","x","-","y" = 6 ; "" = 0
+    assert got == [3, 6, 0]
