@@ -10,7 +10,15 @@ Jaccard), embedding similarity search, and multimodal column plumbing.
 
 from pyspark.sql import functions as F  # noqa: F401  (scalar surface)
 
-from .text import tokens, token_count, lang_id, quality_score, fingerprint
+from .text import (
+    tokens,
+    token_count,
+    bpe_token_count,
+    lang_id,
+    quality_score,
+    fingerprint,
+    corpus_stats,
+)
 from .dedup import (
     str_hash64,
     word_shingles,
@@ -18,6 +26,7 @@ from .dedup import (
     dedup_exact,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    ngram_contamination,
     simhash,
     simhash_dup_groups,
     simhash_pairs,
@@ -28,12 +37,16 @@ from .similarity import (
     cosine_near_dup,
     lsh_ann_topk,
     ivf_topk,
+    label_centroids,
 )
+from .sampling import unit_hash, hash_sample, assign_split
 
 __all__ = [
     "F",
     "tokens",
     "token_count",
+    "bpe_token_count",
+    "corpus_stats",
     "lang_id",
     "quality_score",
     "fingerprint",
@@ -43,6 +56,7 @@ __all__ = [
     "dedup_exact",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
+    "ngram_contamination",
     "simhash",
     "simhash_dup_groups",
     "simhash_pairs",
@@ -51,4 +65,8 @@ __all__ = [
     "cosine_near_dup",
     "lsh_ann_topk",
     "ivf_topk",
+    "label_centroids",
+    "unit_hash",
+    "hash_sample",
+    "assign_split",
 ]
