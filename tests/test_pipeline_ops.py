@@ -97,3 +97,31 @@ def test_bpe_token_count_pieces(spark):
     got = [r.n for r in df.select(bpe_token_count("text").alias("n")).collect()]
     # "hello","world","!" = 3 ; "abc","123","4","x","-","y" = 6 ; "" = 0
     assert got == [3, 6, 0]
+
+
+def test_ivf_kmeans_quantizer_on_clustered_data(spark):
+    # three tight clusters: kmeans centroids should recover them and
+    # nprobe=1 should find same-cluster neighbors with high recall
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for c, center in enumerate([(10.0, 0.0), (0.0, 10.0), (-10.0, -10.0)]):
+        for i in range(30):
+            v = [center[0] + rng.normal(0, 0.1), center[1] + rng.normal(0, 0.1)]
+            rows.append((c * 100 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from asakusafw_spark_spark.functions import brute_force_topk, ivf_topk
+
+    queries = df.filter(F.col("vec_id") % 100 == 0)  # one per cluster
+    exact = {}
+    for r in brute_force_topk(df, queries, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in ivf_topk(
+        df, queries, k=5, n_centroids=3, nprobe=1, quantizer="kmeans"
+    ).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(approx.get(q, set()) & n) for q, n in exact.items())
+    total = sum(len(n) for n in exact.values())
+    assert hits / total >= 0.95  # clusters are tight: near-perfect recall

@@ -57,6 +57,11 @@ def main() -> None:
     for n_c, nprobe in ((8, 1), (8, 2), (8, 4), (16, 4)):
         a = truth_sets(ivf_topk(emb, queries, k=k, n_centroids=n_c, nprobe=nprobe))
         print(f"ivf n_centroids={n_c} nprobe={nprobe}: recall@{k} = {recall(a, exact):.3f}")
+    for n_c, nprobe in ((8, 2), (8, 4), (16, 4)):
+        a = truth_sets(
+            ivf_topk(emb, queries, k=k, n_centroids=n_c, nprobe=nprobe, quantizer="kmeans")
+        )
+        print(f"ivf-kmeans n_centroids={n_c} nprobe={nprobe}: recall@{k} = {recall(a, exact):.3f}")
 
 
 if __name__ == "__main__":
