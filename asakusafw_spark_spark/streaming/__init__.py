@@ -9,6 +9,7 @@ from .stream import (
     stream_dedup,
     stateful_running_agg,
     stream_interval_join,
+    stream_to_direct_output,
     run_available_now,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "stream_dedup",
     "stateful_running_agg",
     "stream_interval_join",
+    "stream_to_direct_output",
     "run_available_now",
 ]

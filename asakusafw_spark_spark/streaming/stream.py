@@ -208,6 +208,59 @@ def run_available_now(
             spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def stream_to_direct_output(
+    stream_df: DataFrame,
+    base_path: str,
+    checkpoint_dir: str,
+    pattern: str | None = None,
+    ordering: Sequence[tuple[str, str]] = (),
+    format: str = "parquet",
+    mode: str = "update",
+    query_name: str = "direct_output",
+    available_now: bool = True,
+):
+    """Stream → Direct I/O sink: every micro-batch lands through the same
+    writers batch flows use — ``write_flat`` (one subdirectory per batch,
+    ``batch=<id>``) or, with ``pattern``, ``write_grouped`` (records
+    shuffled to pattern-generated file paths, sorted within each file).
+
+    ``foreachBatch`` is the bridge: inside it the micro-batch is a plain
+    DataFrame, so the grouped-output path grammar, per-file ordering, and
+    Hadoop-FS promotion all apply unchanged.  Exactly-once is inherited
+    from the checkpoint + idempotent-overwrite pair: a replayed batch id
+    overwrites its own previous (possibly partial) output rather than
+    duplicating it — the streaming analogue of the reference's
+    attempt→commit promotion.
+
+    Returns the StreamingQuery (already drained when ``available_now``).
+    """
+    from ..sources.write import write_flat, write_grouped
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if pattern is None:
+            write_flat(
+                batch_df, f"{base_path}/batch={batch_id}", format=format,
+                mode="overwrite",
+            )
+        else:
+            write_grouped(
+                batch_df, f"{base_path}/batch={batch_id}", pattern,
+                ordering=ordering, format=format,
+            )
+
+    w = (
+        stream_df.writeStream.outputMode(mode)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+    )
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return w.start()
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -103,3 +103,34 @@ def test_stream_dedup_per_key_scope(spark, events_stream, events_batch, tmp_path
     keys = events_batch.select("user_id", "event_type").distinct().count()
     assert out.count() == keys
     assert out.select("user_id", "event_type").distinct().count() == keys
+
+
+def test_stream_to_direct_output_flat_and_grouped(spark, events_stream, events_batch, tmp_path):
+    from asakusafw_spark_spark.streaming import stream_to_direct_output
+
+    # flat: every micro-batch under batch=<id>/, parquet, replay-idempotent
+    base = str(tmp_path / "direct_flat")
+    stream_to_direct_output(
+        events_stream, base, str(tmp_path / "ck_df"), mode="append",
+        query_name="to_flat",
+    )
+    back = spark.read.parquet(f"{base}/batch=*")
+    assert back.count() == events_batch.count()
+
+    # grouped: pattern-generated one-file-per-path with per-file ordering
+    base2 = str(tmp_path / "direct_grouped")
+    stream_to_direct_output(
+        events_stream.select("event_id", "user_id", "event_type"),
+        base2, str(tmp_path / "ck_dg"),
+        pattern="type={event_type}/events.csv",
+        ordering=[("event_id", "asc")], format="csv", mode="append",
+        query_name="to_grouped",
+    )
+    import glob as g
+
+    files = g.glob(f"{base2}/batch=*/type=*/events.csv")
+    assert files
+    total = sum(len(open(f).readlines()) - 1 for f in files)
+    assert total == events_batch.count()
+    keys = [int(line.split(",")[0]) for line in open(sorted(files)[0]).readlines()[1:]]
+    assert keys == sorted(keys)
