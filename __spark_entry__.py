@@ -1000,6 +1000,55 @@ def q_embedding_centroids(spark, sf):
     return label_centroids(_t(spark, sf, "embeddings"))
 
 
+def q_output_roundtrip(spark, sf):
+    """Direct I/O sinks under the ORACLE: orders flow out through BOTH
+    sink families — two-phase-committed parquet (TransactionalOutput →
+    write_flat) and pattern-grouped per-status CSV (write_grouped, Hadoop
+    FS promotion) — then back in through direct_input/read_parquet; the
+    query returns per-status counts and exact sums from the ROUNDTRIPPED
+    data, which must hash-match the oracle computed on the pristine
+    table.  Covers DirectOutputPrepare Flat/Group + Setup/Commit
+    (reference DirectOutputPrepare.scala, TransactionManager.scala)."""
+    import tempfile
+    import uuid
+
+    from asakusafw_spark_spark.sources import (
+        TransactionalOutput,
+        direct_input,
+        write_grouped,
+    )
+
+    base = f"{tempfile.gettempdir()}/spark_graft_rt_{uuid.uuid4().hex[:8]}"
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    with TransactionalOutput(base, spark=spark) as tx:
+        tx.prepare("orders_snapshot", orders)
+    write_grouped(
+        orders,
+        f"{base}/grouped",
+        "st={o_orderstatus}/orders.csv",
+        ordering=[("o_orderkey", "asc")],
+        format="csv",
+    )
+    csv_back = direct_input(
+        spark,
+        f"{base}/grouped/st=*/orders.csv",
+        format="csv",
+        schema="o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    pq_back = read_parquet(spark, f"{base}/orders_snapshot")
+    c = csv_back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_csv"),
+        _dsum(F.col("o_totalprice"), 2).alias("sum_csv"),
+    )
+    p = pq_back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_parquet"),
+        _dsum(F.col("o_totalprice"), 2).alias("sum_parquet"),
+    )
+    return c.join(p, "o_orderstatus")
+
+
 def q_token_budget(spark, sf):
     # corpus token budgeting: whitespace vs BPE-piece counts per source
     from asakusafw_spark_spark.functions.text import bpe_token_count, token_count
@@ -1609,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "embedding_centroids": q_embedding_centroids,
         "token_budget": q_token_budget,
+        "output_roundtrip": q_output_roundtrip,
         "flagship_revenue_per_nation": _flagship,
         "project": q_project,
         "extend": q_extend,
@@ -2057,6 +2107,14 @@ def oracle_sql() -> dict[str, str]:
                          CAST(unnest(embedding) AS DOUBLE) AS v
                   FROM embeddings)
             GROUP BY label, pos
+        """,
+        "output_roundtrip": """
+            SELECT o_orderstatus,
+                   COUNT(*) AS n_csv,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_csv,
+                   COUNT(*) AS n_parquet,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_parquet
+            FROM orders GROUP BY o_orderstatus
         """,
         "token_budget": r"""
             SELECT source, COUNT(*) AS n_docs,
