@@ -1049,6 +1049,58 @@ def q_output_roundtrip(spark, sf):
     return c.join(p, "o_orderstatus")
 
 
+def q_group_view_lookup(spark, sf):
+    """GroupView broadcast side-input under the oracle: a nation-keyed
+    view (driver-bounded broadcast, reference MapBroadcast) consulted
+    per record inside an Arrow-batched mapInPandas — the escape hatch
+    for lookups a join can't express — then aggregated.  Oracle is the
+    equivalent plain join."""
+    import pandas as pd
+
+    from asakusafw_spark_spark.operators import group_view
+
+    nation = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    view = group_view(nation, ["n_nationkey"])
+
+    def lookup(batches):
+        for pdf in batches:
+            rows = view.value
+            names = [
+                (rows.get((int(k),), [{}])[0].get("n_name"))
+                for k in pdf["c_nationkey"]
+            ]
+            yield pd.DataFrame({"n_name": names})
+
+    named = cust.mapInPandas(lookup, "n_name string")
+    return named.groupBy("n_name").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+def q_bucketed_join(spark, sf):
+    """Shuffle-elision via bucketed storage (reference PARTITIONED
+    subplan outputs): both sides written bucketed on the join key, then
+    sort-merge joined WITHOUT any Exchange (asserted by test_io; here
+    the RESULT is oracle-checked).  Fixed table names + overwrite mode:
+    repeated runs replace rather than accumulate catalog entries."""
+    from asakusafw_spark_spark.sources import write_bucketed
+
+    tag = "q"
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    lineitem = _t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, f"bjo_{tag}", ["o_orderkey"], 8, sort_by=["o_orderkey"])
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        f"bjl_{tag}", ["o_orderkey"], 8, sort_by=["o_orderkey"],
+    )
+    o = spark.table(f"bjo_{tag}")
+    l = spark.table(f"bjl_{tag}")
+    joined = o.hint("merge").join(l, "o_orderkey")
+    return joined.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
 def q_token_budget(spark, sf):
     # corpus token budgeting: whitespace vs BPE-piece counts per source
     from asakusafw_spark_spark.functions.text import bpe_token_count, token_count
@@ -1659,6 +1711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "token_budget": q_token_budget,
         "output_roundtrip": q_output_roundtrip,
+        "group_view_lookup": q_group_view_lookup,
+        "bucketed_join": q_bucketed_join,
         "flagship_revenue_per_nation": _flagship,
         "project": q_project,
         "extend": q_extend,
@@ -2107,6 +2161,17 @@ def oracle_sql() -> dict[str, str]:
                          CAST(unnest(embedding) AS DOUBLE) AS v
                   FROM embeddings)
             GROUP BY label, pos
+        """,
+        "group_view_lookup": """
+            SELECT n_name, COUNT(*) AS n_customers
+            FROM customer JOIN nation ON n_nationkey = c_nationkey
+            GROUP BY n_name
+        """,
+        "bucketed_join": """
+            SELECT o_custkey, COUNT(*) AS n_items,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY o_custkey
         """,
         "output_roundtrip": """
             SELECT o_orderstatus,
