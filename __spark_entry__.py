@@ -510,12 +510,13 @@ def q_moving_avg(spark, sf):
     return orders.select(
         "o_custkey",
         "o_orderkey",
+        # exact decimal frame-sum -> double, THEN an IEEE double division:
+        # decimal/bigint quotient scale rules differ between engines (seen
+        # as a last-digit hash mismatch at sf0.1), double division doesn't
         (
-            F.sum(F.col("o_totalprice").cast("decimal(27,6)")).over(w)
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)")).over(w).cast("double")
             / F.count(F.lit(1)).over(w)
-        )
-        .cast("double")
-        .alias("moving_avg_5"),
+        ).alias("moving_avg_5"),
     )
 
 
@@ -2016,8 +2017,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "moving_avg": """
             SELECT o_custkey, o_orderkey,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) OVER w
-                        / COUNT(*) OVER w AS DOUBLE) AS moving_avg_5
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) OVER w AS DOUBLE)
+                        / COUNT(*) OVER w AS moving_avg_5
             FROM orders
             WINDOW w AS (PARTITION BY o_custkey
                          ORDER BY o_orderdate ASC, o_orderkey ASC

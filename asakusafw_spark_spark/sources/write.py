@@ -267,6 +267,16 @@ def write_bucketed(
     Bucketing metadata lives in the session catalog (``saveAsTable``);
     read back with ``spark.table(table)``.
     """
+    spark = df.sparkSession
+    if path is None and not spark.catalog.tableExists(table):
+        # a previous SESSION's managed-table directory with no catalog entry
+        # fails saveAsTable with LOCATION_ALREADY_EXISTS even in overwrite
+        # mode — clear the orphan location first (Hadoop FS: any filesystem)
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        loc = f"{wh.rstrip('/')}/{table.lower()}"
+        fs = HadoopFs(spark, loc)
+        if fs.exists(loc):
+            fs.delete(loc)
     w = df.write.format(format).mode("overwrite").bucketBy(num_buckets, *key)
     if sort_by:
         w = w.sortBy(*sort_by)
