@@ -1025,19 +1025,21 @@ def q_output_roundtrip(spark, sf):
     )
     with TransactionalOutput(base, spark=spark) as tx:
         tx.prepare("orders_snapshot", orders)
-    write_grouped(
+    written = write_grouped(
         orders,
         f"{base}/grouped",
         "st={o_orderstatus}/orders.csv",
         ordering=[("o_orderkey", "asc")],
         format="csv",
     )
-    csv_back = direct_input(
-        spark,
-        f"{base}/grouped/st=*/orders.csv",
-        format="csv",
-        schema="o_orderkey long, o_orderstatus string, o_totalprice double",
-    )
+    csv_schema = "o_orderkey long, o_orderstatus string, o_totalprice double"
+    if written:
+        csv_back = direct_input(
+            spark, f"{base}/grouped/st=*/orders.csv", format="csv",
+            schema=csv_schema,
+        )
+    else:  # empty input wrote no grouped files; a glob read would fail
+        csv_back = spark.createDataFrame([], csv_schema)
     pq_back = read_parquet(spark, f"{base}/orders_snapshot")
     c = csv_back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_csv"),

@@ -356,6 +356,10 @@ def _nearest_centroids(vec: Column, cents, nprobe: int) -> Column:
     lambda: a column reference captured in a lambda trips Spark's
     deduplicate-relations rewrite when the same scan feeds both join sides
     (observed INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on warm sessions)."""
+    if not cents:
+        # empty corpus → no centroids; a typed null array keeps the plan
+        # analyzable (element_at → null, explode → zero rows)
+        return F.lit(None).cast("array<bigint>")
     scored = F.array(
         *[
             F.struct(

@@ -125,3 +125,11 @@ def test_ivf_kmeans_quantizer_on_clustered_data(spark):
     hits = sum(len(approx.get(q, set()) & n) for q, n in exact.items())
     total = sum(len(n) for n in exact.values())
     assert hits / total >= 0.95  # clusters are tight: near-perfect recall
+
+
+def test_ivf_and_bruteforce_on_empty_corpus(spark):
+    from asakusafw_spark_spark.functions import brute_force_topk, ivf_topk
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert ivf_topk(empty, empty, k=3).count() == 0
+    assert brute_force_topk(empty, empty, k=3).count() == 0
