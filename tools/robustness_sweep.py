@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Robustness sweep: run EVERY registered query against degenerate inputs —
+(a) fully EMPTY tables (schema-only parquet) and (b) NULL-heavy tables
+(~20% nulls injected into nullable payload columns; keys stay non-null).
+A query passes if it executes to completion; row counts are reported, not
+asserted (degenerate-input semantics are engine-defined).
+
+Usage: python tools/robustness_sweep.py [empty|nulls|both]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+#: payload columns eligible for null injection (never group/join keys)
+NULLABLE = {
+    "documents": ["text", "lang", "source"],
+    "embeddings": ["embedding", "label"],
+    "orders": ["o_totalprice", "o_orderpriority"],
+    "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_returnflag"],
+    "customer": ["c_acctbal", "c_mktsegment", "c_name"],
+    "events": ["value", "event_type", "props"],
+    "part": ["p_retailprice", "p_brand", "p_type"],
+    "supplier": ["s_acctbal"],
+}
+
+
+def build(dst: str, nulls: bool) -> None:
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        if not nulls:
+            sel = f"SELECT * FROM '{SRC}/{t}.parquet' LIMIT 0"
+        else:
+            cols = []
+            desc = con.sql(f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").fetchall()
+            targets = set(NULLABLE.get(t, []))
+            for name, *_ in desc:
+                if name in targets:
+                    cols.append(
+                        f"CASE WHEN hash(rowid) % 5 = 0 THEN NULL ELSE {name} END AS {name}"
+                    )
+                else:
+                    cols.append(name)
+            sel = (
+                f"SELECT {', '.join(cols)} FROM "
+                f"(SELECT *, row_number() OVER () AS rowid FROM '{SRC}/{t}.parquet')"
+            )
+        con.sql(f"COPY ({sel}) TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+
+
+def sweep(dst: str, label: str) -> int:
+    from asakusafw_spark_spark.session import get_spark
+    import __spark_entry__ as E
+
+    spark = get_spark(app_name=f"robustness_{label}")
+    spark.sparkContext.setLogLevel("ERROR")
+    fails = []
+    ok = 0
+    for name, fn in E.queries().items():
+        try:
+            fn(spark, dst).count()
+            ok += 1
+        except Exception as e:
+            fails.append((name, str(e).split("\n")[0][:110]))
+    print(f"[{label}] ok={ok} fail={len(fails)}")
+    for n, m in fails:
+        print(f"[{label}] FAIL {n} :: {m}")
+    return len(fails)
+
+
+def main() -> None:
+    mode = sys.argv[1] if len(sys.argv) > 1 else "both"
+    rc = 0
+    if mode in ("empty", "both"):
+        build("/tmp/sf_empty", nulls=False)
+        rc += sweep("/tmp/sf_empty", "empty")
+    if mode in ("nulls", "both"):
+        build("/tmp/sf_nulls", nulls=True)
+        rc += sweep("/tmp/sf_nulls", "nulls")
+    sys.exit(1 if rc else 0)
+
+
+if __name__ == "__main__":
+    main()
