@@ -383,8 +383,9 @@ def simhash_pairs(
     chunk_bits = bits // c
     mask = (1 << chunk_bits) - 1
 
-    # (id, sh) feeds the chunk explode AND both verify joins — without the
-    # persist the per-token sketch expression is computed 3×
+    # (id, sh) feeds both sides of the chunk self-join — the persist pins
+    # ONE evaluation of the per-token sketch expression without relying on
+    # Catalyst's ReusedExchange kicking in
     base = (
         ensure_parallelism(df)
         .select(F.col(id_col).alias("id"), simhash(text_col, bits).alias("sh"))
@@ -392,6 +393,7 @@ def simhash_pairs(
     )
     chunks = base.select(
         "id",
+        "sh",
         F.explode(
             F.array(
                 *[
@@ -405,23 +407,24 @@ def simhash_pairs(
                 ]
             )
         ).alias("ch"),
-    ).select("id", F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv"))
+    ).select("id", "sh", F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv"))
 
+    # The sketch rides along through the explode (8 bytes/row on the chunk
+    # shuffle), so the hamming verify is a popcount on columns already in
+    # hand — no join back to `base`.  Verify-BEFORE-dedup: bit_count is one
+    # instruction, and the ≤k filter shrinks the dedup's shuffle input.
     a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
+    hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
         a.join(b, on=[F.col("a.ci") == F.col("b.ci"), F.col("a.cv") == F.col("b.cv")])
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    verified = cand.join(
-        base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
-    ).join(base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        verified.withColumn("hamming", hamming.cast("long"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.cast("long").alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

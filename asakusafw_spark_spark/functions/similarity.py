@@ -346,33 +346,57 @@ def _kmeans_centroids(
     return [(j, [float(x) for x in C[j]]) for j in range(n)]
 
 
-def _nearest_centroids(vec: Column, cents, nprobe: int) -> Column:
-    """array<long> of the ``nprobe`` centroid ids nearest to ``vec``
-    (cosine desc, centroid id asc tie-break).
+def _nearest_centroids(vec_name: str, cents, nprobe: int) -> Column:
+    """array<long> of the ``nprobe`` centroid ids nearest to column
+    ``vec_name`` (cosine desc, centroid id asc tie-break).
 
-    Each centroid vector is ONE parsed literal array (see
-    :func:`_lit_doubles` — not a py4j call per element).  The per-centroid
-    cosine stays a top-level expression, NOT inside a higher-order-function
-    lambda: a column reference captured in a lambda trips Spark's
-    deduplicate-relations rewrite when the same scan feeds both join sides
-    (observed INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on warm sessions)."""
+    The WHOLE expression is emitted as one SQL string → ONE ``F.expr``
+    parse.  Building it with Column operators cost hundreds of py4j
+    round-trips per plan (8 centroids × cosine trees × 2 call sites
+    ≈ 2 s of driver time per ivf_topk call, dominating small-scale
+    wall-clock).  Arithmetic is kept bit-identical to
+    :func:`cosine_similarity`: sequential double fold for the dot and
+    the row-vector norm; the CENTROID norm is pre-folded in Python over
+    the same literal doubles in the same order (IEEE-identical to the
+    runtime fold it replaces), so oracle hashes are unchanged.
+
+    Cosine stays a top-level expression, NOT inside a higher-order-
+    function lambda over a centroid array: a column reference captured
+    in a lambda trips Spark's deduplicate-relations rewrite when the
+    same scan feeds both join sides (observed
+    INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on warm sessions)."""
     if not cents:
         # empty corpus → no centroids; a typed null array keeps the plan
         # analyzable (element_at → null, explode → zero rows)
         return F.lit(None).cast("array<bigint>")
-    scored = F.array(
-        *[
-            F.struct(
-                cosine_similarity(vec, F.expr(_lit_doubles(cvec))).alias("sim"),
-                F.lit(-int(cid)).cast("long").alias("negid"),
-            )
-            for cid, cvec in cents
-        ]
+    import math
+
+    v = f"`{vec_name}`"
+    # row-vector norm; repeated per centroid in the TEXT, deduplicated at
+    # runtime by whole-stage-codegen subexpression elimination
+    nv = (
+        f"sqrt(aggregate({v}, 0.0D,"
+        " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
     )
-    # struct max/sort compares (sim, negid): sim desc via sort desc, and
+    entries = []
+    for cid, cvec in cents:
+        lit = _lit_doubles(cvec)
+        nl = math.sqrt(sum(float(x) * float(x) for x in cvec))
+        dot = (
+            f"aggregate(zip_with({v}, {lit},"
+            " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            " 0.0D, (acc, s) -> acc + s)"
+        )
+        entries.append(
+            f"named_struct('sim', round({dot} / ({nv} * {float(nl)!r}D), 6),"
+            f" 'negid', {-int(cid)}L)"
+        )
+    # struct sort compares (sim, negid): sim desc via sort desc, and
     # negid desc == centroid id asc — the deterministic tie-break.
-    top = F.slice(F.sort_array(scored, asc=False), 1, nprobe)
-    return F.transform(top, lambda s: -s["negid"])
+    return F.expr(
+        f"transform(slice(sort_array(array({', '.join(entries)}), false),"
+        f" 1, {int(nprobe)}), s -> -s.negid)"
+    )
 
 
 def ivf_topk(
@@ -413,12 +437,12 @@ def ivf_topk(
     cb = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        F.element_at(_nearest_centroids(F.col(vec_col), cents, 1), 1).alias("cid"),
+        F.element_at(_nearest_centroids(vec_col, cents, 1), 1).alias("cid"),
     )
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        F.explode(_nearest_centroids(F.col(vec_col), cents, nprobe)).alias("cid"),
+        F.explode(_nearest_centroids(vec_col, cents, nprobe)).alias("cid"),
     )
     scored = (
         cb.join(F.broadcast(qb), "cid")
