@@ -118,7 +118,7 @@ def cosine_near_dup(
         bucketed = df.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
-            _bucket_key(F.col(vec_col), planes, seed, dim).alias("bucket"),
+            _bucket_key(vec_col, planes, seed, dim).alias("bucket"),
         )
         a = bucketed.select(
             F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket"
@@ -154,32 +154,42 @@ def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
     return row[0]["d"] if row else None
 
 
-def _bucket_key(vec: Column, planes: int, seed: int, dim: int | None = None) -> Column:
-    """Sign-pattern bucket key: bit p = sign(vec · plane_p).
+def _bucket_key_sql(vec_name: str, planes: int, seed: int, dim: int | None = None) -> str:
+    """SQL text for the sign-pattern bucket key: bit p = sign(vec · plane_p).
 
     Planes are md5-derived literal arrays (see :func:`_plane_component`)
     zipped against the vector — a pure fold, SQL-replicable.  Pass the
     actual ``dim`` (probed from data) so plane literals are exactly
     vector-sized; without it, arrays are built at MAX_DIM and sliced
     per row (zip_with pads the shorter side with nulls, which would
-    null the whole projection)."""
+    null the whole projection).
+
+    Emitted as TEXT so a whole bucket key — and in the multi-table case
+    a whole array of per-table keys — parses in ONE ``F.expr`` round
+    trip; per-plane Column construction cost ~10 py4j RPCs × planes ×
+    tables × 2 sides per plan build (the dominant cost at small scale).
+    Arithmetic is unchanged: sequential double fold, ``NULL`` vectors
+    fall to the '0' branch exactly like the old ``F.when`` form."""
+    v = f"`{vec_name}`"
     parts = []
     for p in range(planes):
         if dim is not None:
-            plane = F.expr(_lit_doubles(_plane_component(p, d, seed) for d in range(dim)))
+            plane = _lit_doubles(_plane_component(p, d, seed) for d in range(dim))
         else:
-            plane = F.slice(
-                F.expr(_lit_doubles(_plane_component(p, d, seed) for d in range(MAX_DIM))),
-                1,
-                F.size(vec),
+            plane = (
+                f"slice({_lit_doubles(_plane_component(p, d, seed) for d in range(MAX_DIM))},"
+                f" 1, size({v}))"
             )
-        proj = F.aggregate(
-            F.zip_with(vec, plane, lambda x, w: x.cast("double") * w),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        proj = (
+            f"aggregate(zip_with({v}, {plane}, (x, w) -> CAST(x AS DOUBLE) * w),"
+            " 0.0D, (acc, s) -> acc + s)"
         )
-        parts.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*parts)
+        parts.append(f"(CASE WHEN {proj} >= 0.0D THEN '1' ELSE '0' END)")
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def _bucket_key(vec_name: str, planes: int, seed: int, dim: int | None = None) -> Column:
+    return F.expr(_bucket_key_sql(vec_name, planes, seed, dim))
 
 
 #: per-table seed stride (prime) — table t hashes with seed + 7919·t;
@@ -217,25 +227,25 @@ def lsh_ann_topk(
     """
     dim = _probe_dim(corpus, vec_col)
 
-    def tables(vec: Column) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    _bucket_key(
-                        vec, planes, seed + LSH_TABLE_SEED_STRIDE * t, dim
-                    ).alias("bucket"),
-                )
-                for t in range(num_tables)
-            ]
+    def tables(vec_name: str) -> Column:
+        # one parsed expression for ALL tables' bucket keys
+        entries = ", ".join(
+            "named_struct('tbl', {t}, 'bucket', {key})".format(
+                t=t,
+                key=_bucket_key_sql(
+                    vec_name, planes, seed + LSH_TABLE_SEED_STRIDE * t, dim
+                ),
+            )
+            for t in range(num_tables)
         )
+        return F.expr(f"array({entries})")
 
     cb = (
         ensure_parallelism(corpus)
         .select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
-            F.explode(tables(F.col(vec_col))).alias("tb"),
+            F.explode(tables(vec_col)).alias("tb"),
         )
         .select(
             "neighbor_id", "c_vec",
@@ -246,7 +256,7 @@ def lsh_ann_topk(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
-            F.explode(tables(F.col(vec_col))).alias("tb"),
+            F.explode(tables(vec_col)).alias("tb"),
         )
         .select(
             "query_id", "q_vec",
