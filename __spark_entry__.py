@@ -1120,6 +1120,20 @@ def q_dedup_minhash_lsh(spark, sf):
     return minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.5)
 
 
+def q_dedup_clusters(spark, sf):
+    """Full fuzzy-dedup decision pipeline: MinHash-LSH pairs → connected
+    components (iterative min-label propagation) → per-doc cluster label,
+    min-id keeper flag, cluster size.  Oracle: the same pair SQL fed to a
+    recursive transitive-closure CTE."""
+    from asakusafw_spark_spark.functions import dup_clusters
+
+    docs = _t(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    return dup_clusters(
+        pairs, nodes=docs.select("doc_id"), node_col="doc_id"
+    )
+
+
 def q_dedup_ngram_jaccard(spark, sf):
     # max_doc_freq=5 actually prunes at the oracle corpus (29 shingles have
     # df>5 at sf0.01), so the driver verifies the CAPPED semantics — the
@@ -1691,6 +1705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_analysis": q_text_analysis,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_simhash": q_text_simhash,
         "dedup_simhash_groups": q_dedup_simhash_groups,
@@ -2200,6 +2215,33 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "dedup_minhash_lsh": _duck_minhash_lsh_sql(threshold=0.5),
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_duck_minhash_lsh_sql(threshold=0.5)}),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ),
+            reach AS (
+              SELECT a AS n, b AS m FROM edges
+              UNION
+              SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+            ),
+            labels AS (
+              SELECT n, LEAST(n, MIN(m)) AS cluster_id FROM reach GROUP BY n
+            ),
+            lab_all AS (
+              SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN labels l ON l.n = d.doc_id
+            ),
+            sizes AS (
+              SELECT cluster_id, COUNT(*) AS cluster_size
+              FROM lab_all GROUP BY cluster_id
+            )
+            SELECT a.doc_id, a.cluster_id,
+                   a.doc_id = a.cluster_id AS is_keeper, s.cluster_size
+            FROM lab_all a JOIN sizes s USING (cluster_id)
+        """,
         "dedup_ngram_jaccard": _duck_ngram_jaccard_sql(threshold=0.3),
         "text_simhash": f"""
             SELECT doc_id, {_duck_simhash_expr(32)} AS simhash

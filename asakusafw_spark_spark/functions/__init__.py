@@ -30,6 +30,7 @@ from .dedup import (
     simhash,
     simhash_dup_groups,
     simhash_pairs,
+    dup_clusters,
 )
 from .similarity import (
     cosine_similarity,
@@ -60,6 +61,7 @@ __all__ = [
     "simhash",
     "simhash_dup_groups",
     "simhash_pairs",
+    "dup_clusters",
     "cosine_similarity",
     "brute_force_topk",
     "cosine_near_dup",

@@ -446,3 +446,95 @@ def simhash_dup_groups(
         .agg(F.min("id").alias("keeper_id"), F.count(F.lit(1)).alias("dup_count"))
         .filter(F.col("dup_count") >= 2)
     )
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    node_col: str = "id",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list →
+    ``(node, cluster_id, is_keeper, cluster_size)`` with ``cluster_id``
+    = the MINIMUM node id in the component.
+
+    This is the step that turns the PAIR generators
+    (:func:`minhash_lsh_pairs`, :func:`simhash_pairs`,
+    :func:`ngram_jaccard_pairs`, ``cosine_near_dup``) into dedup
+    DECISIONS: transitively-connected docs collapse to one keeper
+    (``is_keeper`` ⇔ ``node == cluster_id``, the min-id survivor
+    convention), everything else in the cluster is a drop candidate.
+    The reference has no equivalent (its dedup story ends at
+    @GroupSort-style grouping); every production corpus dedup needs it.
+
+    Algorithm: iterative min-label propagation over the symmetrized
+    edge list — each round every node takes the min label among itself
+    and its neighbors, so the component minimum travels one hop per
+    round and the loop converges in diameter(component) rounds.
+    Near-dup graphs are overwhelmingly cliques/short chains (pairs come
+    from mutual-similarity generators), so diameters are small; if a
+    pathological chain exceeds ``max_rounds``, the loop RAISES rather
+    than returning half-merged clusters.  (The O(log n)
+    large-star/small-star variant is the documented upgrade path if
+    diameters ever grow; dedup graphs don't.)
+
+    Scale shape: per round, ONE equi-join of the label frame against
+    the (persisted, pre-symmetrized) edges plus ONE map-side-combinable
+    min aggregate; labels are eagerly ``localCheckpoint``-ed each round
+    so lineage stays flat and the convergence probe is a cheap scan.
+    Convergence is detected via the MONOTONE global label sum (labels
+    only ever decrease): one ``sum`` action per round, no
+    frame-vs-frame diff join.  Cost is O(rounds × |edges|), independent
+    of corpus width.
+
+    ``nodes`` (a frame containing ``node_col``) adds isolated docs as
+    singleton clusters; without it only paired nodes are labeled.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if nodes is not None:
+        base = nodes.select(F.col(node_col).cast("long").alias("n")).distinct()
+    else:
+        base = edges.select(F.col("src").alias("n")).distinct()
+    labels = base.select("n", F.col("n").alias("l")).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("l")).collect()[0][0]
+
+    converged = False
+    for _ in range(max_rounds):
+        prop = edges.join(labels, edges["dst"] == labels["n"]).select(
+            F.col("src").alias("n"), F.col("l")
+        )
+        labels = (
+            labels.union(prop)
+            .groupBy("n")
+            .agg(F.min("l").alias("l"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("l")).collect()[0][0]
+        if cur_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters: not converged after {max_rounds} rounds — a "
+            "component chain is longer than max_rounds; raise max_rounds "
+            "(rounds needed = component diameter)"
+        )
+    edges.unpersist()
+
+    sizes = labels.groupBy("l").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "l")
+        .select(
+            F.col("n").alias(node_col),
+            F.col("l").alias("cluster_id"),
+            (F.col("n") == F.col("l")).alias("is_keeper"),
+            "cluster_size",
+        )
+    )

@@ -33,6 +33,7 @@ HEADLINE = [
     "cogroup",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
     "text_analysis",

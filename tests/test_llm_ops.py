@@ -238,3 +238,41 @@ def test_simhash_pairs_hamming_bound(spark):
     assert out[(1, 2)] == 0
     for (a, b), h in out.items():
         assert h <= 3 and a < b
+
+
+def test_dup_clusters_transitive_chain(spark):
+    from pyspark.sql import Row
+
+    from asakusafw_spark_spark.functions import dup_clusters
+
+    # chain 1-2, 2-3 (transitive cluster of 3), pair 10-11, singleton 99
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=10, id_b=11)]
+    )
+    nodes = spark.createDataFrame([Row(id=i) for i in [1, 2, 3, 10, 11, 99]])
+    out = {
+        r.id: (r.cluster_id, r.is_keeper, r.cluster_size)
+        for r in dup_clusters(pairs, nodes=nodes).collect()
+    }
+    assert out[1] == (1, True, 3)
+    assert out[2] == (1, False, 3)
+    assert out[3] == (1, False, 3)
+    assert out[10] == (10, True, 2)
+    assert out[11] == (10, False, 2)
+    assert out[99] == (99, True, 1)
+
+
+def test_dup_clusters_without_nodes_and_round_bound(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from asakusafw_spark_spark.functions import dup_clusters
+
+    # long chain 0-1-2-...-6: diameter 6 needs several propagation rounds
+    chain = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(6)])
+    out = dup_clusters(chain).collect()
+    assert {r.cluster_id for r in out} == {0}
+    assert len(out) == 7 and sum(r.is_keeper for r in out) == 1
+
+    with pytest.raises(RuntimeError, match="not converged"):
+        dup_clusters(chain, max_rounds=2)
