@@ -955,6 +955,16 @@ def q_text_analysis(spark, sf):
     )
 
 
+def q_text_repetition(spark, sf):
+    """Gopher-style repetition drop signals (token-count approximation of
+    Rae et al. 2021 §A1.1) — phrase-level repetition that the
+    distinct-token quality score misses."""
+    from asakusafw_spark_spark.functions import repetition_signals
+    from asakusafw_spark_spark.functions.dedup import ensure_parallelism
+
+    return repetition_signals(ensure_parallelism(_t(spark, sf, "documents")))
+
+
 def q_dedup_exact(spark, sf):
     return dedup_exact(_t(spark, sf, "documents"))
 
@@ -1703,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # classic operator queries already have green rows banked in r01.
     return {
         "text_analysis": q_text_analysis,
+        "text_repetition": q_text_repetition,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
@@ -2129,6 +2140,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
         """,
         "text_analysis": _duck_text_analysis_sql(),
+        "text_repetition": """
+            WITH t AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)),
+                                      i -> array_to_string(toks[i:i+1], ' '))
+                  ELSE [] END AS g2,
+                CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1),
+                                      i -> array_to_string(toks[i:i+2], ' '))
+                  ELSE [] END AS g3
+              FROM t),
+            s AS (
+              SELECT doc_id,
+                len(g2) AS n2, len(list_distinct(g2)) AS d2,
+                len(g3) AS n3, len(list_distinct(g3)) AS d3,
+                CASE WHEN len(g2) > 0 THEN
+                  list_max(list_transform(list_distinct(g2),
+                    u -> len(list_filter(g2, x -> x = u))))
+                ELSE 0 END AS top2
+              FROM g),
+            r AS (
+              SELECT doc_id,
+                round(CASE WHEN n2 > 0
+                  THEN 1.0 - CAST(d2 AS DOUBLE) / n2 ELSE 0.0 END, 6)
+                  AS dup_2gram_ratio,
+                round(CASE WHEN n3 > 0
+                  THEN 1.0 - CAST(d3 AS DOUBLE) / n3 ELSE 0.0 END, 6)
+                  AS dup_3gram_ratio,
+                round(CASE WHEN n2 > 0
+                  THEN CAST(top2 AS DOUBLE) / n2 ELSE 0.0 END, 6)
+                  AS top_2gram_share
+              FROM s)
+            SELECT doc_id, dup_2gram_ratio, dup_3gram_ratio, top_2gram_share,
+                   (top_2gram_share > 0.20 OR dup_3gram_ratio > 0.18)
+                     AS repetitive
+            FROM r
+        """,
         "sample_stratified": f"""
             SELECT doc_id, lang, source FROM documents
             WHERE ({_DUCK_UNIT_HASH.format(key='doc_id')}) <

@@ -40,6 +40,7 @@ from .similarity import (
     ivf_topk,
     label_centroids,
 )
+from .text import repetition_signals, word_ngrams
 from .sampling import unit_hash, hash_sample, assign_split
 
 __all__ = [
@@ -62,6 +63,8 @@ __all__ = [
     "simhash_dup_groups",
     "simhash_pairs",
     "dup_clusters",
+    "repetition_signals",
+    "word_ngrams",
     "cosine_similarity",
     "brute_force_topk",
     "cosine_near_dup",

@@ -130,3 +130,73 @@ def fingerprint(col: Column | str) -> Column:
     text — the exact-dedup key."""
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))))
+
+
+def word_ngrams(col: Column | str, n: int = 2) -> Column:
+    """NON-distinct word n-grams (array<string>) — the multiset, for
+    repetition measurement; texts with fewer than ``n`` tokens yield an
+    empty array (contrast :func:`~.dedup.word_shingles`, which is
+    distinct and falls back to the whole text)."""
+    toks = tokens(col)
+    sz = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), sz - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.when(sz >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top2_threshold: float = 0.20,
+    dup3_threshold: float = 0.18,
+):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    token-count approximation): per doc,
+
+    - ``dup_2gram_ratio`` / ``dup_3gram_ratio`` — fraction of n-grams
+      that are repeats (1 − distinct/total),
+    - ``top_2gram_share`` — fraction of 2-grams taken by the single most
+      frequent 2-gram,
+    - ``repetitive`` — the drop flag:
+      ``top_2gram_share > top2_threshold OR dup_3gram_ratio >
+      dup3_threshold`` (Gopher's published cut points).
+
+    Looping/boilerplate text (the classic web-crawl failure mode) scores
+    high on these even when :func:`quality_score`'s distinct-TOKEN ratio
+    looks fine, because repetition lives at phrase granularity.
+
+    Scale shape: pure native Column expressions over the token array —
+    one scan, no shuffle, no Python.  The top-gram count is
+    O(distinct·total) per row (array-local, no cross-row state); ratios
+    are single IEEE divisions of integer counts, rounded to 6 dp, so the
+    DuckDB oracle hash-matches exactly.
+    """
+    g = df.select(
+        F.col(id_col),
+        word_ngrams(text_col, 2).alias("g2"),
+        word_ngrams(text_col, 3).alias("g3"),
+    )
+    n2, n3 = F.size("g2"), F.size("g3")
+    d2 = F.size(F.array_distinct("g2"))
+    d3 = F.size(F.array_distinct("g3"))
+    top2 = F.array_max(
+        F.transform(
+            F.array_distinct("g2"),
+            lambda u: F.size(F.filter("g2", lambda x: x == u)),
+        )
+    )
+    dup2 = F.round(F.when(n2 > 0, 1.0 - d2 / n2).otherwise(F.lit(0.0)), 6)
+    dup3 = F.round(F.when(n3 > 0, 1.0 - d3 / n3).otherwise(F.lit(0.0)), 6)
+    top2s = F.round(F.when(n2 > 0, top2 / n2).otherwise(F.lit(0.0)), 6)
+    return g.select(
+        F.col(id_col),
+        dup2.alias("dup_2gram_ratio"),
+        dup3.alias("dup_3gram_ratio"),
+        top2s.alias("top_2gram_share"),
+        (
+            (top2s > F.lit(top2_threshold)) | (dup3 > F.lit(dup3_threshold))
+        ).alias("repetitive"),
+    )

@@ -276,3 +276,26 @@ def test_dup_clusters_without_nodes_and_round_bound(spark):
 
     with pytest.raises(RuntimeError, match="not converged"):
         dup_clusters(chain, max_rounds=2)
+
+
+def test_repetition_signals_flags_looping_text(spark):
+    from pyspark.sql import Row
+
+    from asakusafw_spark_spark.functions import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            # "buy now " x 12 — one 2-gram dominates
+            Row(doc_id=1, text=("buy now " * 12).strip()),
+            Row(doc_id=2, text="the quick brown fox jumps over a lazy dog today"),
+            Row(doc_id=3, text="single"),
+            Row(doc_id=4, text=""),
+        ]
+    )
+    out = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    assert out[1].repetitive and out[1].top_2gram_share > 0.4
+    assert out[1].dup_3gram_ratio > 0.5
+    assert not out[2].repetitive and out[2].dup_2gram_ratio == 0.0
+    # < n tokens or empty text → zero signals, never null/crash
+    for d in (3, 4):
+        assert out[d].top_2gram_share == 0.0 and not out[d].repetitive
