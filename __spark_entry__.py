@@ -965,6 +965,52 @@ def q_text_repetition(spark, sf):
     return repetition_signals(ensure_parallelism(_t(spark, sf, "documents")))
 
 
+def q_cogroup_chunked(spark, sf):
+    """Chunk-streaming cogroup (reference Iterable group inputs backed by
+    spill buffers, CoGroupOperatorFragment.scala:28-63): per customer,
+    order count + max order price + name, consumed INCREMENTALLY from
+    (input, chunk) pieces — memory bounded by one Arrow batch regardless
+    of group size.  Only order-free exact aggregates (count/max) so the
+    chunk iteration order can't perturb the oracle hash."""
+    import pandas as pd
+
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_name")
+    orders = _t(spark, sf, "orders").select("o_custkey", "o_totalprice")
+
+    def fn(key, chunks):
+        seen = False
+        name = None
+        n = 0
+        mx = None
+        for i, df in chunks:
+            if i == 0:
+                seen = True
+                name = df.iloc[0]["c_name"]
+            else:
+                n += len(df)
+                m = df["o_totalprice"].max()
+                if pd.notna(m) and (mx is None or float(m) > mx):
+                    mx = float(m)
+        if not seen:
+            return None  # orphan orders: oracle's LEFT JOIN drops them too
+        return {
+            "c_custkey": key[0],
+            "c_name": name,
+            "n_orders": n,
+            "max_price": mx,
+        }
+
+    return cogroup(
+        [
+            Grouping(cust, ["c_custkey"]),
+            Grouping(orders, ["o_custkey"]),
+        ],
+        fn,
+        "c_custkey long, c_name string, n_orders long, max_price double",
+        chunked=True,
+    )
+
+
 def q_dedup_exact(spark, sf):
     return dedup_exact(_t(spark, sf, "documents"))
 
@@ -1714,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_analysis": q_text_analysis,
         "text_repetition": q_text_repetition,
+        "cogroup_chunked": q_cogroup_chunked,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
@@ -2140,6 +2187,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
         """,
         "text_analysis": _duck_text_analysis_sql(),
+        "cogroup_chunked": """
+            SELECT c.c_custkey, c.c_name,
+                   COUNT(o.o_orderkey) AS n_orders,
+                   MAX(o.o_totalprice) AS max_price
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey, c.c_name
+        """,
         "text_repetition": """
             WITH t AS (
               SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks

@@ -175,6 +175,7 @@ def cogroup(
     output_schema: T.StructType | str,
     partial: bool = False,
     max_buffered_rows: int | None = None,
+    chunked: bool = False,
 ) -> DataFrame:
     """@CoGroup: deliver each key's records as N sorted pandas frames.
 
@@ -204,6 +205,20 @@ def cogroup(
     (optional) fail-fasts with the offending KEY VALUE once a group's
     carry buffer exceeds it — a diagnosable error instead of an executor
     OOM.
+
+    ``chunked=True`` is the fully general bounded-memory mode — the
+    closest analogue of the reference's ITERABLE group inputs
+    (CoGroupOperatorFragment.scala:28-63 hands operators
+    ``java.lang.Iterable``s backed by spillable buffers): ``fn`` is
+    called ONCE per group as ``fn(key_tuple, pieces)`` where ``pieces``
+    lazily yields ``(input_index, pd.DataFrame)`` chunks in
+    (input, sort-order) sequence as they stream out of Arrow batches.
+    NOTHING is buffered — memory is bounded by one Arrow batch for ANY
+    group size (better than a spill: the group is never materialized).
+    An input with no rows in a group yields no pieces.  The trade:
+    ``fn`` must consume incrementally (it cannot look at the whole
+    group at once), and may not mix with ``partial``/
+    ``max_buffered_rows``.
     """
     import numpy as np
 
@@ -276,6 +291,15 @@ def cogroup(
         else T.StructType.fromDDL(output_schema)
     )
     out_cols = [f.name for f in out_schema.fields]
+    if chunked:
+        if partial or max_buffered_rows is not None:
+            raise ValueError(
+                "cogroup: chunked=True already bounds memory — it cannot "
+                "combine with partial or max_buffered_rows"
+            )
+        return _cogroup_chunked(
+            arranged, fn, out_schema, out_cols, key_names, metas, wide_by_input, n_in
+        )
     if partial and set(out_cols) != set(metas[0]):
         raise ValueError(
             "cogroup: partial=True needs output schema == input schema "
@@ -373,6 +397,134 @@ def cogroup(
             outs = emit(pending, _group_starts(pending, key_names))
             if outs:
                 yield pd.concat(outs, ignore_index=True)[out_cols]
+
+    return arranged.mapInPandas(stream, schema=out_schema)
+
+
+def _cogroup_chunked(
+    arranged: DataFrame,
+    fn: Callable[..., pd.DataFrame],
+    out_schema: T.StructType,
+    out_cols: Sequence[str],
+    key_names: Sequence[str],
+    metas: Sequence[Sequence[str]],
+    wide_by_input: Sequence[Sequence[str]],
+    n_in: int,
+) -> DataFrame:
+    """Chunk-streaming cogroup executor (see ``cogroup(chunked=True)``).
+
+    Pieces are cut per Arrow batch with the same group-boundary /
+    tag-searchsorted logic as the buffered path; a ONE-PIECE lookahead
+    stitches groups across batch boundaries (null-safe key equality,
+    matching :func:`_group_starts`' NaN == NaN convention).  Outputs are
+    batched before crossing back to the JVM — dict returns accumulate
+    into one frame per ~4096 rows, never one Arrow batch per group.
+    """
+    import numpy as np
+
+    def keys_equal(k1, k2) -> bool:
+        for a, b in zip(k1, k2):
+            a_na, b_na = pd.isna(a), pd.isna(b)
+            if a_na and b_na:
+                continue
+            if a_na != b_na or a != b:
+                return False
+        return True
+
+    def pieces(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            starts = _group_starts(pdf, key_names)
+            bounds = list(starts) + [len(pdf)]
+            tags = pdf["__tag"].to_numpy()
+            key_arrays = [pdf[kn].to_numpy() for kn in key_names]
+            subs = []
+            for i in range(n_in):
+                sub = pdf[wide_by_input[i]].reset_index(drop=True)
+                sub.columns = metas[i]
+                subs.append(sub)
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                key_vals = tuple(arr[a] for arr in key_arrays)
+                gtags = tags[a:b]
+                for i in range(n_in):
+                    lo, hi = np.searchsorted(gtags, [i, i + 1])
+                    if hi > lo:
+                        yield (
+                            key_vals,
+                            i,
+                            subs[i].iloc[a + lo : a + hi].reset_index(drop=True),
+                        )
+
+    def grouped(piece_iter):
+        """(key, lazy chunk generator) per group; the generator pulls
+        pieces on demand — one in flight at a time."""
+        it = iter(piece_iter)
+        hold: list = []
+        try:
+            hold.append(next(it))
+        except StopIteration:
+            return
+
+        def chunks_for(current_key):
+            while True:
+                if not hold:
+                    try:
+                        hold.append(next(it))
+                    except StopIteration:
+                        return
+                kv, i, df = hold[0]
+                if not keys_equal(kv, current_key):
+                    return
+                hold.pop()
+                yield i, df
+
+        while hold:
+            current_key = hold[0][0]
+            gen = chunks_for(current_key)
+            yield current_key, gen
+            for _ in gen:  # drain whatever fn left unconsumed
+                pass
+            if not hold:
+                try:
+                    hold.append(next(it))
+                except StopIteration:
+                    return
+
+    def stream(batches):
+        records: list[dict] = []
+        frames: list[pd.DataFrame] = []
+        pending = 0
+
+        def flush():
+            nonlocal records, frames, pending
+            if records:
+                frames.append(pd.DataFrame(records))
+                records = []
+            pending = 0
+            if frames:
+                out = pd.concat(frames, ignore_index=True)[out_cols]
+                frames = []
+                return out
+            return None
+
+        for key_vals, chunks in grouped(pieces(batches)):
+            out = fn(key_vals, chunks)
+            if out is None:
+                continue
+            if isinstance(out, dict):
+                records.append(out)
+                pending += 1
+            elif len(out):
+                frames.append(out)
+                pending += len(out)
+            if pending >= 4096:
+                flushed = flush()
+                if flushed is not None:
+                    yield flushed
+        flushed = flush()
+        if flushed is not None:
+            yield flushed
 
     return arranged.mapInPandas(stream, schema=out_schema)
 

@@ -249,3 +249,120 @@ def test_fold_partial_matches_unpartial(spark, sf_dir):
     a = sorted(map(tuple, fold(li, ["l_returnflag"], fn=fmax).collect()))
     b = sorted(map(tuple, fold(li, ["l_returnflag"], fn=fmax, partial=True).collect()))
     assert a == b
+
+
+def test_cogroup_chunked_matches_buffered(spark, foo, bar):
+    """chunked=True must produce the same results as the buffered path."""
+
+    def buffered_fn(key, foos, bars):
+        return {
+            "grp": key[0],
+            "nfoo": len(foos),
+            "nbar": len(bars),
+            "sum_v": float(foos["v"].sum()),
+            "first_ord": None if bars.empty else int(bars.iloc[0]["ord"]),
+        }
+
+    def chunked_fn(key, chunks):
+        nfoo = nbar = 0
+        sum_v = 0.0
+        first_ord = None
+        for i, df in chunks:
+            if i == 0:
+                nfoo += len(df)
+                sum_v += float(df["v"].sum())
+            else:
+                nbar += len(df)
+                if first_ord is None:
+                    first_ord = int(df.iloc[0]["ord"])
+        return {
+            "grp": key[0], "nfoo": nfoo, "nbar": nbar,
+            "sum_v": sum_v, "first_ord": first_ord,
+        }
+
+    schema = "grp int, nfoo long, nbar long, sum_v double, first_ord int"
+    inputs = [Grouping(foo, ["grp"]), Grouping(bar, ["grp"], [("ord", "desc")])]
+    a = sorted(map(tuple, cogroup(inputs, buffered_fn, schema).collect()))
+    b = sorted(map(tuple, cogroup(inputs, chunked_fn, schema, chunked=True).collect()))
+    assert a == b and len(a) == 3
+
+
+def test_cogroup_chunked_giant_group_streams_in_pieces(spark):
+    """A group far larger than one Arrow batch arrives as MULTIPLE chunks
+    (nothing buffered), sort order survives across chunk boundaries, and
+    the incremental result is exact."""
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        n = 5000
+        df = spark.range(n).select(
+            (F.col("id") % 2).alias("grp"), F.col("id").alias("x")
+        )
+
+        def fn(key, chunks):
+            total = cnt = n_chunks = 0
+            last = None
+            monotone = True
+            for _, c in chunks:
+                n_chunks += 1
+                cnt += len(c)
+                total += int(c["x"].sum())
+                xs = c["x"].tolist()
+                if last is not None and xs and xs[0] < last:
+                    monotone = False
+                if xs:
+                    if any(b < a for a, b in zip(xs, xs[1:])):
+                        monotone = False
+                    last = xs[-1]
+            return {
+                "grp": int(key[0]), "cnt": cnt, "total": total,
+                "n_chunks": n_chunks, "monotone": monotone,
+            }
+
+        out = cogroup(
+            [Grouping(df, ["grp"], [("x", "asc")])],
+            fn,
+            "grp long, cnt long, total long, n_chunks long, monotone boolean",
+            chunked=True,
+        )
+        r = {x.grp: x for x in out.collect()}
+        for g in (0, 1):
+            xs = range(g, n, 2)
+            assert r[g].cnt == len(xs) and r[g].total == sum(xs)
+            assert r[g].monotone
+            assert r[g].n_chunks > 5  # 2500 rows / 100-row batches
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        if prev is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_cogroup_chunked_partial_consume_and_validation(spark, foo, bar):
+    # fn that stops reading after the first chunk — the executor must
+    # drain the remainder and keep group boundaries intact
+    def lazy_fn(key, chunks):
+        for i, df in chunks:
+            return {"grp": key[0], "first_n": len(df)}
+        return {"grp": key[0], "first_n": 0}
+
+    out = cogroup(
+        [Grouping(foo, ["grp"]), Grouping(bar, ["grp"])],
+        lazy_fn,
+        "grp int, first_n long",
+        chunked=True,
+    ).collect()
+    assert len(out) == 3 and all(x.first_n > 0 for x in out)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="chunked"):
+        cogroup(
+            [Grouping(foo, ["grp"])],
+            lazy_fn,
+            "grp int, first_n long",
+            chunked=True,
+            partial=True,
+        )
