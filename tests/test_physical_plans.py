@@ -51,3 +51,21 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     plan = _plan(li.filter(F.col("l_quantity") > 40).select("l_orderkey"))
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
     assert "l_quantity" in pushed
+
+
+def test_partitioned_write_prunes_partitions_on_read(spark, sf_dir, tmp_path):
+    """Hive-style partition_by output + filtered read-back must hit
+    PARTITION pruning (directory-level skip — the 100 TB table layout),
+    not just row-group PushedFilters."""
+    from asakusafw_spark_spark.sources.write import write_flat
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "docs_by_lang")
+    write_flat(docs, out, partition_by=["lang"])
+
+    back = spark.read.parquet(out).filter(F.col("lang") == "en")
+    plan = _plan(back)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "lang" in pf and "en" in pf
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert n_en > 0 and back.count() == n_en
