@@ -480,14 +480,14 @@ def dup_clusters(
     large-star/small-star variant is the documented upgrade path if
     diameters ever grow; dedup graphs don't.)
 
-    Scale shape: per round, ONE equi-join of the label frame against
-    the (persisted, pre-symmetrized) edges plus ONE map-side-combinable
-    min aggregate; labels are eagerly ``localCheckpoint``-ed each round
-    so lineage stays flat and the convergence probe is a cheap scan.
-    Convergence is detected via the MONOTONE global label sum (labels
-    only ever decrease): one ``sum`` action per round, no
-    frame-vs-frame diff join.  Cost is O(rounds × |edges|), independent
-    of corpus width.
+    Scale shape: the edge list is symmetrized once, PRE-PARTITIONED on
+    the join key, and persisted — so per round only the (small) label
+    frame shuffles into the join, plus ONE map-side-combinable min
+    aggregate.  Each round runs exactly one job: the convergence probe
+    (MONOTONE global label sum — labels only ever decrease, no
+    frame-vs-frame diff join) doubles as the cache materialization;
+    every 5th round the labels are ``localCheckpoint``-ed to truncate
+    lineage.  Cost is O(rounds × |edges|), independent of corpus width.
 
     ``nodes`` (a frame containing ``node_col``) adds isolated docs as
     singleton clusters; without it only paired nodes are labeled.
@@ -495,6 +495,7 @@ def dup_clusters(
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .repartition(F.col("dst"))  # pin join-key partitioning in the cache
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if nodes is not None:
@@ -505,17 +506,18 @@ def dup_clusters(
     prev_sum = labels.agg(F.sum("l")).collect()[0][0]
 
     converged = False
-    for _ in range(max_rounds):
+    for r in range(max_rounds):
         prop = edges.join(labels, edges["dst"] == labels["n"]).select(
             F.col("src").alias("n"), F.col("l")
         )
-        labels = (
-            labels.union(prop)
-            .groupBy("n")
-            .agg(F.min("l").alias("l"))
-            .localCheckpoint(eager=True)
-        )
-        cur_sum = labels.agg(F.sum("l")).collect()[0][0]
+        new_labels = labels.union(prop).groupBy("n").agg(F.min("l").alias("l"))
+        if (r + 1) % 5 == 0:
+            new_labels = new_labels.localCheckpoint(eager=False)
+        else:
+            new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
+        cur_sum = new_labels.agg(F.sum("l")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
         if cur_sum == prev_sum:
             converged = True
             break

@@ -74,11 +74,49 @@ def q_topk(spark, sf_dir):
     )
 
 
+def q_chunked_cogroup(spark, sf_dir):
+    def fn(key, chunks):
+        n_o = n_l = 0
+        for i, df in chunks:
+            if i == 0:
+                n_o += len(df)
+            else:
+                n_l += len(df)
+        return {"k": key[0], "n_o": n_o, "n_l": n_l}
+
+    return cogroup(
+        [
+            Grouping(_orders(spark, sf_dir).select("o_orderkey"), ["o_orderkey"]),
+            Grouping(
+                _lineitem(spark, sf_dir).select("l_orderkey", "l_linenumber"),
+                ["l_orderkey"],
+                [("l_linenumber", "asc")],
+            ),
+        ],
+        fn,
+        "k long, n_o long, n_l long",
+        chunked=True,
+    )
+
+
+def q_dup_clusters(spark, sf_dir):
+    from asakusafw_spark_spark.functions import dup_clusters, simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dup_clusters(
+        simhash_pairs(docs, max_hamming=3),
+        nodes=docs.select("doc_id"),
+        node_col="doc_id",
+    )
+
+
 QUERIES = {
     "summarize": q_summarize,
     "join": q_join,
     "cogroup": q_cogroup,
     "topk": q_topk,
+    "chunked_cogroup": q_chunked_cogroup,
+    "dup_clusters": q_dup_clusters,
 }
 
 
