@@ -1740,6 +1740,17 @@ def _duck_lsh_ann_sql(
     """
 
 
+def q_embedding_dup_clusters(spark, sf):
+    """dup_clusters composes across modalities: embedding-cosine near-dup
+    pairs (LSH-bucketed) → connected components → per-vector keeper
+    decision.  Same operator, different pair generator."""
+    from asakusafw_spark_spark.functions import cosine_near_dup, dup_clusters
+
+    emb = _t(spark, sf, "embeddings")
+    pairs = cosine_near_dup(emb, threshold=0.45, planes=2)
+    return dup_clusters(pairs, nodes=emb.select("vec_id"), node_col="vec_id")
+
+
 def _duck_near_dup_sql(threshold: float = 0.9, planes: int = 6) -> str:
     bucket = _duck_bucket_expr("embedding", planes)
     return f"""
@@ -1772,6 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_ann": q_similarity_lsh_ann,
         "similarity_ivf": q_similarity_ivf,
         "similarity_near_dup": q_similarity_near_dup,
+        "embedding_dup_clusters": q_embedding_dup_clusters,
         "streaming_windowed_agg": q_streaming_window,
         "streaming_sessionize": q_streaming_sessionize,
         "streaming_dedup": q_streaming_dedup,
@@ -2378,6 +2390,33 @@ def oracle_sql() -> dict[str, str]:
         "similarity_lsh_ann": _duck_lsh_ann_sql(k=5, nq=10, planes=6, num_tables=4),
         "similarity_ivf": _duck_ivf_sql(k=5, nq=10, n_centroids=8, nprobe=2),
         "similarity_near_dup": _duck_near_dup_sql(threshold=0.45, planes=2),
+        "embedding_dup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_duck_near_dup_sql(threshold=0.45, planes=2)}),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ),
+            reach AS (
+              SELECT a AS n, b AS m FROM edges
+              UNION
+              SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+            ),
+            labels AS (
+              SELECT n, LEAST(n, MIN(m)) AS cluster_id FROM reach GROUP BY n
+            ),
+            lab_all AS (
+              SELECT v.vec_id, COALESCE(l.cluster_id, v.vec_id) AS cluster_id
+              FROM embeddings v LEFT JOIN labels l ON l.n = v.vec_id
+            ),
+            sizes AS (
+              SELECT cluster_id, COUNT(*) AS cluster_size
+              FROM lab_all GROUP BY cluster_id
+            )
+            SELECT a.vec_id, a.cluster_id,
+                   a.vec_id = a.cluster_id AS is_keeper, s.cluster_size
+            FROM lab_all a JOIN sizes s USING (cluster_id)
+        """,
         "streaming_dedup": """
             SELECT DISTINCT user_id, event_type, ts FROM events
         """,
