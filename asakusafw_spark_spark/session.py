@@ -63,6 +63,10 @@ def engine_builder(
         # stages); memory bound = batch-rows × row-width per worker.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(TINY_BROADCAST_BYTES))
+        # answer MIN/MAX/COUNT-only scans from parquet footer statistics
+        # (no row materialization); runtime bloom-filter join pruning and
+        # dynamic partition pruning are already on by default in Spark 4
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
