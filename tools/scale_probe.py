@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""10x scale-shape probe for the round-2 operators.
+
+Unions sf0.1 inputs 10x with DISJOINT id spaces, so group/cluster counts
+scale 10x too (the honest shape: no artificial key collapse), and compares
+wall-clock against the 1x run. Linear-ish growth = the partition strategy
+holds; superlinear = a shuffle or driver bottleneck is hiding.
+
+Run: python tools/scale_probe.py   (results belong in BASELINE.md)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def inflate(df, id_cols, copies=10, stride=10_000_000):
+    """copies x union with ids offset per copy — disjoint key spaces."""
+    parts = []
+    for c in range(copies):
+        p = df
+        for col in id_cols:
+            p = p.withColumn(col, F.col(col) + F.lit(c * stride))
+        parts.append(p)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def timed(label, fn):
+    t0 = time.perf_counter()
+    n = fn()
+    dt = time.perf_counter() - t0
+    print(f"{label}: {dt:.1f}s  (result rows={n})")
+    return dt
+
+
+def main():
+    from asakusafw_spark_spark.session import get_spark
+    from asakusafw_spark_spark.functions import dup_clusters, minhash_lsh_pairs
+    from asakusafw_spark_spark.operators import Grouping, cogroup
+
+    spark = get_spark(app_name="scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+    def clusters(d):
+        pairs = minhash_lsh_pairs(d, threshold=0.5)
+        return dup_clusters(pairs, nodes=d.select("doc_id"), node_col="doc_id").count()
+
+    t1 = timed("dup_clusters 1x (5k docs)", lambda: clusters(docs))
+    docs10 = inflate(docs, ["doc_id"]).persist()
+    docs10.count()
+    t10 = timed("dup_clusters 10x (50k docs, disjoint ids)", lambda: clusters(docs10))
+    print(f"dup_clusters growth: {t10 / t1:.1f}x for 10x docs")
+    docs10.unpersist()
+
+    def chunked_count(o, l):
+        def fn(key, chunks):
+            n = 0
+            mx = None
+            for i, df in chunks:
+                if i == 1:
+                    n += len(df)
+                    m = df["l_quantity"].max()
+                    if m is not None and (mx is None or m > mx):
+                        mx = float(m)
+            return {"k": key[0], "n": n, "mx": mx}
+
+        return cogroup(
+            [
+                Grouping(o, ["o_orderkey"]),
+                Grouping(l, ["l_orderkey"], [("l_linenumber", "asc")]),
+            ],
+            fn,
+            "k long, n long, mx double",
+            chunked=True,
+        ).count()
+
+    t1 = timed("cogroup_chunked 1x (150k groups)", lambda: chunked_count(orders, li))
+    o10 = inflate(orders, ["o_orderkey"]).persist()
+    l10 = inflate(li, ["l_orderkey"]).persist()
+    o10.count(); l10.count()
+    t10 = timed(
+        "cogroup_chunked 10x (1.5M groups, 6M rows)", lambda: chunked_count(o10, l10)
+    )
+    print(f"cogroup_chunked growth: {t10 / t1:.1f}x for 10x groups+rows")
+
+
+if __name__ == "__main__":
+    main()
