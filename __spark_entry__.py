@@ -602,6 +602,29 @@ def q_approx_distinct(spark, sf):
     )
 
 
+def q_approx_percentile(spark, sf):
+    """Approximate percentile sketch (§2.8): the sketch's value is
+    engine-specific, so the hash-checkable output is (exact median,
+    n_items, within_bound) — the approx median must land inside the
+    exact p45..p55 value window (rank tolerance 0.05 ≫ the sketch's
+    1/accuracy = 1e-4 rank error).  The oracle emits TRUE
+    unconditionally, so the hash matches iff the sketch held."""
+    li = _t(spark, sf, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("__approx"),
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_quantity, 0.45)").alias("__lo"),
+        F.expr("percentile(l_quantity, 0.55)").alias("__hi"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    within = (F.col("__approx") >= F.col("__lo")) & (
+        F.col("__approx") <= F.col("__hi")
+    )
+    return agg.select(
+        "l_returnflag", "median_qty", "n_items", within.alias("within_bound")
+    )
+
+
 def q_multimodal_features(spark, sf):
     """Full multimodal plumbing through mapInPandas: text bytes as an
     opaque payload → fake (md5-derived) decoder → feature array.  The
@@ -1791,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful_count": q_streaming_stateful_count,
         "iterative_rounds": q_iterative_rounds,
         "approx_distinct": q_approx_distinct,
+        "approx_percentile": q_approx_percentile,
         "fold_partial": q_fold_partial,
         "sample_stratified": q_sample_stratified,
         "train_val_split": q_train_val_split,
@@ -2151,6 +2175,13 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS within_bound
             FROM lineitem
             GROUP BY l_returnflag
+        """,
+        "approx_percentile": """
+            SELECT l_returnflag,
+                   quantile_cont(l_quantity, 0.5) AS median_qty,
+                   COUNT(*) AS n_items,
+                   TRUE AS within_bound
+            FROM lineitem GROUP BY l_returnflag
         """,
         "multimodal_features": """
             SELECT doc_id AS media_id,
