@@ -299,3 +299,51 @@ def test_repetition_signals_flags_looping_text(spark):
     # < n tokens or empty text → zero signals, never null/crash
     for d in (3, 4):
         assert out[d].top_2gram_share == 0.0 and not out[d].repetitive
+
+
+def test_dup_clusters_matches_union_find_property(spark):
+    """Property: for arbitrary edge lists, dup_clusters' labeling equals a
+    driver-side union-find (min id per component) over the same edges."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from asakusafw_spark_spark.functions import dup_clusters
+
+    def union_find_labels(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in nodes}
+
+    edge_lists = st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(edge_lists)
+    def check(raw):
+        edges = [(min(a, b), max(a, b)) for a, b in raw]
+        nodes = sorted({n for e in edges for n in e})
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r.id: r.cluster_id
+            for r in dup_clusters(pairs, max_rounds=40).collect()
+        }
+        assert got == union_find_labels(edges, nodes)
+
+    check()
