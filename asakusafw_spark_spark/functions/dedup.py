@@ -448,13 +448,52 @@ def simhash_dup_groups(
     )
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every node ``u`` connects its STRICTLY
+    LARGER neighbors to ``m = min(Γ(u) ∪ {u})``.
+
+    Expressed without ``collect_list`` — a per-node min aggregate joined
+    back onto the symmetrized edge list, so a high-degree hub (the
+    eventual cluster center holds degree = cluster size) never has to
+    materialize its neighborhood in one task: both the aggregate and the
+    join are plain hash shuffles on the node id, spillable and
+    AQE-skew-splittable.  Output edges are canonical (src > dst).
+    """
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = sym.groupBy("src").agg(F.least(F.col("src"), F.min("dst")).alias("m"))
+    return (
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: every node ``u`` connects its ≤ neighbors
+    (and itself) to ``m = min(Γ⁻(u) ∪ {u})``.  Input and output are both
+    canonical (src > dst); same join-not-collect shape as
+    :func:`_large_star`.
+    """
+    mins = edges.groupBy("src").agg(F.min("dst").alias("m"))
+    return (
+        edges.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .union(mins.select(F.col("src"), F.col("m").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
 def dup_clusters(
     pairs: DataFrame,
     nodes: DataFrame | None = None,
     id_a: str = "id_a",
     id_b: str = "id_b",
     node_col: str = "id",
-    max_rounds: int = 20,
+    max_rounds: int = 30,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list →
     ``(node, cluster_id, is_keeper, cluster_size)`` with ``cluster_id``
@@ -469,66 +508,79 @@ def dup_clusters(
     The reference has no equivalent (its dedup story ends at
     @GroupSort-style grouping); every production corpus dedup needs it.
 
-    Algorithm: iterative min-label propagation over the symmetrized
-    edge list — each round every node takes the min label among itself
-    and its neighbors, so the component minimum travels one hop per
-    round and the loop converges in diameter(component) rounds.
-    Near-dup graphs are overwhelmingly cliques/short chains (pairs come
-    from mutual-similarity generators), so diameters are small; if a
-    pathological chain exceeds ``max_rounds``, the loop RAISES rather
-    than returning half-merged clusters.  (The O(log n)
-    large-star/small-star variant is the documented upgrade path if
-    diameters ever grow; dedup graphs don't.)
+    Algorithm: **large-star / small-star alternation** (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14).  Each
+    round rewires edges toward per-neighborhood minima, roughly halving
+    the distance to the component minimum — convergence is
+    O(log n) rounds regardless of component DIAMETER, so a pathological
+    10k-link chain (boilerplate drift across a crawl) costs ~15 rounds,
+    not 10k like plain min-label propagation.  At the fixed point every
+    component is a star centered on its minimum id.  If the edge set is
+    still changing after ``max_rounds`` the loop RAISES rather than
+    returning half-merged clusters.
 
-    Scale shape: the edge list is symmetrized once, PRE-PARTITIONED on
-    the join key, and persisted — so per round only the (small) label
-    frame shuffles into the join, plus ONE map-side-combinable min
-    aggregate.  Each round runs exactly one job: the convergence probe
-    (MONOTONE global label sum — labels only ever decrease, no
-    frame-vs-frame diff join) doubles as the cache materialization;
-    every 5th round the labels are ``localCheckpoint``-ed to truncate
-    lineage.  Cost is O(rounds × |edges|), independent of corpus width.
+    Scale shape: each round is two (aggregate + self-join) pairs over
+    the edge list — hash shuffles on node id only, no collect_list, no
+    driver traffic beyond two scalar counts for the convergence probe.
+    The edge set is ``localCheckpoint``-ed every round, which both
+    truncates the exponentially-deepening lineage and doubles as the
+    cache.  Edge count never exceeds ~|V| after the first round (each
+    node keeps ≤1 outgoing edge post-small-star), so intermediate state
+    SHRINKS toward |V| regardless of input pair inflation.
 
     ``nodes`` (a frame containing ``node_col``) adds isolated docs as
     singleton clusters; without it only paired nodes are labeled.
+    ``stats`` (optional dict) receives ``{"rounds": r}`` for
+    convergence introspection.
     """
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .repartition(F.col("dst"))  # pin join-key partitioning in the cache
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    raw = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
     )
     if nodes is not None:
         base = nodes.select(F.col(node_col).cast("long").alias("n")).distinct()
     else:
-        base = edges.select(F.col("src").alias("n")).distinct()
-    labels = base.select("n", F.col("n").alias("l")).localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("l")).collect()[0][0]
-
-    converged = False
-    for r in range(max_rounds):
-        prop = edges.join(labels, edges["dst"] == labels["n"]).select(
-            F.col("src").alias("n"), F.col("l")
+        base = (
+            raw.select(F.col("src").alias("n"))
+            .union(raw.select(F.col("dst").alias("n")))
+            .distinct()
         )
-        new_labels = labels.union(prop).groupBy("n").agg(F.min("l").alias("l"))
-        if (r + 1) % 5 == 0:
-            new_labels = new_labels.localCheckpoint(eager=False)
-        else:
-            new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
-        cur_sum = new_labels.agg(F.sum("l")).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
-        if cur_sum == prev_sum:
+    # canonical form: src > dst, self-loops dropped, set semantics
+    edges = (
+        raw.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = edges.count()
+
+    converged = n_edges == 0
+    rounds = 0
+    while not converged and rounds < max_rounds:
+        rounds += 1
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        new_count = new_edges.count()
+        # set equality: |B| == |A| and B \ A == ∅  (both are distinct sets)
+        if new_count == n_edges and new_edges.subtract(edges).isEmpty():
             converged = True
-            break
-        prev_sum = cur_sum
+        edges = new_edges
+        n_edges = new_count
+    if stats is not None:
+        stats["rounds"] = rounds
     if not converged:
         raise RuntimeError(
-            f"dup_clusters: not converged after {max_rounds} rounds — a "
-            "component chain is longer than max_rounds; raise max_rounds "
-            "(rounds needed = component diameter)"
+            f"dup_clusters: edge set still changing after {max_rounds} "
+            "large-star/small-star rounds — rounds needed is O(log n), so "
+            "this indicates an extreme graph; raise max_rounds"
         )
-    edges.unpersist()
+
+    # fixed point = star forest: every non-minimum node carries exactly one
+    # canonical edge to its component minimum (min() guards the invariant)
+    attach = edges.groupBy("src").agg(F.min("dst").alias("l"))
+    labels = base.join(attach, base["n"] == attach["src"], "left").select(
+        "n", F.coalesce(F.col("l"), F.col("n")).alias("l")
+    )
 
     sizes = labels.groupBy("l").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (

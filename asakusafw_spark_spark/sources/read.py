@@ -13,8 +13,6 @@ pushdown, column pruning, and partition discovery come free (check
 
 from __future__ import annotations
 
-import glob
-import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
@@ -24,46 +22,80 @@ _FORMATS = {"parquet", "orc", "csv", "tsv", "json", "text"}
 _NANOS_FLAG = "spark.sql.legacy.parquet.nanosAsLong"
 
 
-def _first_parquet_file(path: str) -> str | None:
-    """Resolve a path/dir/glob to one representative parquet data file
-    (local filesystem only — used for footer inspection)."""
-    p = path[5:] if path.startswith("file:") else path
-    if any(ch in p for ch in "*?["):
-        hits = sorted(glob.glob(p))
-    elif os.path.isdir(p):
-        hits = sorted(glob.glob(os.path.join(p, "*.parquet"))) or sorted(
-            f for f in glob.glob(os.path.join(p, "part-*")) if not f.endswith(".crc")
-        )
+def _first_parquet_file(spark: SparkSession, path: str):
+    """Resolve a path/dir/glob to one representative parquet data file,
+    as a Hadoop ``Path`` — resolved through ``Path.getFileSystem`` so the
+    SAME code path serves ``file://``, ``hdfs://`` and ``s3a://`` (the
+    reference reads everything through Hadoop streams,
+    runtime/.../graph/TemporaryInput.scala:32-49)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path
+    conf = spark._jsc.hadoopConfiguration()
+    p = jpath(path)
+    fs = p.getFileSystem(conf)
+    if any(ch in path for ch in "*?["):
+        statuses = list(fs.globStatus(p) or [])
     else:
-        hits = [p]
-    for h in hits:
-        if os.path.isfile(h):
-            return h
+        if not fs.exists(p):
+            return None
+        st = fs.getFileStatus(p)
+        if st.isFile():
+            return st.getPath()  # explicit file: no name filtering
+        statuses = [st]
+    files = []
+    for st in statuses:
+        if st.isDirectory():
+            files.extend(fs.listStatus(st.getPath()))
+        else:
+            files.append(st)
+    for st in sorted(files, key=lambda s: s.getPath().getName()):
+        name = st.getPath().getName()
+        if not st.isFile() or name.startswith(("_", ".")):
+            continue
+        if name.endswith(".parquet") or name.startswith("part-"):
+            return st.getPath()
     return None
 
 
-def _nanos_columns(paths: Sequence[str]) -> set[str] | None:
+def _nanos_columns(spark: SparkSession, paths: Sequence[str]) -> set[str] | None:
     """Columns that are TIMESTAMP(NANOS) per the parquet footer, or None
-    when no footer is locally readable (remote URI)."""
-    try:
-        import pyarrow.parquet as pq
-        import pyarrow.types as pat
-    except ImportError:  # pragma: no cover
-        return None
+    when no footer could be read for any path.
+
+    The footer is read through ``parquet-mr``'s ``ParquetFileReader``
+    over ``HadoopInputFile`` (ranged Hadoop-stream reads — only the
+    footer bytes travel), so detection works identically on local and
+    remote filesystems; there is no filename-convention fallback.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
     cols: set[str] = set()
     found = False
     for path in paths:
-        f = _first_parquet_file(path)
-        if f is None:
+        jp = _first_parquet_file(spark, path)
+        if jp is None:
             continue
         try:
-            schema = pq.read_schema(f)
+            in_file = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                jp, conf
+            )
+            reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(in_file)
+            try:
+                schema = reader.getFooter().getFileMetaData().getSchema()
+                for i in range(schema.getFieldCount()):
+                    t = schema.getType(i)
+                    lt = t.getLogicalTypeAnnotation()
+                    if (
+                        lt is not None
+                        and lt.getClass().getSimpleName()
+                        == "TimestampLogicalTypeAnnotation"
+                        and lt.getUnit().toString() == "NANOS"
+                    ):
+                        cols.add(t.getName())
+            finally:
+                reader.close()
         except Exception:
             continue
         found = True
-        for field in schema:
-            if pat.is_timestamp(field.type) and field.type.unit == "ns":
-                cols.add(field.name)
     return cols if found else None
 
 
@@ -71,29 +103,22 @@ def read_parquet(spark: SparkSession, *paths: str) -> DataFrame:
     """Parquet source, tolerant of TIMESTAMP(NANOS) columns.
 
     Spark rejects INT64 TIMESTAMP(NANOS) parquet columns by default.  The
-    fast path is a plain read; on failure the nanos columns are identified
-    from the parquet FOOTER (pyarrow), the legacy read flag is flipped only
-    for the duration of relation resolution (the conf is consulted when the
-    relation resolves, so restoring it immediately afterwards is safe —
-    later reads in the same session see the original value), and every
-    affected column is rebuilt to a µs timestamp.  Sub-µs precision is
-    truncated — Spark timestamps are µs-resolution (SURVEY §7 boundary
+    nanos columns are identified from the parquet FOOTER — read through
+    Hadoop streams (:func:`_nanos_columns`), so local and remote URIs get
+    identical treatment.  When present, the legacy read flag is flipped
+    only for the duration of relation resolution (the conf is consulted
+    when the relation resolves, so restoring it immediately afterwards is
+    safe — later reads in the same session see the original value), and
+    every affected column is rebuilt to a µs timestamp.  Sub-µs precision
+    is truncated — Spark timestamps are µs-resolution (SURVEY §7 boundary
     semantics; the reference's DateTimeOption is seconds-resolution, so µs
     strictly widens it).
     """
-    nanos = _nanos_columns(paths)
+    nanos = _nanos_columns(spark, paths)
     if not nanos:
-        try:
-            df = spark.read.parquet(*paths)
-            df.schema  # force schema resolution
-            return df
-        except Exception:
-            if nanos is not None:
-                raise  # footer was readable and showed no nanos: a real error
-            # footer not locally readable (remote URI) and the plain read
-            # rejected the file — assume nanos under the historical `ts`
-            # event-time convention
-            nanos = {"ts"}
+        df = spark.read.parquet(*paths)
+        df.schema  # force schema resolution
+        return df
     prev = spark.conf.get(_NANOS_FLAG, None)
     spark.conf.set(_NANOS_FLAG, "true")
     try:
