@@ -102,23 +102,28 @@ def _nanos_columns(spark: SparkSession, paths: Sequence[str]) -> set[str] | None
 def read_parquet(spark: SparkSession, *paths: str) -> DataFrame:
     """Parquet source, tolerant of TIMESTAMP(NANOS) columns.
 
-    Spark rejects INT64 TIMESTAMP(NANOS) parquet columns by default.  The
-    nanos columns are identified from the parquet FOOTER — read through
-    Hadoop streams (:func:`_nanos_columns`), so local and remote URIs get
-    identical treatment.  When present, the legacy read flag is flipped
-    only for the duration of relation resolution (the conf is consulted
-    when the relation resolves, so restoring it immediately afterwards is
-    safe — later reads in the same session see the original value), and
-    every affected column is rebuilt to a µs timestamp.  Sub-µs precision
-    is truncated — Spark timestamps are µs-resolution (SURVEY §7 boundary
-    semantics; the reference's DateTimeOption is seconds-resolution, so µs
-    strictly widens it).
+    Modern Spark (4.1+) reads INT64 TIMESTAMP(NANOS) natively as a
+    µs-truncated TIMESTAMP_NTZ, so the fast path is a plain read.  Older
+    Sparks reject the type outright; on failure the nanos columns are
+    identified from the parquet FOOTER — read through Hadoop streams
+    (:func:`_nanos_columns`), so local and remote URIs get identical
+    treatment — the legacy read flag is flipped only for the duration of
+    relation resolution (the conf is consulted when the relation
+    resolves, so restoring it immediately afterwards is safe), and every
+    affected column is rebuilt from its raw-nanos long to a µs
+    timestamp.  Either way sub-µs precision is truncated — Spark
+    timestamps are µs-resolution (SURVEY §7 boundary semantics; the
+    reference's DateTimeOption is seconds-resolution, so µs strictly
+    widens it).
     """
-    nanos = _nanos_columns(spark, paths)
-    if not nanos:
+    try:
         df = spark.read.parquet(*paths)
         df.schema  # force schema resolution
         return df
+    except Exception:
+        nanos = _nanos_columns(spark, paths)
+        if not nanos:
+            raise  # footer shows no nanos column: a real error
     prev = spark.conf.get(_NANOS_FLAG, None)
     spark.conf.set(_NANOS_FLAG, "true")
     try:

@@ -28,13 +28,34 @@ def stream_parquet_source(
     ts_is_nanos: bool = False,
 ) -> DataFrame:
     """File-stream source over a parquet directory (one-file-per-batch
-    discovery).  ``ts_is_nanos`` rebuilds a TIMESTAMP(NANOS) column
-    (read as long under the legacy flag) into a µs timestamp."""
+    discovery).
+
+    ``ts_is_nanos`` declares that ``ts_col`` is stored as
+    TIMESTAMP(NANOS): the field is requested as TIMESTAMP_NTZ and Spark
+    reads the nanos values natively, truncated to µs — the same µs
+    boundary contract as the batch reader (sources/read.py).  Requesting
+    it as ``long`` instead would silently coerce the µs timestamp to a
+    µs long, and any downstream nanos arithmetic would be off by 1000×.
+    The column is then cast to TIMESTAMP (wall-clock-preserving in the
+    session timezone) because watermarks/event-time operators reject
+    TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
+    """
     if ts_is_nanos:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        schema = T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    T.TimestampNTZType() if f.name == ts_col else f.dataType,
+                    f.nullable,
+                )
+                for f in schema.fields
+            ]
+        )
     df = spark.readStream.schema(schema).parquet(path)
     if ts_is_nanos:
-        df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000")))
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
 
 

@@ -53,11 +53,13 @@ def micros_file(tmp_path_factory):
     return f
 
 
-def test_nanos_footer_detection_any_column_name(spark, nanos_file):
+def test_nanos_read_any_column_name(spark, nanos_file):
     df = read_parquet(spark, nanos_file)
     types = dict(df.dtypes)
-    # BOTH nanos columns rebuilt (not just a 'ts'-named one)
-    assert types["created"] == "timestamp" and types["updated"] == "timestamp"
+    # BOTH nanos columns delivered as µs timestamps (not just a 'ts'-named
+    # one); Spark 4.1+ reads them natively as TIMESTAMP_NTZ
+    assert types["created"].startswith("timestamp")
+    assert types["updated"].startswith("timestamp")
     rows = {r.id: r for r in df.collect()}
     # sub-µs truncated (not rounded): …999999999 ns → …999999 µs
     assert rows[1].created.microsecond == 123456
@@ -69,11 +71,19 @@ def test_nanos_footer_detection_through_hadoop_fs_uri(spark, nanos_file):
     # a `file:` URI exercises the remote-filesystem code path end to end:
     # the footer is resolved via Path.getFileSystem + HadoopInputFile, the
     # exact same calls an hdfs:// or s3a:// read makes (VERDICT r02
-    # Missing #3 — there is no local-glob or column-name fallback anymore)
+    # Missing #3 — there is no local-glob or column-name fallback anymore).
+    # _nanos_columns is the legacy-Spark fallback, so exercise it directly.
+    from asakusafw_spark_spark.sources.read import _nanos_columns
+
+    assert _nanos_columns(spark, ["file:" + nanos_file]) == {"created", "updated"}
     df = read_parquet(spark, "file:" + nanos_file)
-    types = dict(df.dtypes)
-    assert types["created"] == "timestamp" and types["updated"] == "timestamp"
     assert {r.id for r in df.collect()} == {1, 2}
+
+
+def test_nanos_footer_detection_micros_negative(spark, micros_file):
+    from asakusafw_spark_spark.sources.read import _nanos_columns
+
+    assert _nanos_columns(spark, [micros_file]) == set()
 
 
 def test_nanos_read_does_not_leak_session_conf(spark, nanos_file, micros_file):
@@ -85,7 +95,7 @@ def test_nanos_read_does_not_leak_session_conf(spark, nanos_file, micros_file):
     assert dict(df.dtypes)["at"].startswith("timestamp")
     # and nanos again after micros (either order works)
     df2 = read_parquet(spark, nanos_file)
-    assert dict(df2.dtypes)["created"] == "timestamp"
+    assert dict(df2.dtypes)["created"].startswith("timestamp")
     assert spark.conf.get(NANOS_FLAG, None) is None
 
 

@@ -35,9 +35,11 @@ def events_stream(spark, events_dir):
 
 @pytest.fixture()
 def events_batch(spark, sf_dir):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # read_parquet delivers ts as a µs-truncated timestamp (TIMESTAMP_NTZ
+    # natively on Spark 4.1+; legacy-flag rebuild on older Sparks)
+    from asakusafw_spark_spark.sources import read_parquet
+
+    return read_parquet(spark, f"{sf_dir}/events.parquet")
 
 
 def test_windowed_aggregate_matches_batch(spark, events_stream, events_batch, tmp_path):
