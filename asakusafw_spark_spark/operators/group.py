@@ -34,13 +34,16 @@ Scale design:
   at 100 TB).  The stream path costs one round-trip per ~10k-row Arrow
   batch regardless of group count; groups spanning batch boundaries are
   carried over.  Memory bound = one group (+ one Arrow batch), same as
-  the reference's HEAP buffer; giant groups stream through the carry
-  buffer and must fit in worker memory (documented limit — the
-  reference's SPILL variant has no Arrow equivalent).
+  the reference's HEAP buffer; a group whose carry exceeds
+  ``max_buffered_rows`` spills to a local Arrow IPC file (the analogue
+  of the reference's BufferType.SPILL) and is materialized once at
+  group end, or fail-fasts under ``on_overflow="error"``.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Callable, Mapping, Sequence
 from dataclasses import dataclass, field
 
@@ -169,6 +172,75 @@ def _group_starts(pdf: pd.DataFrame, key_names: Sequence[str]):
     return np.flatnonzero(neq)
 
 
+def _keys_equal(k1, k2) -> bool:
+    """Null-safe key-tuple equality (NaN == NaN, matching
+    :func:`_group_starts`' grouping convention)."""
+    for a, b in zip(k1, k2):
+        a_na, b_na = pd.isna(a), pd.isna(b)
+        if a_na and b_na:
+            continue
+        if a_na != b_na or a != b:
+            return False
+    return True
+
+
+class _CarrySpill:
+    """Local-disk carry buffer (Arrow IPC stream) for ONE in-progress
+    giant group — the analogue of the reference's BufferType.SPILL
+    (compiler/.../user/CoGroupOperatorCompiler.scala:122-131).
+
+    Frames append in sort order under a FIXED Arrow schema (derived from
+    the shuffled wide schema, not inferred per append — per-append
+    inference would flip all-null slices to arrow null type and break
+    later casts).  ``read_all`` memory-maps the file back, so the only
+    full-group materialization is the single pandas frame handed to the
+    consumer at group end.  Files land under the executor's scratch dir
+    (``SPARK_LOCAL_DIRS`` when set) and are removed after the read."""
+
+    def __init__(self, arrow_schema, key_vals):
+        import tempfile
+
+        local = os.environ.get("SPARK_LOCAL_DIRS", "").split(",")[0] or None
+        self.dir = tempfile.mkdtemp(prefix="cogroup_spill_", dir=local)
+        self.path = os.path.join(self.dir, "carry.arrows")
+        self.schema = arrow_schema
+        self.key = key_vals
+        self.rows = 0
+        self._sink = None
+        self._writer = None
+
+    def append(self, pdf: pd.DataFrame) -> None:
+        import pyarrow as pa
+
+        tbl = pa.Table.from_pandas(
+            pdf, schema=self.schema, preserve_index=False
+        )
+        if self._writer is None:
+            self._sink = pa.OSFile(self.path, "wb")
+            self._writer = pa.ipc.new_stream(self._sink, self.schema)
+        self._writer.write_table(tbl)
+        self.rows += len(pdf)
+
+    def read_all(self) -> pd.DataFrame:
+        import pyarrow as pa
+
+        self._writer.close()
+        self._sink.close()
+        with pa.memory_map(self.path) as f:
+            pdf = pa.ipc.open_stream(f).read_all().to_pandas()
+        self.cleanup()
+        return pdf
+
+    def cleanup(self) -> None:
+        try:
+            if self._writer is not None:
+                self._writer.close()
+                self._sink.close()
+        except Exception:
+            pass
+        shutil.rmtree(self.dir, ignore_errors=True)
+
+
 def cogroup(
     inputs: Sequence[Grouping],
     fn: Callable[..., pd.DataFrame],
@@ -176,6 +248,7 @@ def cogroup(
     partial: bool = False,
     max_buffered_rows: int | None = None,
     chunked: bool = False,
+    on_overflow: str = "spill",
 ) -> DataFrame:
     """@CoGroup: deliver each key's records as N sorted pandas frames.
 
@@ -202,9 +275,16 @@ def cogroup(
     record of the input schema) the carried records are eagerly collapsed
     through ``fn`` at every batch boundary, so memory stays bounded by
     one batch no matter the group size.  Otherwise ``max_buffered_rows``
-    (optional) fail-fasts with the offending KEY VALUE once a group's
-    carry buffer exceeds it — a diagnosable error instead of an executor
-    OOM.
+    (optional) bounds the IN-MEMORY carry: past it the group spills to a
+    local Arrow IPC file (:class:`_CarrySpill`) and is read back in one
+    concatenated frame at group end — the consumer still sees the whole
+    group, but the shuffle/sort/batching pipeline never holds more than
+    ``max_buffered_rows`` + one Arrow batch per task (the spilled
+    group's one-time materialization at consume time is the remaining
+    memory cost, same trade as the reference's spill-backed Iterable).
+    ``on_overflow="error"`` keeps the old strict mode: fail-fast with
+    the offending KEY VALUE instead of spilling — a diagnosable error
+    when a giant group indicates bad data rather than expected skew.
 
     ``chunked=True`` is the fully general bounded-memory mode — the
     closest analogue of the reference's ITERABLE group inputs
@@ -291,6 +371,8 @@ def cogroup(
         else T.StructType.fromDDL(output_schema)
     )
     out_cols = [f.name for f in out_schema.fields]
+    if on_overflow not in ("spill", "error"):
+        raise ValueError(f"cogroup: unknown on_overflow {on_overflow!r}")
     if chunked:
         if partial or max_buffered_rows is not None:
             raise ValueError(
@@ -362,41 +444,93 @@ def cogroup(
             row[f"__in0__{c}"] = rec[c]
         return pd.DataFrame([row], columns=list(pdf.columns))
 
-    def carry(pending: pd.DataFrame) -> pd.DataFrame:
-        """Bound the cross-batch carry buffer for an unfinished group."""
-        if partial and len(pending) > 1:
-            pending = collapse(pending)
-        if max_buffered_rows is not None and len(pending) > max_buffered_rows:
-            key_vals = tuple(pending[kn].iloc[0] for kn in key_names)
-            raise RuntimeError(
-                f"cogroup: group {key_vals!r} exceeded max_buffered_rows="
-                f"{max_buffered_rows} ({len(pending)} rows buffered); use a "
-                "fold-style consumer with partial=True or raise the limit"
-            )
-        return pending
+    # Arrow schema of the shuffled wide frame, fixed ONCE driver-side so
+    # spilled slices never re-infer types from (possibly all-null) data.
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    wide_arrow_schema = to_arrow_schema(arranged.schema)
 
     def stream(batches):
         pending: pd.DataFrame | None = None
-        for pdf in batches:
-            if pending is not None:
-                pdf = pd.concat([pending, pdf], ignore_index=True)
+        spill: _CarrySpill | None = None
+
+        def carry(frame: pd.DataFrame):
+            """Bound the cross-batch carry for an unfinished group:
+            partial-collapse, spill past max_buffered_rows, or raise."""
+            nonlocal pending, spill
+            if partial and len(frame) > 1:
+                frame = collapse(frame)
+            if max_buffered_rows is not None and len(frame) > max_buffered_rows:
+                key_vals = tuple(frame[kn].iloc[0] for kn in key_names)
+                if on_overflow == "error":
+                    raise RuntimeError(
+                        f"cogroup: group {key_vals!r} exceeded max_buffered_rows="
+                        f"{max_buffered_rows} ({len(frame)} rows buffered); use a "
+                        "fold-style consumer with partial=True, spill "
+                        "(on_overflow='spill'), or raise the limit"
+                    )
+                if spill is None:
+                    spill = _CarrySpill(wide_arrow_schema, key_vals)
+                spill.append(frame)
                 pending = None
-            if not len(pdf):
-                continue
-            starts = _group_starts(pdf, key_names)
-            if len(starts) == 1:
-                # whole batch is one (possibly unfinished) group
-                pending = carry(pdf)
-                continue
-            last = starts[-1]
-            pending = carry(pdf.iloc[last:].reset_index(drop=True))
-            outs = emit(pdf.iloc[:last], starts[:-1])
-            if outs:
-                yield pd.concat(outs, ignore_index=True)[out_cols]
-        if pending is not None and len(pending):
-            outs = emit(pending, _group_starts(pending, key_names))
-            if outs:
-                yield pd.concat(outs, ignore_index=True)[out_cols]
+                return
+            pending = frame
+
+        def emit_spilled():
+            """Materialize and emit the spilled giant group."""
+            nonlocal spill
+            full = spill.read_all()
+            spill = None
+            return emit(full, _group_starts(full, key_names))
+
+        try:
+            for pdf in batches:
+                if pending is not None:
+                    pdf = pd.concat([pending, pdf], ignore_index=True)
+                    pending = None
+                if not len(pdf):
+                    continue
+                starts = _group_starts(pdf, key_names)
+                if spill is not None:
+                    first_key = tuple(pdf[kn].iloc[0] for kn in key_names)
+                    if _keys_equal(first_key, spill.key):
+                        if len(starts) == 1:
+                            spill.append(pdf)  # group still open: keep spilling
+                            continue
+                        cut = starts[1]  # group ends inside this batch
+                        spill.append(pdf.iloc[:cut])
+                        outs = emit_spilled()
+                        if outs:
+                            yield pd.concat(outs, ignore_index=True)[out_cols]
+                        pdf = pdf.iloc[cut:].reset_index(drop=True)
+                        starts = _group_starts(pdf, key_names)
+                    else:  # group ended exactly at the batch boundary
+                        outs = emit_spilled()
+                        if outs:
+                            yield pd.concat(outs, ignore_index=True)[out_cols]
+                if len(starts) == 1:
+                    # whole batch is one (possibly unfinished) group
+                    carry(pdf)
+                    continue
+                last = starts[-1]
+                carry(pdf.iloc[last:].reset_index(drop=True))
+                outs = emit(pdf.iloc[:last], starts[:-1])
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)[out_cols]
+            if spill is not None:
+                if pending is not None and len(pending):  # unreachable guard
+                    spill.append(pending)
+                    pending = None
+                outs = emit_spilled()
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)[out_cols]
+            if pending is not None and len(pending):
+                outs = emit(pending, _group_starts(pending, key_names))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)[out_cols]
+        finally:
+            if spill is not None:
+                spill.cleanup()
 
     return arranged.mapInPandas(stream, schema=out_schema)
 
@@ -421,15 +555,6 @@ def _cogroup_chunked(
     into one frame per ~4096 rows, never one Arrow batch per group.
     """
     import numpy as np
-
-    def keys_equal(k1, k2) -> bool:
-        for a, b in zip(k1, k2):
-            a_na, b_na = pd.isna(a), pd.isna(b)
-            if a_na and b_na:
-                continue
-            if a_na != b_na or a != b:
-                return False
-        return True
 
     def pieces(batches):
         for pdf in batches:
@@ -474,7 +599,7 @@ def _cogroup_chunked(
                     except StopIteration:
                         return
                 kv, i, df = hold[0]
-                if not keys_equal(kv, current_key):
+                if not _keys_equal(kv, current_key):
                     return
                 hold.pop()
                 yield i, df

@@ -128,6 +128,7 @@ def _join_selected(
     selection: MasterSelection | None,
     strategy: str,
     skew_salt: int = 1,
+    unique_master: bool = False,
 ) -> tuple[DataFrame, list[str], list[str]]:
     """Left-join tx with its selected master.
 
@@ -139,6 +140,18 @@ def _join_selected(
     non-null iff the row matched a master — callers probe it for the
     hit/miss split instead of a data column (a genuinely matched master
     whose probed column is null would otherwise misreport as missed).
+
+    ``unique_master=True`` declares the master already key-unique: the
+    ``min_by`` pre-reduction is skipped, so on the shuffled path both
+    sort-merge-join children are bare shuffle stages — the shape that
+    keeps AQE's OptimizeSkewedJoin eligible on every Spark version
+    (Spark 4.1 also splits through the pre-reduction, older versions
+    required bare ENSURE_REQUIREMENTS children on both sides; either
+    way skipping the aggregate removes a full hash-agg pass over the
+    master — measured in tools/skew_probe.py).  The caller's guarantee
+    is NOT validated (validation would cost the aggregate being
+    skipped); a duplicate master key silently fans out tx rows, exactly
+    like a duplicate dimension key in plain SQL.
     """
     sel = selection or MasterSelection()
     pairs = [(k, k) if isinstance(k, str) else tuple(k) for k in key]
@@ -157,10 +170,11 @@ def _join_selected(
     if sel.where is None:
         if cond is None:
             raise ValueError("master join without key requires selection.where")
-        # selection independent of tx → pre-reduce master groups, then 1:N join
-        m1 = _prefix(_dedupe_masters(master, mkey, sel), "__m_").withColumn(
-            _HIT, F.lit(True)
-        )
+        # selection independent of tx → pre-reduce master groups, then 1:N
+        # join (skipped when the caller guarantees key-uniqueness, keeping
+        # the master child a bare shuffle so AQE skew-split stays eligible)
+        m1 = master if unique_master else _dedupe_masters(master, mkey, sel)
+        m1 = _prefix(m1, "__m_").withColumn(_HIT, F.lit(True))
         if skew_salt > 1:
             # Hot-tx-key mitigation for the SHUFFLED path: AQE's skew-split
             # can't rewrite this join (the master child is an aggregate, not
@@ -322,6 +336,7 @@ def master_join(
     selection: MasterSelection | None = None,
     strategy: str = "auto",
     skew_salt: int = 1,
+    unique_master: bool = False,
 ) -> dict[str, DataFrame]:
     """@MasterJoin → ``{"joined", "missed"}``.
 
@@ -337,10 +352,17 @@ def master_join(
     partitions on the shuffled path (master rows replicated per salt) —
     use when one key dominates and the master side is too big to
     broadcast; broadcast strategy is inherently skew-immune.
+
+    ``unique_master=True`` declares the master key-unique (a PK'd
+    dimension): skips the per-key master selection, which on the
+    shuffled path makes the join AQE-skew-split-eligible — the
+    preferred hot-key defence (runtime, partition-local) over the
+    static ``skew_salt`` replication.
     """
     pairs = [(k, k) if isinstance(k, str) else tuple(k) for k in key]
     joined, mcols, tcols = _join_selected(
-        master, tx, key, selection, strategy, skew_salt=skew_salt
+        master, tx, key, selection, strategy,
+        skew_salt=skew_salt, unique_master=unique_master,
     )
     hit, miss = _null_split(joined)
 

@@ -209,8 +209,9 @@ def test_fold_partial_giant_group_bounded_memory(spark):
 
 
 def test_cogroup_max_buffered_rows_fail_fast_names_key(spark):
-    """Without partial, an over-limit group raises a diagnosable error
-    carrying the key value instead of OOMing the executor."""
+    """In strict mode (on_overflow='error'), an over-limit group raises a
+    diagnosable error carrying the key value instead of OOMing the
+    executor."""
     prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
     try:
@@ -220,10 +221,90 @@ def test_cogroup_max_buffered_rows_fail_fast_names_key(spark):
             return {"k": key[0], "n": len(pdf)}
 
         bad = cogroup(
-            [Grouping(df, ["k"])], fn, "k int, n long", max_buffered_rows=2_000
+            [Grouping(df, ["k"])], fn, "k int, n long",
+            max_buffered_rows=2_000, on_overflow="error",
         )
         with pytest.raises(Exception, match=r"\(42,\).*max_buffered_rows"):
             bad.collect()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_cogroup_giant_group_spills_and_completes(spark):
+    """Default on_overflow='spill': a group far larger than
+    max_buffered_rows spills its carry to local disk (Arrow IPC) and the
+    consumer still sees the complete, correctly-ordered group at group
+    end — the reference's BufferType.SPILL analogue."""
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
+    try:
+        # one giant group (k=42, 50k rows ≫ 2k limit) + normal small groups
+        giant = spark.range(50_000).select(
+            F.lit(42).alias("k"), F.col("id").alias("v")
+        )
+        small = spark.range(100).select(
+            (F.col("id") % 10 + 100).cast("long").alias("k"), F.col("id").alias("v")
+        )
+        df = giant.unionByName(small)
+
+        def fn(key, pdf):
+            # whole-group consumer: needs every row at once, in sort order
+            vs = pdf["v"].to_numpy()
+            assert (vs[1:] >= vs[:-1]).all(), "group arrived out of order"
+            return {"k": key[0], "n": len(pdf), "s": int(vs.sum())}
+
+        out = cogroup(
+            [Grouping(df, ["k"], ordering=[("v", "asc")])],
+            fn,
+            "k long, n long, s long",
+            max_buffered_rows=2_000,
+        )
+        rows = {r.k: (r.n, r.s) for r in out.collect()}
+        n = 50_000
+        assert rows[42] == (n, n * (n - 1) // 2)
+        assert len(rows) == 11
+        for k in range(100, 110):
+            assert rows[k][0] == 10
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_cogroup_spill_multi_input_preserves_tags(spark):
+    """Spill path with TWO inputs: per-input slices survive the disk
+    round-trip (tag column and all-null wide columns keep their types)."""
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "300")
+    try:
+        a = spark.range(5_000).select(F.lit(1).alias("k"), F.col("id").alias("x"))
+        b = spark.range(2_500).select(
+            F.lit(1).alias("k"), (F.col("id") * 2).alias("y"), F.lit("s").alias("tag")
+        )
+
+        def fn(key, pa_, pb_):
+            return {
+                "k": key[0],
+                "na": len(pa_),
+                "nb": len(pb_),
+                "sx": int(pa_["x"].sum()),
+                "sy": int(pb_["y"].sum()),
+            }
+
+        out = cogroup(
+            [Grouping(a, ["k"], [("x", "asc")]), Grouping(b, ["k"], [("y", "desc")])],
+            fn,
+            "k long, na long, nb long, sx long, sy long",
+            max_buffered_rows=1_000,
+        )
+        r = out.collect()[0]
+        assert (r.na, r.nb) == (5_000, 2_500)
+        assert r.sx == 5_000 * 4_999 // 2
+        assert r.sy == 2 * (2_500 * 2_499 // 2)
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")

@@ -283,6 +283,26 @@ def test_keyless_join_null_first_master_column_still_hits(spark):
     assert {r.tid for r in out["missed"].collect()} == {3}
 
 
+@pytest.mark.parametrize("strategy", ["auto", "broadcast", "shuffled"])
+def test_master_join_unique_master_same_result(spark, txs, strategy):
+    # with a key-unique master, unique_master=True (no min_by
+    # pre-reduction — the AQE-skew-eligible shuffled plan) must produce
+    # identical results to the default path
+    uniq = spark.createDataFrame(
+        [(1, "m1", 100.0), (2, "m2", 50.0), (4, "m4", 10.0)],
+        "k int, name string, score double",
+    )
+    plain = master_join(uniq, txs, ["k"], strategy=strategy)
+    fast = master_join(uniq, txs, ["k"], strategy=strategy, unique_master=True)
+    assert sorted(map(tuple, plain["joined"].collect())) == sorted(
+        map(tuple, fast["joined"].collect())
+    )
+    assert sorted(map(tuple, plain["missed"].collect())) == sorted(
+        map(tuple, fast["missed"].collect())
+    )
+    assert fast["joined"].columns == plain["joined"].columns
+
+
 @pytest.mark.parametrize("strategy", ["auto", "shuffled"])
 def test_master_join_skew_salt_same_result(masters, txs, strategy):
     # salting is a pure physical spread: results identical to unsalted

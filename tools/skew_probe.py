@@ -73,12 +73,29 @@ def main() -> None:
     # warm-up
     master_join(masters, uniform, ["k"], strategy="shuffled")["joined"].count()
 
-    # -- (a) shuffled sort-merge join: AQE OptimizeSkewedJoin splits the hot
-    #    partition across tasks (duplicating the matching master partition)
-    for label, tx in [("uniform", uniform), ("skewed ", skewed)]:
-        out = master_join(masters, tx, ["k"], strategy="shuffled")["joined"]
-        dt, n, plan = timed_collect(out.select("k"))
-        print(f"join    {label}: {dt:6.2f}s rows={n} skew_rewrite={'skew=true' in plan}")
+    # -- (a) shuffled sort-merge join with a hot tx key.  Measured on
+    #    Spark 4.1: OptimizeSkewedJoin splits the hot partition in BOTH
+    #    variants (earlier Sparks required both SMJ children to be bare
+    #    ENSURE_REQUIREMENTS shuffles, which the min_by master
+    #    pre-reduction violated); unique_master=True still wins wall-clock
+    #    by skipping the aggregate entirely.  The probe aggregate KEEPS
+    #    `pad` flowing through the join: projecting it away lets column
+    #    pruning shrink the shuffle below the skew threshold and nothing
+    #    trips (found the hard way).
+    for um in (False, True):
+        for label, tx in [("uniform", uniform), ("skewed ", skewed)]:
+            out = master_join(
+                masters, tx, ["k"], strategy="shuffled", unique_master=um
+            )["joined"]
+            probe = out.agg(F.sum(F.length("pad")).alias("pad_bytes"))
+            t0 = time.perf_counter()
+            padb = probe.collect()[0][0]
+            dt = time.perf_counter() - t0
+            plan = probe._jdf.queryExecution().executedPlan().toString()
+            print(
+                f"join    {label} unique_master={um!s:5}: {dt:6.2f}s "
+                f"pad_bytes={padb} skew_rewrite={'skew=true' in plan}"
+            )
 
     # -- (b) pinned-partition streaming cogroup — the hot group rides ONE
     #    task, but Python cost is per-BATCH, so one 60k-row group is CHEAPER
