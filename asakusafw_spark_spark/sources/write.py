@@ -140,12 +140,18 @@ def write_grouped(
     w.options(**options).format(fmt).save(staging)
 
     # promotion pass: <staging>/__output_path__=<enc>/part-*.ext → <base>/<path>
-    # (Hadoop FS throughout — same code path on file://, hdfs://, s3a://)
+    # (Hadoop FS throughout — same code path on file://, hdfs://, s3a://).
+    # Every promoted file costs a handful of namenode/object-store RPCs
+    # (list, mkdirs, exists, rename); serially that makes COMMIT the
+    # bottleneck for patterns generating ~100k paths, so entries promote
+    # through a thread pool — Hadoop FileSystem instances are documented
+    # thread-safe, and py4j serves each Python thread over its own
+    # gateway connection.  Promotion order is irrelevant (paths are
+    # disjoint); the returned list is sorted for determinism.
     fs = HadoopFs(df.sparkSession, base_path)
-    written: list[str] = []
-    for entry in fs.listdir(staging):
-        if not entry.startswith(_PATH_COL + "="):
-            continue
+    entries = [e for e in fs.listdir(staging) if e.startswith(_PATH_COL + "=")]
+
+    def promote(entry: str) -> list[str]:
         rel = urllib.parse.unquote(entry.split("=", 1)[1])
         if os.path.isabs(rel) or ".." in rel.split("/"):
             raise ValueError(f"grouped output path escapes base: {rel!r}")
@@ -154,6 +160,7 @@ def write_grouped(
             for f in fs.listdir(f"{staging}/{entry}")
             if f.startswith("part-")
         )
+        out: list[str] = []
         for i, part in enumerate(parts):
             dest_rel = rel if len(parts) == 1 else f"{rel}.{i}"
             dest = f"{base_path}/{dest_rel}"
@@ -162,9 +169,21 @@ def write_grouped(
             if fs.exists(dest):
                 fs.delete(dest)
             fs.rename(f"{staging}/{entry}/{part}", dest)
-            written.append(dest_rel)
+            out.append(dest_rel)
+        return out
+
+    written: list[str] = []
+    if len(entries) <= 1:
+        for entry in entries:
+            written.extend(promote(entry))
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(entries))) as pool:
+            for out in pool.map(promote, entries):
+                written.extend(out)
     fs.delete(staging)
-    return written
+    return sorted(written)
 
 
 class TransactionalOutput:

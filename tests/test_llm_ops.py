@@ -25,6 +25,7 @@ from asakusafw_spark_spark.functions.multimodal import (
     MEDIA_SCHEMA,
     extract_features,
     fake_decoder,
+    resize_images,
     sample_frames,
     fake_frame_sampler,
     FEATURE_DIM,
@@ -194,6 +195,51 @@ def test_multimodal_stub_raises_without_codec(spark):
     df = spark.createDataFrame([], MEDIA_SCHEMA)
     with pytest.raises(NotImplementedError, match="codec"):
         extract_features(df)
+
+
+@pytest.mark.skipif(
+    __import__("importlib.util", fromlist=["util"]).find_spec("PIL") is None,
+    reason="Pillow not installed — codec-injection plumbing covered by fake_decoder",
+)
+def test_multimodal_real_codec_roundtrip(spark):
+    """With a REAL image library present, the same injection points
+    carry genuine decode work: resize_images re-encodes actual PNG bytes
+    and extract_features embeds from real pixel data — proving the
+    mapInPandas plumbing beyond the deterministic fake."""
+    import io
+
+    from PIL import Image
+
+    def png_bytes(w, h, color):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), color).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        (1, "image", png_bytes(8, 6, (255, 0, 0)), "image/png", 8, 6, None),
+        (2, "image", png_bytes(16, 16, (0, 255, 0)), "image/png", 16, 16, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    def pil_resizer(payload, w, h):
+        img = Image.open(io.BytesIO(payload)).resize((w, h))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    out = {r.media_id: r for r in resize_images(df, 4, 4, resizer=pil_resizer).collect()}
+    for mid in (1, 2):
+        img = Image.open(io.BytesIO(bytes(out[mid].payload)))
+        assert img.size == (4, 4)
+        assert (out[mid].width, out[mid].height) == (4, 4)
+
+    def pil_decoder(payload, kind):
+        img = Image.open(io.BytesIO(payload)).convert("L").resize((4, 4))
+        return [p / 255.0 for p in img.getdata()]
+
+    feats = {r.media_id: r.features for r in extract_features(df, decoder=pil_decoder).collect()}
+    assert len(feats[1]) == 16
+    assert feats[1] != feats[2]  # different images → different features
 
 
 def test_multimodal_frame_sampling_multiplies_rows(spark):
