@@ -26,6 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "summarize_q1",
     "flagship_revenue_per_nation",
+    "q5_local_supplier_volume",
+    "q18_large_volume_customer",
     "master_join",
     "master_check_found",
     "top_k_per_group",
