@@ -294,6 +294,16 @@ def _join_selected_cogroup(
             else:
                 idx = raw.astype("int64")
         else:
+            if n > 10_000:
+                import warnings
+
+                warnings.warn(
+                    f"master selection: select_fn is per-row Python and this "
+                    f"group has {n} tx rows in one batch — switch hot keys to "
+                    "select_batch_fn (one vectorized call per group x batch)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
             idx = np.array(
                 [
                     -1 if (i := select_fn(m_pdf, trow)) is None else int(i)
