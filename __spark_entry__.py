@@ -1335,6 +1335,68 @@ def q_dedup_clusters(spark, sf):
     )
 
 
+def q_dedup_corpus(spark, sf):
+    """Terminal dedup step: MinHash-LSH pairs → connected components →
+    the DEDUPED corpus itself (one keeper doc per cluster, every
+    original column + absorbed-cluster size).  Oracle: the
+    dedup_clusters recursive CTE filtered to keepers, joined back."""
+    from asakusafw_spark_spark.functions import dedup_corpus
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "source", "text")
+    return dedup_corpus(docs, threshold=0.5).select(
+        "doc_id", "lang", "source", "cluster_size"
+    )
+
+
+def q_quality_filter(spark, sf):
+    """Per-language bottom-quintile quality cut (percent_rank window —
+    rank semantics, no float interpolation, so the kept set is
+    deterministic and oracle-exact).  The approx=True variant
+    (percentile_approx cutoffs, no per-group sort) is the 100 TB path."""
+    from asakusafw_spark_spark.functions import quality_quantile_filter
+
+    docs = _t(spark, sf, "documents")
+    out = quality_quantile_filter(docs, drop_frac=0.2, by=("lang",))
+    return out.select("doc_id", "lang", "quality")
+
+
+def q_merge_upsert(spark, sf):
+    """CDC merge roundtrip through the upsert sink: initial load →
+    one merge carrying updates (price bump), tombstones, and inserts →
+    read back → aggregate.  Oracle: the same merge as pure SQL."""
+    import tempfile
+
+    from asakusafw_spark_spark.sources.write import merge_upsert
+
+    base = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    target = tempfile.mkdtemp(prefix="merge_target_") + "/orders"
+    merge_upsert(target, base, "o_orderkey")
+    upd = (
+        base.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2))
+        .withColumn("__del", F.lit(False))
+    )
+    dels = base.filter(F.col("o_orderkey") % 10 == 1).withColumn("__del", F.lit(True))
+    news = (
+        base.filter(F.col("o_orderkey") % 10 == 2)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
+        .withColumn("__del", F.lit(False))
+    )
+    merge_upsert(
+        target,
+        upd.unionByName(dels).unionByName(news),
+        "o_orderkey",
+        delete_col="__del",
+    )
+    back = spark.read.parquet(target)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
 def q_dedup_ngram_jaccard(spark, sf):
     # max_doc_freq=5 actually prunes at the oracle corpus (29 shingles have
     # df>5 at sf0.01), so the driver verifies the CAPPED semantics — the
@@ -1960,9 +2022,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "streaming_interval_join": q_streaming_interval_join,
         "streaming_stateful_count": q_streaming_stateful_count,
-        # --- 3. new round-4 composites ---
+        # --- 3. new round-4 queries ---
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q18_large_volume_customer": q18_large_volume_customer,
+        "dedup_corpus": q_dedup_corpus,
+        "quality_filter": q_quality_filter,
+        "merge_upsert": q_merge_upsert,
         # --- 4. core smoke subset ---
         "flagship_revenue_per_nation": _flagship,
         "dedup_exact": q_dedup_exact,
@@ -2552,6 +2617,75 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id, a.cluster_id,
                    a.doc_id = a.cluster_id AS is_keeper, s.cluster_size
             FROM lab_all a JOIN sizes s USING (cluster_id)
+        """,
+        "dedup_corpus": f"""
+            WITH RECURSIVE pairs AS ({_duck_minhash_lsh_sql(threshold=0.5)}),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ),
+            reach AS (
+              SELECT a AS n, b AS m FROM edges
+              UNION
+              SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+            ),
+            labels AS (
+              SELECT n, LEAST(n, MIN(m)) AS cluster_id FROM reach GROUP BY n
+            ),
+            lab_all AS (
+              SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN labels l ON l.n = d.doc_id
+            ),
+            sizes AS (
+              SELECT cluster_id, COUNT(*) AS cluster_size
+              FROM lab_all GROUP BY cluster_id
+            )
+            SELECT d.doc_id, d.lang, d.source, s.cluster_size
+            FROM lab_all a
+            JOIN sizes s USING (cluster_id)
+            JOIN documents d ON d.doc_id = a.doc_id
+            WHERE a.doc_id = a.cluster_id
+        """,
+        "quality_filter": """
+            WITH t AS (
+              SELECT doc_id, lang, text,
+                     string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents),
+            q AS (
+              SELECT doc_id, lang,
+                round(
+                  (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.4
+                  + least(1.0, (CAST(length(regexp_replace(text,'\\s+','','g')) AS DOUBLE)
+                                / len(toks)) / 8.0) * 0.3
+                  + (CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)
+                     / length(text)) * 0.3, 6) AS quality
+              FROM t),
+            r AS (
+              SELECT *, percent_rank() OVER (
+                        PARTITION BY lang ORDER BY quality ASC) AS pr
+              FROM q)
+            SELECT doc_id, lang, quality FROM r WHERE pr >= 0.2
+        """,
+        "merge_upsert": """
+            WITH base AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+              FROM orders),
+            merged AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus,
+                     round(o_totalprice * 1.1, 2) AS o_totalprice
+              FROM base WHERE o_orderkey % 10 = 0
+              UNION ALL
+              SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+                     o_totalprice
+              FROM base WHERE o_orderkey % 10 = 2
+              UNION ALL
+              SELECT * FROM base WHERE o_orderkey % 10 NOT IN (0, 1)
+            )
+            SELECT o_orderstatus, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+                     AS sum_price
+            FROM merged GROUP BY o_orderstatus
         """,
         "dedup_ngram_jaccard": _duck_ngram_jaccard_sql(threshold=0.3),
         "text_simhash": f"""

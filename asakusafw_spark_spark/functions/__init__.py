@@ -16,6 +16,7 @@ from .text import (
     bpe_token_count,
     lang_id,
     quality_score,
+    quality_quantile_filter,
     fingerprint,
     corpus_stats,
 )
@@ -24,6 +25,7 @@ from .dedup import (
     word_shingles,
     minhash_signature,
     dedup_exact,
+    dedup_corpus,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     ngram_contamination,
@@ -51,11 +53,13 @@ __all__ = [
     "corpus_stats",
     "lang_id",
     "quality_score",
+    "quality_quantile_filter",
     "fingerprint",
     "str_hash64",
     "word_shingles",
     "minhash_signature",
     "dedup_exact",
+    "dedup_corpus",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "ngram_contamination",

@@ -592,3 +592,39 @@ def dup_clusters(
             "cluster_size",
         )
     )
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    pairs: DataFrame | None = None,
+    **lsh_kwargs,
+) -> DataFrame:
+    """End-to-end fuzzy dedup: pair generation → connected components →
+    ONE surviving document per near-duplicate cluster.
+
+    The terminal step of the dedup story: :func:`minhash_lsh_pairs`
+    finds candidate pairs, :func:`dup_clusters` turns them into
+    decisions, and this function applies the decisions — the returned
+    frame is the DEDUPED corpus (every original column preserved) plus
+    ``cluster_size`` (how many near-dups this keeper absorbed; 1 =
+    unique).  Keeper choice is the component-minimum id, so the output
+    is deterministic and replay-stable.
+
+    ``pairs`` substitutes a custom pair frame (``id_a``/``id_b`` — e.g.
+    :func:`simhash_pairs` output or an embedding
+    ``cosine_near_dup``) for the default MinHash-LSH generation;
+    ``lsh_kwargs`` pass through to :func:`minhash_lsh_pairs` otherwise.
+
+    Scale shape: pair generation is band-bucketed (never all-pairs),
+    components converge in O(log n) rounds, and the final keeper join is
+    a plain hash join on ``id_col`` — the keeper set is ≤ |docs| rows of
+    (id, size), never the documents' payload, so only slim keys shuffle
+    twice and the corpus payload shuffles once.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(docs, id_col=id_col, threshold=threshold, **lsh_kwargs)
+    decisions = dup_clusters(pairs, nodes=docs.select(id_col), node_col=id_col)
+    keepers = decisions.filter(F.col("is_keeper")).select(id_col, "cluster_size")
+    return docs.join(keepers, id_col, "inner")

@@ -200,3 +200,49 @@ def repetition_signals(
             (top2s > F.lit(top2_threshold)) | (dup3 > F.lit(dup3_threshold))
         ).alias("repetitive"),
     )
+
+
+def quality_quantile_filter(
+    df,
+    drop_frac: float = 0.1,
+    by: tuple[str, ...] | list[str] = ("lang",),
+    text_col: str = "text",
+    score_col: str | None = None,
+    approx: bool = False,
+):
+    """Drop each group's bottom ``drop_frac`` quality quantile.
+
+    Absolute-threshold filtering (``quality >= 0.5``) breaks when score
+    distributions differ by language/source; quantile filtering removes
+    the worst X% WITHIN each group, which is how production corpus
+    pruning is actually run.  Adds a ``quality`` column (the score the
+    cut was made on) to the surviving rows.
+
+    ``approx=False`` (default, oracle-exact): ``percent_rank`` over
+    (group, score) — rank semantics, no float interpolation, ties share
+    a rank so the kept SET is deterministic regardless of physical row
+    order.  One sort-shuffle per group; a group's rows must be sortable
+    within its partition (Tungsten sort, spills).  At 100 TB a handful
+    of giant language groups make this a few wide sorted partitions —
+    acceptable for one pass, but the scale path is ``approx=True``:
+    per-group ``percentile_approx`` cutoffs (map-side-combinable
+    aggregate, broadcast join back, no global per-group sort) at the
+    cost of a sketch-accurate (not exact) boundary.
+
+    ``score_col`` reuses an existing score column instead of computing
+    :func:`quality_score` over ``text_col``.
+    """
+    from pyspark.sql import Window
+
+    score = F.col(score_col) if score_col else quality_score(text_col)
+    scored = df.withColumn("quality", score)
+    keys = list(by)
+    if approx:
+        cuts = scored.groupBy(*keys).agg(
+            F.percentile_approx("quality", drop_frac).alias("__cut__")
+        )
+        out = scored.join(F.broadcast(cuts), keys)
+        return out.filter(F.col("quality") >= F.col("__cut__")).drop("__cut__")
+    w = Window.partitionBy(*keys).orderBy(F.col("quality").asc())
+    out = scored.withColumn("__pr__", F.percent_rank().over(w))
+    return out.filter(F.col("__pr__") >= drop_frac).drop("__pr__")

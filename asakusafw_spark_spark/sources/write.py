@@ -302,3 +302,114 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def merge_upsert(
+    target_path: str,
+    updates: DataFrame,
+    key: str | Sequence[str],
+    partition_by: str | Sequence[str] | None = None,
+    delete_col: str | None = None,
+    format: str = "parquet",
+    **options,
+) -> None:
+    """CDC-style merge (upsert) into a path-based dataset: rows in
+    ``updates`` REPLACE existing rows with the same ``key``, new keys
+    append, and rows whose ``delete_col`` is true tombstone their key.
+
+    Parquet files are immutable, so a merge is necessarily a rewrite —
+    the design question at 100 TB is HOW MUCH rewrites.  Without
+    ``partition_by`` the whole dataset is rewritten through a sibling
+    staging dir and swapped in (two Hadoop renames — correct anywhere,
+    linear in dataset size: fine for dimensions, wrong for facts).
+    With ``partition_by`` only the partitions CONTAINING updated keys
+    rewrite: the update frame's distinct partition values broadcast-
+    semi-join-prune the target read, the merged result stages
+    ``partitionBy`` those values, and promotion swaps just those
+    partition directories (thread-pooled renames, untouched partitions
+    never read OR written) — merge cost ∝ touched partitions, the
+    Hive-dynamic-partition-overwrite shape.
+
+    Not a concurrent-writer log-structured table (no snapshot isolation
+    between concurrent merges — that is Delta/Iceberg territory); the
+    swap itself is rename-atomic per dataset/partition on HDFS-like
+    filesystems.  Never reads and writes the same path in one job (the
+    classic self-overwrite corruption): staging is always a sibling.
+    """
+    spark = updates.sparkSession
+    keys = [key] if isinstance(key, str) else list(key)
+    parts = (
+        [partition_by]
+        if isinstance(partition_by, str)
+        else list(partition_by or [])
+    )
+    fs = HadoopFs(spark, target_path)
+
+    inserts = updates
+    if delete_col is not None:
+        inserts = updates.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+        updates_keys = updates.select(*keys)  # deletes still evict their key
+    else:
+        updates_keys = updates.select(*keys)
+
+    base = target_path.rstrip("/")
+    staging = f"{base}__merge_{int(time.time() * 1000)}"
+
+    if not fs.exists(target_path):
+        write_flat(
+            inserts, target_path, format=format, mode="overwrite",
+            partition_by=parts or None, **options,
+        )
+        return
+
+    current = spark.read.format(format).load(target_path)
+    if parts:
+        touched = updates.select(*parts).distinct()
+        current = current.join(F.broadcast(touched), parts, "left_semi")
+    survivors = current.join(updates_keys.distinct(), keys, "left_anti")
+    merged = survivors.unionByName(inserts)
+
+    write_flat(
+        merged, staging, format=format, mode="overwrite",
+        partition_by=parts or None, **options,
+    )
+    try:
+        if parts:
+            # swap only the staged partition directories (depth = len(parts))
+            def walk(rel: str, depth: int) -> list[str]:
+                if depth == 0:
+                    return [rel]
+                out = []
+                for name in fs.listdir(f"{staging}/{rel}" if rel else staging):
+                    if "=" in name:
+                        out.extend(walk(f"{rel}/{name}" if rel else name, depth - 1))
+                return out
+
+            part_dirs = walk("", len(parts))
+
+            def swap(rel: str) -> None:
+                dest = f"{target_path}/{rel}"
+                parent = dest.rsplit("/", 1)[0]
+                fs.mkdirs(parent)
+                if fs.exists(dest):
+                    fs.delete(dest)
+                fs.rename(f"{staging}/{rel}", dest)
+
+            if len(part_dirs) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=min(16, len(part_dirs))) as pool:
+                    list(pool.map(swap, part_dirs))
+            else:
+                for rel in part_dirs:
+                    swap(rel)
+        else:
+            old = f"{base}__old_{int(time.time() * 1000)}"
+            fs.rename(target_path, old)
+            fs.rename(staging, target_path)
+            fs.delete(old)
+    finally:
+        if fs.exists(staging):
+            fs.delete(staging)

@@ -191,3 +191,49 @@ def test_hadoop_input_arbitrary_format_passthrough(spark, orders, tmp_path):
     ).write.text(path)
     back = hadoop_input(spark, "text", path)
     assert back.count() == 10
+
+
+def test_merge_upsert_full_swap(spark, tmp_path):
+    from asakusafw_spark_spark.sources.write import merge_upsert
+
+    target = str(tmp_path / "dim")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double",
+    )
+    merge_upsert(target, base, "k")
+    upd = spark.createDataFrame(
+        [(2, "b2", 25.0, False), (3, None, 0.0, True), (4, "d", 40.0, False)],
+        "k long, name string, v double, dead boolean",
+    )
+    merge_upsert(target, upd, "k", delete_col="dead")
+    got = {r.k: (r.name, r.v) for r in spark.read.parquet(target).collect()}
+    # 1 untouched, 2 replaced, 3 tombstoned, 4 inserted
+    assert got == {1: ("a", 10.0), 2: ("b2", 25.0), 4: ("d", 40.0)}
+
+
+def test_merge_upsert_partitioned_touches_only_affected(spark, tmp_path):
+    import glob as g
+
+    from asakusafw_spark_spark.sources.write import merge_upsert
+
+    target = str(tmp_path / "facts")
+    base = spark.createDataFrame(
+        [(1, "2024-01", 1.0), (2, "2024-01", 2.0), (3, "2024-02", 3.0),
+         (4, "2024-03", 4.0)],
+        "k long, day string, v double",
+    )
+    merge_upsert(target, base, "k", partition_by="day")
+    untouched_before = sorted(g.glob(f"{target}/day=2024-03/*.parquet"))
+    upd = spark.createDataFrame(
+        [(2, "2024-01", 2.5), (5, "2024-02", 5.0), (6, "2024-04", 6.0)],
+        "k long, day string, v double",
+    )
+    merge_upsert(target, upd, "k", partition_by="day")
+    # untouched partition: same physical files (no rewrite)
+    assert sorted(g.glob(f"{target}/day=2024-03/*.parquet")) == untouched_before
+    got = {r.k: (r.day, r.v) for r in spark.read.parquet(target).collect()}
+    assert got == {
+        1: ("2024-01", 1.0), 2: ("2024-01", 2.5), 3: ("2024-02", 3.0),
+        4: ("2024-03", 4.0), 5: ("2024-02", 5.0), 6: ("2024-04", 6.0),
+    }

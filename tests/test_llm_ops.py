@@ -418,3 +418,37 @@ def test_dup_clusters_matches_union_find_property(spark):
         assert got == union_find_labels(edges, nodes)
 
     check()
+
+
+def test_dedup_corpus_keeps_one_per_cluster(spark):
+    from asakusafw_spark_spark.functions import dedup_corpus
+
+    # 3 near-identical docs (same text → trivially same shingles) + 2 unique
+    rows = [
+        (10, "the quick brown fox jumps over the lazy dog again and again", "en"),
+        (11, "the quick brown fox jumps over the lazy dog again and again", "en"),
+        (12, "the quick brown fox jumps over the lazy dog again and again", "en"),
+        (20, "completely different text about database engines and joins", "en"),
+        (30, "dritte ganz andere zeile ueber verteilte systeme im test", "de"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r.cluster_size for r in dedup_corpus(docs, threshold=0.5).collect()}
+    assert out == {10: 3, 20: 1, 30: 1}  # min-id keeper absorbed both twins
+
+
+def test_quality_quantile_filter_exact_and_approx(spark):
+    from asakusafw_spark_spark.functions import quality_quantile_filter
+
+    rows = [
+        (i, "word " * 3 if i < 2 else "many distinct tokens compose proper sentences here ok", "en")
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    exact = quality_quantile_filter(docs, drop_frac=0.2, by=("lang",))
+    kept = {r.doc_id for r in exact.collect()}
+    assert kept == set(range(2, 10))  # the two low-quality repetitive docs cut
+    assert "quality" in exact.columns
+    approx = quality_quantile_filter(docs, drop_frac=0.2, by=("lang",), approx=True)
+    # approx keeps at least the exact survivors' quality band
+    akept = {r.doc_id for r in approx.collect()}
+    assert akept >= kept - {2}  # sketch boundary may include/exclude the cusp
