@@ -1397,6 +1397,14 @@ def q_merge_upsert(spark, sf):
     )
 
 
+def q_chunk_documents(spark, sf):
+    """Token-budgeted sliding-window chunking (40-token chunks, 8-token
+    overlap) — pure native explode/slice, no shuffle, no Python."""
+    from asakusafw_spark_spark.functions import chunk_documents
+
+    return chunk_documents(_t(spark, sf, "documents"), chunk_tokens=40, overlap=8)
+
+
 def q_dedup_ngram_jaccard(spark, sf):
     # max_doc_freq=5 actually prunes at the oracle corpus (29 shingles have
     # df>5 at sf0.01), so the driver verifies the CAPPED semantics — the
@@ -2028,6 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus": q_dedup_corpus,
         "quality_filter": q_quality_filter,
         "merge_upsert": q_merge_upsert,
+        "chunk_documents": q_chunk_documents,
         # --- 4. core smoke subset ---
         "flagship_revenue_per_nation": _flagship,
         "dedup_exact": q_dedup_exact,
@@ -2646,6 +2655,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes s USING (cluster_id)
             JOIN documents d ON d.doc_id = a.doc_id
             WHERE a.doc_id = a.cluster_id
+        """,
+        "chunk_documents": """
+            WITH t AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents
+              WHERE text IS NOT NULL AND trim(text) <> ''),
+            s AS (
+              SELECT doc_id, toks,
+                     unnest(range(0, greatest(len(toks) - 8, 1), 32)) AS start
+              FROM t)
+            SELECT doc_id,
+                   CAST(start // 32 AS BIGINT) AS chunk_id,
+                   array_to_string(toks[start+1:start+40], ' ') AS chunk_text,
+                   CAST(len(toks[start+1:start+40]) AS BIGINT) AS n_tokens
+            FROM s
         """,
         "quality_filter": """
             WITH t AS (

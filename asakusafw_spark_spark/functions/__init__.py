@@ -14,6 +14,7 @@ from .text import (
     tokens,
     token_count,
     bpe_token_count,
+    chunk_documents,
     lang_id,
     quality_score,
     quality_quantile_filter,
@@ -50,6 +51,7 @@ __all__ = [
     "tokens",
     "token_count",
     "bpe_token_count",
+    "chunk_documents",
     "corpus_stats",
     "lang_id",
     "quality_score",

@@ -246,3 +246,46 @@ def quality_quantile_filter(
     w = Window.partitionBy(*keys).orderBy(F.col("quality").asc())
     out = scored.withColumn("__pr__", F.percent_rank().over(w))
     return out.filter(F.col("__pr__") >= drop_frac).drop("__pr__")
+
+
+def chunk_documents(
+    df,
+    chunk_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Split long documents into token-budgeted sliding chunks — the
+    long-document → training-window step of an LLM data pipeline.
+
+    One output row per chunk: ``(id, chunk_id, chunk_text, n_tokens)``.
+    Chunk starts advance by ``chunk_tokens - overlap``; the final chunk
+    may be short, and a document shorter than the chunk size yields
+    exactly one chunk.  Empty/null documents yield nothing.
+
+    Scale shape: tokenize → ``sequence`` of chunk starts → ``explode``
+    → ``slice`` — all native Column expressions, a pure row-multiplying
+    projection with NO shuffle and no Python; Catalyst keeps the whole
+    op inside one codegen stage, so at 100 TB it runs at scan speed.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_documents: chunk_tokens must be positive")
+    if overlap < 0 or overlap >= chunk_tokens:
+        raise ValueError("chunk_documents: need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    t = df.select(
+        F.col(id_col), tokens(text_col).alias("__toks")
+    ).where(F.size("__toks") > 0)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("__toks") - overlap - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    e = t.select(F.col(id_col), F.col("__toks"), F.explode(starts).alias("__start"))
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens)
+    return e.select(
+        F.col(id_col),
+        (F.col("__start") / stride).cast("long").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+    )

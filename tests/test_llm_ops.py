@@ -452,3 +452,22 @@ def test_quality_quantile_filter_exact_and_approx(spark):
     # approx keeps at least the exact survivors' quality band
     akept = {r.doc_id for r in approx.collect()}
     assert akept >= kept - {2}  # sketch boundary may include/exclude the cusp
+
+
+def test_chunk_documents_sliding_windows(spark):
+    from asakusafw_spark_spark.functions import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        map(tuple, chunk_documents(df, chunk_tokens=5, overlap=2).collect())
+    )
+    assert out == [
+        (1, 0, "a b c d e", 5),
+        (1, 1, "d e f g", 4),  # stride 3, short tail kept
+        (2, 0, "x y", 2),      # doc shorter than chunk → one chunk
+    ]
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
