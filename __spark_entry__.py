@@ -1397,6 +1397,24 @@ def q_merge_upsert(spark, sf):
     )
 
 
+def q_shard_assignment(spark, sf):
+    """Deterministic training-shard assignment: per-shard counts and the
+    min/max order hash (exact int64 both engines — the full assignment
+    is hash-derived, so the oracle checks the actual shard function)."""
+    from asakusafw_spark_spark.functions import assign_shards
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    return (
+        assign_shards(docs, 8, "doc_id")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("shard_order").alias("min_order"),
+            F.max("shard_order").alias("max_order"),
+        )
+    )
+
+
 def q_chunk_documents(spark, sf):
     """Token-budgeted sliding-window chunking (40-token chunks, 8-token
     overlap) — pure native explode/slice, no shuffle, no Python."""
@@ -2037,6 +2055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "merge_upsert": q_merge_upsert,
         "chunk_documents": q_chunk_documents,
+        "shard_assignment": q_shard_assignment,
         # --- 4. core smoke subset ---
         "flagship_revenue_per_nation": _flagship,
         "dedup_exact": q_dedup_exact,
@@ -2655,6 +2674,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes s USING (cluster_id)
             JOIN documents d ON d.doc_id = a.doc_id
             WHERE a.doc_id = a.cluster_id
+        """,
+        "shard_assignment": """
+            WITH h AS (
+              SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                     || ':shard:42'), 1, 15) AS BIGINT) AS hv
+              FROM documents)
+            SELECT CAST(hv % 8 AS INT) AS shard, COUNT(*) AS n_docs,
+                   MIN(hv) AS min_order, MAX(hv) AS max_order
+            FROM h GROUP BY 1
         """,
         "chunk_documents": """
             WITH t AS (

@@ -44,7 +44,13 @@ from .similarity import (
     label_centroids,
 )
 from .text import repetition_signals, word_ngrams
-from .sampling import unit_hash, hash_sample, assign_split
+from .sampling import (
+    unit_hash,
+    hash_sample,
+    assign_split,
+    assign_shards,
+    export_shards,
+)
 
 __all__ = [
     "F",
@@ -80,4 +86,6 @@ __all__ = [
     "unit_hash",
     "hash_sample",
     "assign_split",
+    "assign_shards",
+    "export_shards",
 ]

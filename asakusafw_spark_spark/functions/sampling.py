@@ -79,3 +79,59 @@ def assign_split(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def assign_shards(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str,
+    seed: int = 42,
+    shard_col: str = "shard",
+    order_col: str = "shard_order",
+) -> DataFrame:
+    """Deterministic balanced shard assignment + within-shard
+    pseudo-random order — the global-shuffle step before exporting
+    training shards.
+
+    ``shard = hash(key:shard:seed) mod n_shards`` and ``order`` is the
+    raw hash, so (a) shard sizes are multinomial-balanced, (b) rows
+    land in a pseudo-random order UNCORRELATED with the source layout
+    (no sorted-by-crawl-date shards), and (c) the whole assignment is
+    replay-identical — no ``rand()``, task retries and re-runs produce
+    byte-identical shards.
+    """
+    if n_shards <= 0:
+        raise ValueError("assign_shards: n_shards must be positive")
+    h = str_hash64(F.concat(F.col(key_col).cast("string"), F.lit(f":shard:{seed}")))
+    return df.withColumn(shard_col, F.pmod(h, F.lit(n_shards)).cast("int")).withColumn(
+        order_col, h
+    )
+
+
+def export_shards(
+    df: DataFrame,
+    base_path: str,
+    n_shards: int,
+    key_col: str,
+    format: str = "parquet",
+    seed: int = 42,
+    **options,
+) -> None:
+    """Write ``df`` as ``n_shards`` deterministic training shards under
+    ``base_path/shard=<i>/``, rows pseudo-randomly ordered within each
+    shard (see :func:`assign_shards`).
+
+    One repartition on the shard id (each shard's rows converge on one
+    task → one file per shard dir) + a within-partition sort on the hash
+    — a single wide dependency, the same shape as grouped Direct I/O.
+    """
+    from ..sources.write import write_flat
+
+    sharded = assign_shards(df, n_shards, key_col, seed)
+    arranged = sharded.repartition(n_shards, F.col("shard")).sortWithinPartitions(
+        "shard", "shard_order"
+    )
+    write_flat(
+        arranged.drop("shard_order"), base_path, format=format,
+        partition_by=["shard"], **options,
+    )

@@ -133,3 +133,34 @@ def test_ivf_and_bruteforce_on_empty_corpus(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert ivf_topk(empty, empty, k=3).count() == 0
     assert brute_force_topk(empty, empty, k=3).count() == 0
+
+
+def test_assign_shards_deterministic_and_balanced(spark):
+    from asakusafw_spark_spark.functions import assign_shards
+
+    df = spark.range(8_000).select(F.col("id").alias("doc_id"))
+    a = assign_shards(df, 16, "doc_id")
+    b = assign_shards(df, 16, "doc_id")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    sizes = {r.shard: r.n for r in a.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(sizes) == set(range(16))
+    assert all(300 < n < 700 for n in sizes.values())  # ~500 ± multinomial spread
+    # different seed → different assignment
+    c = assign_shards(df, 16, "doc_id", seed=7)
+    moved = a.alias("a").join(c.alias("c"), "doc_id").filter("a.shard <> c.shard").count()
+    assert moved > 4_000
+
+
+def test_export_shards_writes_ordered_dirs(spark, tmp_path):
+    from asakusafw_spark_spark.functions import assign_shards, export_shards
+
+    df = spark.range(2_000).select(F.col("id").alias("doc_id"), (F.col("id") * 2).alias("v"))
+    base = str(tmp_path / "shards")
+    export_shards(df, base, 4, "doc_id")
+    back = spark.read.parquet(base)
+    assert back.count() == 2_000
+    assert {r.shard for r in back.select("shard").distinct().collect()} == {0, 1, 2, 3}
+    # round-trip preserves the deterministic assignment
+    expect = {r.doc_id: r.shard for r in assign_shards(df, 4, "doc_id").collect()}
+    got = {r.doc_id: r.shard for r in back.collect()}
+    assert got == expect

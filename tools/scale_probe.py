@@ -101,6 +101,47 @@ def main():
         "cogroup_chunked 10x (1.5M groups, 6M rows)", lambda: chunked_count(o10, l10)
     )
     print(f"cogroup_chunked growth: {t10 / t1:.1f}x for 10x groups+rows")
+    o10.unpersist(); l10.unpersist()
+
+    # round-4 ops ------------------------------------------------------
+    from asakusafw_spark_spark.functions import chunk_documents
+
+    def chunks(d):
+        return chunk_documents(d, chunk_tokens=40, overlap=8).count()
+
+    t1 = timed("chunk_documents 1x (5k docs)", lambda: chunks(docs))
+    docs10b = inflate(docs, ["doc_id"]).persist()
+    docs10b.count()
+    t10 = timed("chunk_documents 10x (50k docs)", lambda: chunks(docs10b))
+    print(f"chunk_documents growth: {t10 / t1:.1f}x for 10x docs")
+    docs10b.unpersist()
+
+    # merge_upsert: cost should track TOUCHED partitions, not dataset size
+    import shutil
+    import tempfile
+
+    from asakusafw_spark_spark.sources.write import merge_upsert
+
+    base_dir = tempfile.mkdtemp(prefix="merge_scale_")
+    target = f"{base_dir}/orders"
+    part = orders.withColumn("bucket", (F.col("o_orderkey") % 100).cast("int"))
+    merge_upsert(target, part, "o_orderkey", partition_by="bucket")
+    upd_small = part.filter(F.col("bucket") == 7).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1.0
+    )
+    upd_large = part.filter(F.col("bucket") < 50).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1.0
+    )
+    t_one = timed(
+        "merge_upsert 1/100 partitions touched",
+        lambda: (merge_upsert(target, upd_small, "o_orderkey", partition_by="bucket"), 1)[1],
+    )
+    t_half = timed(
+        "merge_upsert 50/100 partitions touched",
+        lambda: (merge_upsert(target, upd_large, "o_orderkey", partition_by="bucket"), 50)[1],
+    )
+    print(f"merge_upsert growth: {t_half / t_one:.1f}x for 50x touched partitions")
+    shutil.rmtree(base_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
