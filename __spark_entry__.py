@@ -2714,10 +2714,10 @@ def oracle_sql() -> dict[str, str]:
                      / length(text)) * 0.3, 6) AS quality
               FROM t),
             r AS (
-              SELECT *, percent_rank() OVER (
-                        PARTITION BY lang ORDER BY quality ASC) AS pr
+              SELECT *, cume_dist() OVER (
+                        PARTITION BY lang ORDER BY quality ASC) AS cd
               FROM q)
-            SELECT doc_id, lang, quality FROM r WHERE pr >= 0.2
+            SELECT doc_id, lang, quality FROM r WHERE cd > 0.2
         """,
         "merge_upsert": """
             WITH base AS (

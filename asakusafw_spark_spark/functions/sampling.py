@@ -121,16 +121,21 @@ def export_shards(
     ``base_path/shard=<i>/``, rows pseudo-randomly ordered within each
     shard (see :func:`assign_shards`).
 
-    One repartition on the shard id (each shard's rows converge on one
-    task → one file per shard dir) + a within-partition sort on the hash
-    — a single wide dependency, the same shape as grouped Direct I/O.
+    One range-repartition on (shard, order) + a within-partition sort —
+    a single wide dependency, the same shape as grouped Direct I/O.
+    Range partitioning (not hash: hashing the shard id collides shard
+    ids into the same task and idles others) gives ≈1 shard per task;
+    a shard that straddles a sampled range boundary lands as 2 files in
+    its directory — file COUNT is physical layout, while the
+    row→shard assignment and within-shard order are the deterministic
+    contract.
     """
     from ..sources.write import write_flat
 
     sharded = assign_shards(df, n_shards, key_col, seed)
-    arranged = sharded.repartition(n_shards, F.col("shard")).sortWithinPartitions(
-        "shard", "shard_order"
-    )
+    arranged = sharded.repartitionByRange(
+        n_shards, F.col("shard"), F.col("shard_order")
+    ).sortWithinPartitions("shard", "shard_order")
     write_flat(
         arranged.drop("shard_order"), base_path, format=format,
         partition_by=["shard"], **options,

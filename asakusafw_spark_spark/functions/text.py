@@ -218,16 +218,21 @@ def quality_quantile_filter(
     pruning is actually run.  Adds a ``quality`` column (the score the
     cut was made on) to the surviving rows.
 
-    ``approx=False`` (default, oracle-exact): ``percent_rank`` over
-    (group, score) — rank semantics, no float interpolation, ties share
-    a rank so the kept SET is deterministic regardless of physical row
-    order.  One sort-shuffle per group; a group's rows must be sortable
-    within its partition (Tungsten sort, spills).  At 100 TB a handful
-    of giant language groups make this a few wide sorted partitions —
-    acceptable for one pass, but the scale path is ``approx=True``:
-    per-group ``percentile_approx`` cutoffs (map-side-combinable
-    aggregate, broadcast join back, no global per-group sort) at the
-    cost of a sketch-accurate (not exact) boundary.
+    ``approx=False`` (default, oracle-exact): ``cume_dist`` over
+    (group, score) — a row survives iff MORE than ``drop_frac`` of its
+    group scores ≤ it.  Rank semantics, no float interpolation, ties
+    share a value so the kept SET is deterministic regardless of
+    physical row order, and a group whose scores are ALL tied (or a
+    singleton group) is kept whole — every row's cume_dist is 1.0
+    (``percent_rank`` would be 0.0 for every such row and silently drop
+    the entire group).  One sort-shuffle per group; a group's rows must
+    be sortable within its partition (Tungsten sort, spills).  At
+    100 TB a handful of giant language groups make this a few wide
+    sorted partitions — acceptable for one pass, but the scale path is
+    ``approx=True``: per-group ``percentile_approx`` cutoffs
+    (map-side-combinable aggregate, broadcast join back, no global
+    per-group sort) at the cost of a sketch-accurate (not exact)
+    boundary.
 
     ``score_col`` reuses an existing score column instead of computing
     :func:`quality_score` over ``text_col``.
@@ -244,8 +249,8 @@ def quality_quantile_filter(
         out = scored.join(F.broadcast(cuts), keys)
         return out.filter(F.col("quality") >= F.col("__cut__")).drop("__cut__")
     w = Window.partitionBy(*keys).orderBy(F.col("quality").asc())
-    out = scored.withColumn("__pr__", F.percent_rank().over(w))
-    return out.filter(F.col("__pr__") >= drop_frac).drop("__pr__")
+    out = scored.withColumn("__cd__", F.cume_dist().over(w))
+    return out.filter(F.col("__cd__") > drop_frac).drop("__cd__")
 
 
 def chunk_documents(

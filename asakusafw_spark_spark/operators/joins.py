@@ -297,9 +297,11 @@ def _join_selected_cogroup(
             if n > 10_000:
                 import warnings
 
+                # fixed text: a per-batch row count in the message would
+                # defeat the warnings registry's once-per-location dedup
                 warnings.warn(
-                    f"master selection: select_fn is per-row Python and this "
-                    f"group has {n} tx rows in one batch — switch hot keys to "
+                    "master selection: select_fn is per-row Python over a "
+                    ">10k-row tx group batch — switch hot keys to "
                     "select_batch_fn (one vectorized call per group x batch)",
                     RuntimeWarning,
                     stacklevel=2,

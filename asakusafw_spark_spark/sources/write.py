@@ -26,6 +26,7 @@ import urllib.parse
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .pattern import OutputPattern
 
@@ -330,11 +331,20 @@ def merge_upsert(
     never read OR written) — merge cost ∝ touched partitions, the
     Hive-dynamic-partition-overwrite shape.
 
+    PRECONDITION with ``partition_by``: every update/delete row must
+    carry its key's CURRENT partition value — pruning keys off the
+    update row's partition, so a row whose partition value disagrees
+    with the stored row leaves the stale copy in place (move a key
+    across partitions as delete-in-old + insert-in-new).
+
     Not a concurrent-writer log-structured table (no snapshot isolation
-    between concurrent merges — that is Delta/Iceberg territory); the
-    swap itself is rename-atomic per dataset/partition on HDFS-like
-    filesystems.  Never reads and writes the same path in one job (the
-    classic self-overwrite corruption): staging is always a sibling.
+    between concurrent merges — that is Delta/Iceberg territory).  Each
+    individual promotion is a Hadoop rename; a failure mid-swap leaves
+    the staging directory IN PLACE (never deleted on error) so every
+    byte still exists — re-running the merge, or renaming the staged
+    dirs in by hand, completes it.  Never reads and writes the same
+    path in one job (the classic self-overwrite corruption): staging is
+    always a sibling.
     """
     spark = updates.sparkSession
     keys = [key] if isinstance(key, str) else list(key)
@@ -364,52 +374,78 @@ def merge_upsert(
         )
         return
 
-    current = spark.read.format(format).load(target_path)
-    if parts:
-        touched = updates.select(*parts).distinct()
-        current = current.join(F.broadcast(touched), parts, "left_semi")
-    survivors = current.join(updates_keys.distinct(), keys, "left_anti")
-    merged = survivors.unionByName(inserts)
-
-    write_flat(
-        merged, staging, format=format, mode="overwrite",
-        partition_by=parts or None, **options,
-    )
+    # the updates lineage feeds three plans (touched-partition pruning,
+    # key anti-join, the insert union) — materialize it once
+    updates = updates.persist(StorageLevel.MEMORY_AND_DISK)
     try:
+        current = spark.read.format(format).load(target_path)
+        touched_vals: list = []
         if parts:
-            # swap only the staged partition directories (depth = len(parts))
-            def walk(rel: str, depth: int) -> list[str]:
-                if depth == 0:
-                    return [rel]
-                out = []
-                for name in fs.listdir(f"{staging}/{rel}" if rel else staging):
-                    if "=" in name:
-                        out.extend(walk(f"{rel}/{name}" if rel else name, depth - 1))
-                return out
+            touched = updates.select(*parts).distinct()
+            touched_vals = touched.collect()
+            current = current.join(F.broadcast(touched), parts, "left_semi")
+        survivors = current.join(updates_keys.distinct(), keys, "left_anti")
+        merged = survivors.unionByName(inserts)
 
-            part_dirs = walk("", len(parts))
-
-            def swap(rel: str) -> None:
-                dest = f"{target_path}/{rel}"
-                parent = dest.rsplit("/", 1)[0]
-                fs.mkdirs(parent)
-                if fs.exists(dest):
-                    fs.delete(dest)
-                fs.rename(f"{staging}/{rel}", dest)
-
-            if len(part_dirs) > 1:
-                from concurrent.futures import ThreadPoolExecutor
-
-                with ThreadPoolExecutor(max_workers=min(16, len(part_dirs))) as pool:
-                    list(pool.map(swap, part_dirs))
-            else:
-                for rel in part_dirs:
-                    swap(rel)
-        else:
-            old = f"{base}__old_{int(time.time() * 1000)}"
-            fs.rename(target_path, old)
-            fs.rename(staging, target_path)
-            fs.delete(old)
+        write_flat(
+            merged, staging, format=format, mode="overwrite",
+            partition_by=parts or None, **options,
+        )
     finally:
-        if fs.exists(staging):
-            fs.delete(staging)
+        updates.unpersist()
+
+    if parts:
+        # swap only the staged partition directories (depth = len(parts))
+        def walk(rel: str, depth: int) -> list[str]:
+            if depth == 0:
+                return [rel]
+            out = []
+            for name in fs.listdir(f"{staging}/{rel}" if rel else staging):
+                if "=" in name:
+                    out.extend(walk(f"{rel}/{name}" if rel else name, depth - 1))
+            return out
+
+        part_dirs = walk("", len(parts))
+
+        # a touched partition that staged NOTHING had every row deleted —
+        # its target dir must be REMOVED, not skipped (path built with
+        # Spark's own partition-path escaping)
+        esc = spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        touched_rels = {
+            "/".join(
+                f"{c}={esc.escapePathName(str(row[c]))}" for c in parts
+            )
+            for row in touched_vals
+        }
+        emptied = sorted(touched_rels - set(part_dirs))
+
+        def swap(rel: str) -> None:
+            dest = f"{target_path}/{rel}"
+            parent = dest.rsplit("/", 1)[0]
+            fs.mkdirs(parent)
+            if fs.exists(dest):
+                fs.delete(dest)
+            fs.rename(f"{staging}/{rel}", dest)
+
+        if len(part_dirs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(16, len(part_dirs))) as pool:
+                list(pool.map(swap, part_dirs))
+        else:
+            for rel in part_dirs:
+                swap(rel)
+        for rel in emptied:
+            dest = f"{target_path}/{rel}"
+            if fs.exists(dest):
+                fs.delete(dest)
+        fs.delete(staging)  # success only — on error staging survives
+    else:
+        old = f"{base}__old_{int(time.time() * 1000)}"
+        fs.rename(target_path, old)
+        try:
+            fs.rename(staging, target_path)
+        except Exception:
+            fs.rename(old, target_path)  # restore — staging left for retry
+            raise
+        fs.delete(old)

@@ -237,3 +237,26 @@ def test_merge_upsert_partitioned_touches_only_affected(spark, tmp_path):
         1: ("2024-01", 1.0), 2: ("2024-01", 2.5), 3: ("2024-02", 3.0),
         4: ("2024-03", 4.0), 5: ("2024-02", 5.0), 6: ("2024-04", 6.0),
     }
+
+
+def test_merge_upsert_fully_deleted_partition_removed(spark, tmp_path):
+    import os
+
+    from asakusafw_spark_spark.sources.write import merge_upsert
+
+    target = str(tmp_path / "facts")
+    base = spark.createDataFrame(
+        [(1, "2024-01", 1.0), (2, "2024-01", 2.0), (3, "2024-02", 3.0)],
+        "k long, day string, v double",
+    )
+    merge_upsert(target, base, "k", partition_by="day")
+    # delete EVERY row of day=2024-01, insert nothing for it — the staged
+    # output has no dir for that partition, so promotion must REMOVE it
+    dels = spark.createDataFrame(
+        [(1, "2024-01", 0.0, True), (2, "2024-01", 0.0, True)],
+        "k long, day string, v double, dead boolean",
+    )
+    merge_upsert(target, dels, "k", partition_by="day", delete_col="dead")
+    assert not os.path.exists(f"{target}/day=2024-01")
+    got = {r.k: (r.day, r.v) for r in spark.read.parquet(target).collect()}
+    assert got == {3: ("2024-02", 3.0)}

@@ -454,6 +454,19 @@ def test_quality_quantile_filter_exact_and_approx(spark):
     assert akept >= kept - {2}  # sketch boundary may include/exclude the cusp
 
 
+def test_quality_quantile_filter_keeps_all_tied_group(spark):
+    from asakusafw_spark_spark.functions import quality_quantile_filter
+
+    # every score in the group ties (identical text), plus a singleton
+    # group — cume_dist = 1.0 for all, so NOTHING is dropped (percent_rank
+    # would have been 0.0 everywhere and dropped both groups entirely)
+    rows = [(i, "same boilerplate text everywhere ok", "en") for i in range(5)]
+    rows.append((99, "lone document in its own language group", "de"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kept = {r.doc_id for r in quality_quantile_filter(docs, drop_frac=0.2, by=("lang",)).collect()}
+    assert kept == set(range(5)) | {99}
+
+
 def test_chunk_documents_sliding_windows(spark):
     from asakusafw_spark_spark.functions import chunk_documents
 
