@@ -39,6 +39,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_simhash_pairs",
     "text_analysis",
+    "chunk_documents",
+    "quality_filter",
     "similarity_bruteforce_topk",
     "similarity_ivf",
     "streaming_windowed_agg",
