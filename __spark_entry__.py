@@ -1423,6 +1423,67 @@ def q_chunk_documents(spark, sf):
     return chunk_documents(_t(spark, sf, "documents"), chunk_tokens=40, overlap=8)
 
 
+def q_streaming_cdc_upsert(spark, sf):
+    """CDC micro-batches applied THROUGH the streaming engine
+    (file stream → foreachBatch → merge_upsert), then read back and
+    aggregated.  The two batches touch disjoint key classes, so the
+    final state is batch-order-independent and equals the single-merge
+    oracle (same SQL as ``merge_upsert``)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from asakusafw_spark_spark.streaming import stream_merge_upsert
+
+    base = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    target = tempfile.mkdtemp(prefix="cdc_target_") + "/orders"
+    base.write.parquet(target)
+
+    b1 = (
+        base.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2))
+        .withColumn("__del", F.lit(False))
+    )
+    b2 = (
+        base.filter(F.col("o_orderkey") % 10 == 1)
+        .withColumn("__del", F.lit(True))
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 10 == 2)
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
+            .withColumn("__del", F.lit(False))
+        )
+    )
+    cdc_dir = tempfile.mkdtemp(prefix="cdc_stream_")
+    for i, b in enumerate([b1, b2]):
+        stage = tempfile.mkdtemp(prefix="cdc_part_") + "/out"
+        b.coalesce(1).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dest = f"{cdc_dir}/{i:04d}.parquet"
+        shutil.copy(part, dest)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))  # batch order
+
+    stream = (
+        spark.readStream.schema(
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, __del boolean"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cdc_dir)
+    )
+    stream_merge_upsert(
+        stream, target, "o_orderkey", tempfile.mkdtemp(prefix="ck_cdc_"),
+        delete_col="__del", query_name="q_cdc_" + os.path.basename(cdc_dir),
+    )
+    back = spark.read.parquet(target)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
 def q_dedup_ngram_jaccard(spark, sf):
     # max_doc_freq=5 actually prunes at the oracle corpus (29 shingles have
     # df>5 at sf0.01), so the driver verifies the CAPPED semantics — the
@@ -1846,6 +1907,31 @@ def _duck_lang_hits() -> tuple[str, str]:
     return hits, case
 
 
+#: merge_upsert / streaming_cdc_upsert shared oracle: the pure-SQL
+#: equivalent of the CDC merge both queries perform (price bump for
+#: keys %10=0, tombstone %10=1, insert shifted copies of %10=2)
+_MERGE_ORACLE = """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders),
+    merged AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             round(o_totalprice * 1.1, 2) AS o_totalprice
+      FROM base WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+             o_totalprice
+      FROM base WHERE o_orderkey % 10 = 2
+      UNION ALL
+      SELECT * FROM base WHERE o_orderkey % 10 NOT IN (0, 1)
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+             AS sum_price
+    FROM merged GROUP BY o_orderstatus
+"""
+
+
 def _duck_text_analysis_sql() -> str:
     hits, case = _duck_lang_hits()
     return f"""
@@ -2056,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "chunk_documents": q_chunk_documents,
         "shard_assignment": q_shard_assignment,
+        "streaming_cdc_upsert": q_streaming_cdc_upsert,
         # --- 4. core smoke subset ---
         "flagship_revenue_per_nation": _flagship,
         "dedup_exact": q_dedup_exact,
@@ -2719,26 +2806,9 @@ def oracle_sql() -> dict[str, str]:
               FROM q)
             SELECT doc_id, lang, quality FROM r WHERE cd > 0.2
         """,
-        "merge_upsert": """
-            WITH base AS (
-              SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-              FROM orders),
-            merged AS (
-              SELECT o_orderkey, o_custkey, o_orderstatus,
-                     round(o_totalprice * 1.1, 2) AS o_totalprice
-              FROM base WHERE o_orderkey % 10 = 0
-              UNION ALL
-              SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
-                     o_totalprice
-              FROM base WHERE o_orderkey % 10 = 2
-              UNION ALL
-              SELECT * FROM base WHERE o_orderkey % 10 NOT IN (0, 1)
-            )
-            SELECT o_orderstatus, COUNT(*) AS n_orders,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
-                     AS sum_price
-            FROM merged GROUP BY o_orderstatus
-        """,
+        "merge_upsert": _MERGE_ORACLE,
+        # same final state: the CDC batches partition the same key classes
+        "streaming_cdc_upsert": _MERGE_ORACLE,
         "dedup_ngram_jaccard": _duck_ngram_jaccard_sql(threshold=0.3),
         "text_simhash": f"""
             SELECT doc_id, {_duck_simhash_expr(32)} AS simhash

@@ -10,6 +10,7 @@ from .stream import (
     stateful_running_agg,
     stream_interval_join,
     stream_to_direct_output,
+    stream_merge_upsert,
     run_available_now,
 )
 
@@ -21,5 +22,6 @@ __all__ = [
     "stateful_running_agg",
     "stream_interval_join",
     "stream_to_direct_output",
+    "stream_merge_upsert",
     "run_available_now",
 ]

@@ -313,3 +313,54 @@ def stream_interval_join(
         & (lw[left_ts] <= rw[right_ts] + F.expr(f"INTERVAL {upper}"))
     )
     return lw.join(rw, on=cond, how="inner")
+
+
+def stream_merge_upsert(
+    stream_df: DataFrame,
+    target_path: str,
+    key: Sequence[str] | str,
+    checkpoint_dir: str,
+    partition_by: Sequence[str] | str | None = None,
+    delete_col: str | None = None,
+    format: str = "parquet",
+    query_name: str = "merge_upsert",
+    available_now: bool = True,
+):
+    """Streaming CDC apply: every micro-batch merges into the dataset at
+    ``target_path`` through :func:`~...sources.write.merge_upsert` —
+    replace-by-key, tombstones via ``delete_col``, partition-pruned
+    rewrite with ``partition_by``.
+
+    Exactly-once composition: the checkpoint replays an unacknowledged
+    batch, and a replayed merge is IDEMPOTENT (replacing a key with the
+    same row, re-deleting a gone key, and re-inserting an
+    already-merged key all converge to the same dataset), so the
+    at-least-once delivery of ``foreachBatch`` yields effectively-once
+    table state.  Within one batch the LAST occurrence wins only if
+    keys are unique per batch — dedupe upstream (e.g.
+    ``dropDuplicates`` on key + a version column) when a micro-batch
+    can carry multiple changes for one key.
+
+    Returns the StreamingQuery (already drained when ``available_now``).
+    """
+    from ..sources.write import merge_upsert
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_upsert(
+            target_path, batch_df, key,
+            partition_by=partition_by, delete_col=delete_col, format=format,
+        )
+
+    w = (
+        stream_df.writeStream.outputMode("append")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+    )
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return w.start()

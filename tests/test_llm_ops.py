@@ -484,3 +484,38 @@ def test_chunk_documents_sliding_windows(spark):
     ]
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_reconstruction_property(spark):
+    """Property: dropping each chunk's leading `overlap` tokens (except
+    chunk 0) and concatenating reconstructs the original token stream."""
+    from hypothesis import given, settings, strategies as st
+
+    from asakusafw_spark_spark.functions import chunk_documents
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        n_tokens=st.integers(min_value=0, max_value=120),
+        chunk=st.integers(min_value=2, max_value=30),
+        overlap=st.integers(min_value=0, max_value=10),
+    )
+    def check(n_tokens, chunk, overlap):
+        if overlap >= chunk:
+            return
+        toks = [f"t{i}" for i in range(n_tokens)]
+        df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+        rows = sorted(
+            chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect(),
+            key=lambda r: r.chunk_id,
+        )
+        if n_tokens == 0:
+            assert rows == []
+            return
+        rebuilt: list[str] = []
+        for r in rows:
+            ct = r.chunk_text.split(" ")
+            rebuilt.extend(ct if not rebuilt else ct[overlap:])
+            assert r.n_tokens == len(ct) <= chunk
+        assert rebuilt == toks
+
+    check()

@@ -136,3 +136,55 @@ def test_stream_to_direct_output_flat_and_grouped(spark, events_stream, events_b
     assert total == events_batch.count()
     keys = [int(line.split(",")[0]) for line in open(sorted(files)[0]).readlines()[1:]]
     assert keys == sorted(keys)
+
+
+def test_stream_merge_upsert_cdc_apply(spark, tmp_path):
+    """Micro-batched CDC stream applied through the merge sink: final
+    table state equals the last version of every surviving key."""
+    import shutil
+
+    from asakusafw_spark_spark.streaming import stream_merge_upsert
+
+    target = str(tmp_path / "state")
+    # initial state
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        "k long, name string, v double",
+    ).write.parquet(target)
+
+    # two CDC files → two micro-batches (maxFilesPerTrigger=1):
+    # batch 1 updates k=2 and inserts k=4; batch 2 re-updates k=2 and
+    # tombstones k=3 — last write wins across batches
+    cdc_dir = tmp_path / "cdc"
+    cdc_dir.mkdir()
+    b1 = spark.createDataFrame(
+        [(2, "b1", 2.1, False), (4, "d", 4.0, False)],
+        "k long, name string, v double, dead boolean",
+    )
+    b2 = spark.createDataFrame(
+        [(2, "b2", 2.2, False), (3, None, 0.0, True)],
+        "k long, name string, v double, dead boolean",
+    )
+    s1 = tmp_path / "s1"; s2 = tmp_path / "s2"
+    b1.coalesce(1).write.parquet(str(s1))
+    b2.coalesce(1).write.parquet(str(s2))
+    # ordered arrival: file mtimes decide batch order for the file source
+    import glob as g, time as _t
+
+    f1 = g.glob(f"{s1}/part-*.parquet")[0]
+    f2 = g.glob(f"{s2}/part-*.parquet")[0]
+    shutil.copy(f1, cdc_dir / "0001.parquet")
+    _t.sleep(1.1)
+    shutil.copy(f2, cdc_dir / "0002.parquet")
+
+    stream = (
+        spark.readStream.schema("k long, name string, v double, dead boolean")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(cdc_dir))
+    )
+    stream_merge_upsert(
+        stream, target, "k", str(tmp_path / "ck_cdc"), delete_col="dead",
+        query_name="cdc_apply",
+    )
+    got = {r.k: (r.name, r.v) for r in spark.read.parquet(target).collect()}
+    assert got == {1: ("a", 1.0), 2: ("b2", 2.2), 4: ("d", 4.0)}
