@@ -1397,6 +1397,22 @@ def q_merge_upsert(spark, sf):
     )
 
 
+def q_mix_corpus(spark, sf):
+    """Deterministic data-mixture sampling: four sources blended toward
+    a 2000-token budget (one over-quota source capped at rate<1, the
+    absent sources at rate 0); output = the sampled (doc_id, source)
+    set, replay-identical by construction."""
+    from asakusafw_spark_spark.functions import mix_corpus
+
+    docs = _t(spark, sf, "documents")
+    out = mix_corpus(
+        docs,
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        token_budget=2000,
+    )
+    return out.select("doc_id", "source")
+
+
 def q_shard_assignment(spark, sf):
     """Deterministic training-shard assignment: per-shard counts and the
     min/max order hash (exact int64 both engines — the full assignment
@@ -2143,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "shard_assignment": q_shard_assignment,
         "streaming_cdc_upsert": q_streaming_cdc_upsert,
+        "mix_corpus": q_mix_corpus,
         # --- 4. core smoke subset ---
         "flagship_revenue_per_nation": _flagship,
         "dedup_exact": q_dedup_exact,
@@ -2761,6 +2778,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes s USING (cluster_id)
             JOIN documents d ON d.doc_id = a.doc_id
             WHERE a.doc_id = a.cluster_id
+        """,
+        "mix_corpus": f"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END
+                       AS nt
+              FROM documents),
+            tot AS (SELECT source, SUM(nt) AS toks FROM t GROUP BY source),
+            r AS (
+              SELECT source,
+                     LEAST(1.0, 2000.0 * (CASE source
+                         WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3
+                         WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.1
+                         ELSE 0.0 END) / toks) AS rate
+              FROM tot)
+            SELECT t.doc_id, t.source
+            FROM t JOIN r USING (source)
+            WHERE ({_DUCK_UNIT_HASH.format(key='doc_id')}) < rate
         """,
         "shard_assignment": """
             WITH h AS (

@@ -50,6 +50,7 @@ from .sampling import (
     assign_split,
     assign_shards,
     export_shards,
+    mix_corpus,
 )
 
 __all__ = [
@@ -88,4 +89,5 @@ __all__ = [
     "assign_split",
     "assign_shards",
     "export_shards",
+    "mix_corpus",
 ]

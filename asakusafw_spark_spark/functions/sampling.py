@@ -140,3 +140,47 @@ def export_shards(
         arranged.drop("shard_order"), base_path, format=format,
         partition_by=["shard"], **options,
     )
+
+
+def mix_corpus(
+    df: DataFrame,
+    proportions: Mapping[str, float],
+    token_budget: int,
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic corpus mixing: sample each source so the output
+    approximates ``token_budget`` whitespace-tokens blended in the given
+    ``proportions`` — the data-mixture step of training-set assembly
+    (e.g. 50% web, 30% code, 20% books).
+
+    Per-source keep rate = ``min(1, token_budget·prop / source_tokens)``
+    (a source too small for its quota is taken whole — the shortfall is
+    reported by downstream ``corpus_stats``, not silently rebalanced);
+    rows are kept by :func:`unit_hash` ``< rate`` on ``key_col``, so
+    the sample is replay-identical and composes with the other hash-
+    based curation ops.  Sources absent from ``proportions`` get rate 0.
+
+    Scale shape: one map-side-combinable token aggregate (rows = number
+    of SOURCES, broadcast back) + a stateless hash filter — the corpus
+    itself never shuffles.
+    """
+    from .text import token_count
+
+    tok = token_count(F.col(text_col))
+    totals = df.groupBy(source_col).agg(F.sum(tok).alias("__tokens__"))
+    prop: Column = F.lit(0.0)
+    for name, p in sorted(proportions.items()):
+        prop = F.when(F.col(source_col) == name, F.lit(float(p))).otherwise(prop)
+    rates = totals.withColumn(
+        "__rate__",
+        F.least(
+            F.lit(1.0), F.lit(float(token_budget)) * prop / F.col("__tokens__")
+        ),
+    )
+    out = df.join(F.broadcast(rates.select(source_col, "__rate__")), source_col)
+    return out.filter(unit_hash(F.col(key_col), seed) < F.col("__rate__")).drop(
+        "__rate__"
+    )

@@ -164,3 +164,27 @@ def test_export_shards_writes_ordered_dirs(spark, tmp_path):
     expect = {r.doc_id: r.shard for r in assign_shards(df, 4, "doc_id").collect()}
     got = {r.doc_id: r.shard for r in back.collect()}
     assert got == expect
+
+
+def test_mix_corpus_rates_and_determinism(spark):
+    from asakusafw_spark_spark.functions import mix_corpus
+
+    # source "big": 100 docs x 10 tokens = 1000 tokens; "small": 10 x 10 = 100
+    rows = [(i, "big", "w " * 9 + "w") for i in range(100)]
+    rows += [(1000 + i, "small", "w " * 9 + "w") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # budget 400 @ 50/50: big rate = 200/1000 = 0.2 (sampled), small rate =
+    # 200/100 -> capped at 1.0 (taken whole)
+    out = mix_corpus(df, {"big": 0.5, "small": 0.5}, token_budget=400)
+    got = out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    by_src = {r.source: r.n for r in got}
+    assert by_src["small"] == 10  # capped at 1.0 → whole source kept
+    assert 5 <= by_src["big"] <= 40  # ~20 expected at rate 0.2
+    # replay-identical
+    again = mix_corpus(df, {"big": 0.5, "small": 0.5}, token_budget=400)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+    # unlisted source → rate 0
+    none_kept = mix_corpus(df, {"small": 1.0}, token_budget=100)
+    assert none_kept.filter("source = 'big'").count() == 0
