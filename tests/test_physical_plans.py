@@ -69,3 +69,37 @@ def test_partitioned_write_prunes_partitions_on_read(spark, sf_dir, tmp_path):
     assert "lang" in pf and "en" in pf
     n_en = docs.filter(F.col("lang") == "en").count()
     assert n_en > 0 and back.count() == n_en
+
+
+def test_plan_summary_counts_join_shapes(spark, sf_dir):
+    from asakusafw_spark_spark.plans import plan_summary
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    joined = orders.join(F.broadcast(nation), orders.o_custkey % 25 == nation.n_nationkey)
+    s = plan_summary(joined.groupBy("n_name").count())
+    assert "BroadcastHashJoin" in s["joins"]
+    assert s["broadcasts"] >= 1
+    assert s["shuffles"] >= 1  # the groupBy exchange
+    assert not s["cartesian"]
+    assert s["python_stages"] == 0
+    # filter pushdown is visible through the same summary
+    f = plan_summary(orders.filter("o_orderkey = 7").select("o_orderkey"))
+    assert any("o_orderkey" in p for p in f["pushed_filters"])
+
+
+def test_assert_scale_safe_flags_cartesian_and_budgets(spark, sf_dir):
+    import pytest
+
+    from asakusafw_spark_spark.plans import assert_scale_safe, plan_summary
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cross = orders.crossJoin(nation)
+    assert plan_summary(cross)["cartesian"] in (True, False)  # BNLJ or cartesian
+    with pytest.raises(AssertionError, match="shuffles > budget"):
+        assert_scale_safe(
+            orders.groupBy("o_orderstatus").count(), max_shuffles=0
+        )
+    ok = assert_scale_safe(orders.select("o_orderkey"), max_shuffles=0)
+    assert ok["shuffles"] == 0
