@@ -169,6 +169,10 @@ def mix_corpus(
     """
     from .text import token_count
 
+    if token_budget <= 0:
+        raise ValueError("mix_corpus: token_budget must be positive")
+    if not proportions or any(p < 0 for p in proportions.values()):
+        raise ValueError("mix_corpus: proportions must be non-empty and ≥ 0")
     tok = token_count(F.col(text_col))
     totals = df.groupBy(source_col).agg(F.sum(tok).alias("__tokens__"))
     prop: Column = F.lit(0.0)

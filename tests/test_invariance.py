@@ -110,6 +110,48 @@ def q_dup_clusters(spark, sf_dir):
     )
 
 
+def q_mix_corpus(spark, sf_dir):
+    from asakusafw_spark_spark.functions import mix_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mix_corpus(
+        docs, {"src0": 0.5, "src1": 0.5}, token_budget=500
+    ).select("doc_id", "source")
+
+
+def q_chunk_documents(spark, sf_dir):
+    from asakusafw_spark_spark.functions import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, chunk_tokens=25, overlap=5)
+
+
+def q_quality_filter(spark, sf_dir):
+    from asakusafw_spark_spark.functions import quality_quantile_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_quantile_filter(docs, drop_frac=0.25, by=("lang",)).select(
+        "doc_id", "lang", "quality"
+    )
+
+
+def q_spill_cogroup(spark, sf_dir):
+    """The disk-spill carry path must be partition-invariant too."""
+
+    def fn(key, pdf):
+        return {"k": key[0], "n": len(pdf), "s": int(pdf["l_linenumber"].sum())}
+
+    li = _lineitem(spark, sf_dir).select(
+        F.lit(1).alias("k"), "l_orderkey", "l_linenumber"
+    )
+    return cogroup(
+        [Grouping(li, ["k"], [("l_orderkey", "asc"), ("l_linenumber", "asc")])],
+        fn,
+        "k long, n long, s long",
+        max_buffered_rows=500,
+    )
+
+
 QUERIES = {
     "summarize": q_summarize,
     "join": q_join,
@@ -117,6 +159,10 @@ QUERIES = {
     "topk": q_topk,
     "chunked_cogroup": q_chunked_cogroup,
     "dup_clusters": q_dup_clusters,
+    "mix_corpus": q_mix_corpus,
+    "chunk_documents": q_chunk_documents,
+    "quality_filter": q_quality_filter,
+    "spill_cogroup": q_spill_cogroup,
 }
 
 

@@ -519,3 +519,20 @@ def test_chunk_documents_reconstruction_property(spark):
         assert rebuilt == toks
 
     check()
+
+
+def test_dedup_corpus_custom_pair_generator(spark):
+    """pairs= injection: dedup_corpus applies decisions from ANY pair
+    frame (here simhash instead of the default MinHash-LSH)."""
+    from asakusafw_spark_spark.functions import dedup_corpus
+    from asakusafw_spark_spark.functions.dedup import simhash_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
+        (3, "totally unrelated content with other words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_corpus(docs, pairs=simhash_pairs(docs, max_hamming=3))
+    kept = {r.doc_id: r.cluster_size for r in out.collect()}
+    assert kept == {1: 2, 3: 1}
