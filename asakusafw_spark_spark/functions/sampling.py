@@ -178,11 +178,17 @@ def mix_corpus(
     prop: Column = F.lit(0.0)
     for name, p in sorted(proportions.items()):
         prop = F.when(F.col(source_col) == name, F.lit(float(p))).otherwise(prop)
+    # a zero-token source (all-empty texts) gets rate 0, not a
+    # DIVIDE_BY_ZERO abort (Spark 4 runs ANSI mode by default)
     rates = totals.withColumn(
         "__rate__",
-        F.least(
-            F.lit(1.0), F.lit(float(token_budget)) * prop / F.col("__tokens__")
-        ),
+        F.when(
+            F.col("__tokens__") > 0,
+            F.least(
+                F.lit(1.0),
+                F.lit(float(token_budget)) * prop / F.col("__tokens__"),
+            ),
+        ).otherwise(F.lit(0.0)),
     )
     out = df.join(F.broadcast(rates.select(source_col, "__rate__")), source_col)
     return out.filter(unit_hash(F.col(key_col), seed) < F.col("__rate__")).drop(

@@ -20,7 +20,7 @@ _JOIN_KINDS = (
 )
 
 
-def plan_summary(df: DataFrame, mode: str = "formatted") -> dict:
+def plan_summary(df: DataFrame) -> dict:
     """Summarize a DataFrame's physical plan for scale review.
 
     Returns::
@@ -29,18 +29,21 @@ def plan_summary(df: DataFrame, mode: str = "formatted") -> dict:
          "shuffles": int,           # Exchange (hash/range/round-robin) count
          "broadcasts": int,         # BroadcastExchange count
          "python_stages": int,      # MapInPandas / grouped-pandas / UDF evals
-         "codegen_spans": int,      # WholeStageCodegen regions
+         "codegen_spans": int,      # distinct [codegen id : N] regions
          "cartesian": bool,
          "pushed_filters": [...],   # per-scan PushedFilters payloads
          "plan": str}               # the explain text the counts came from
 
-    The counts come from the UNEXECUTED plan (``explain``-style); AQE may
-    improve it further at runtime (e.g. convert a sort-merge join to
-    broadcast) but never adds shuffles, so these numbers are the
-    worst-case shape — the right thing to gate on.
+    The counts come from the UNEXECUTED plan in ``formatted`` explain
+    mode — the counters are anchored to that mode's layout, which is why
+    no mode parameter is exposed.  AQE may improve the executed plan
+    further (e.g. convert a sort-merge join to broadcast) but never adds
+    shuffles, so these numbers are the worst-case shape — the right
+    thing to gate on.  ``codegen_spans`` is 0 under AQE's pre-execution
+    plan (codegen ids are assigned when stages materialize).
     """
     jvm_mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
-    plan = df._jdf.queryExecution().explainString(jvm_mode.fromString(mode))
+    plan = df._jdf.queryExecution().explainString(jvm_mode.fromString("formatted"))
     return {
         "joins": sorted(set(re.findall(f"({_JOIN_KINDS})", plan))),
         "shuffles": len(
@@ -53,12 +56,12 @@ def plan_summary(df: DataFrame, mode: str = "formatted") -> dict:
         "broadcasts": plan.count("BroadcastExchange"),
         "python_stages": len(
             re.findall(
-                r"MapInPandas|FlatMapGroupsInPandas|FlatMapGroupsWithStateInPandas"
+                r"MapInPandas|FlatMapGroupsInPandas|FlatMapGroupsInPandasWithState"
                 r"|ArrowEvalPython|BatchEvalPython",
                 plan,
             )
         ),
-        "codegen_spans": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
+        "codegen_spans": len(set(re.findall(r"\[codegen id : (\d+)\]", plan))),
         "cartesian": "CartesianProduct" in plan,
         "pushed_filters": re.findall(r"PushedFilters: \[([^\]]*)\]", plan),
         "plan": plan,

@@ -305,6 +305,35 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def _sibling_olds(fs: HadoopFs, base: str) -> list[str]:
+    """Sibling ``<base>__old_*`` directories parked by a dataset swap."""
+    parent, name = base.rsplit("/", 1)
+    try:
+        names = fs.listdir(parent)
+    except Exception:
+        return []
+    return [f"{parent}/{n}" for n in names if n.startswith(name + "__old_")]
+
+
+def _parked_path(base: str, rel: str) -> str:
+    """Parking path for a partition dir mid-swap.  Parked data lives
+    OUTSIDE the dataset tree (a ``__parked`` sibling) — an in-tree
+    marker dir would feed Spark's partition inference (a dir named
+    ``_old_day=x`` at partition level raises
+    CONFLICTING_PARTITION_COLUMN_NAMES on read)."""
+    return f"{base}__parked/{rel}"
+
+
+def _escape_rels(spark: SparkSession, parts: Sequence[str], rows) -> list[str]:
+    """Partition-relative paths for value rows, with Spark's own
+    partition-path escaping (so they match written directory names)."""
+    esc = spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    return [
+        "/".join(f"{c}={esc.escapePathName(str(row[c]))}" for c in parts)
+        for row in rows
+    ]
+
+
 def merge_upsert(
     target_path: str,
     updates: DataFrame,
@@ -338,13 +367,19 @@ def merge_upsert(
     across partitions as delete-in-old + insert-in-new).
 
     Not a concurrent-writer log-structured table (no snapshot isolation
-    between concurrent merges — that is Delta/Iceberg territory).  Each
-    individual promotion is a Hadoop rename; a failure mid-swap leaves
-    the staging directory IN PLACE (never deleted on error) so every
-    byte still exists — re-running the merge, or renaming the staged
-    dirs in by hand, completes it.  Never reads and writes the same
-    path in one job (the classic self-overwrite corruption): staging is
-    always a sibling.
+    between concurrent merges — that is Delta/Iceberg territory).  Crash
+    SAFETY (single writer): every swap parks the previous data under a
+    ``_old``-prefixed sibling (underscore-prefixed paths are invisible
+    to Spark/Hadoop readers) before renaming the staged data in, and the
+    NEXT merge restores any parked data whose live path is missing
+    BEFORE it reads current state — so a replayed merge after a mid-swap
+    crash is self-healing for the dataset and every partition it
+    touches.  A crashed partition a later merge does NOT touch stays
+    parked (invisible to reads) until :func:`recover_merge` restores it.
+    Staging directories are never deleted on error — every byte exists
+    somewhere at every instant.  Never reads and writes the same path in
+    one job (the classic self-overwrite corruption): staging is always a
+    sibling.
     """
     spark = updates.sparkSession
     keys = [key] if isinstance(key, str) else list(key)
@@ -367,22 +402,43 @@ def merge_upsert(
     base = target_path.rstrip("/")
     staging = f"{base}__merge_{int(time.time() * 1000)}"
 
+    # dataset-level crash healing: a mid-swap crash on the unpartitioned
+    # path leaves target missing and the data parked under __old_* — a
+    # replayed merge must RESTORE it, never mistake it for first load
+    olds = _sibling_olds(fs, base)
     if not fs.exists(target_path):
-        write_flat(
-            inserts, target_path, format=format, mode="overwrite",
-            partition_by=parts or None, **options,
-        )
-        return
+        if olds:
+            fs.rename(sorted(olds)[-1], target_path)
+            for o in sorted(olds)[:-1]:
+                fs.delete(o)
+        else:
+            write_flat(
+                inserts, target_path, format=format, mode="overwrite",
+                partition_by=parts or None, **options,
+            )
+            return
+    elif olds:  # completed swap that crashed before cleanup
+        for o in olds:
+            fs.delete(o)
 
     # the updates lineage feeds three plans (touched-partition pruning,
     # key anti-join, the insert union) — materialize it once
     updates = updates.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        current = spark.read.format(format).load(target_path)
         touched_vals: list = []
+        touched = None
         if parts:
             touched = updates.select(*parts).distinct()
             touched_vals = touched.collect()
+            # partition-level crash healing BEFORE reading current state:
+            # restore any touched partition parked by a crashed swap
+            for rel in _escape_rels(spark, parts, touched_vals):
+                dest = f"{target_path}/{rel}"
+                parked = _parked_path(base, rel)
+                if not fs.exists(dest) and fs.exists(parked):
+                    fs.rename(parked, dest)
+        current = spark.read.format(format).load(target_path)
+        if parts:
             current = current.join(F.broadcast(touched), parts, "left_semi")
         survivors = current.join(updates_keys.distinct(), keys, "left_anti")
         merged = survivors.unionByName(inserts)
@@ -410,22 +466,24 @@ def merge_upsert(
         # a touched partition that staged NOTHING had every row deleted —
         # its target dir must be REMOVED, not skipped (path built with
         # Spark's own partition-path escaping)
-        esc = spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        touched_rels = {
-            "/".join(
-                f"{c}={esc.escapePathName(str(row[c]))}" for c in parts
-            )
-            for row in touched_vals
-        }
+        touched_rels = set(_escape_rels(spark, parts, touched_vals))
         emptied = sorted(touched_rels - set(part_dirs))
 
         def swap(rel: str) -> None:
             dest = f"{target_path}/{rel}"
-            parent = dest.rsplit("/", 1)[0]
-            fs.mkdirs(parent)
+            fs.mkdirs(dest.rsplit("/", 1)[0])
+            parked = _parked_path(base, rel)
+            if fs.exists(parked):
+                fs.delete(parked)  # leftover from a prior completed swap
             if fs.exists(dest):
-                fs.delete(dest)
+                # park, don't delete: a crash between these two renames
+                # leaves the data recoverable (healed by the next merge
+                # touching this partition, or by recover_merge)
+                fs.mkdirs(parked.rsplit("/", 1)[0])
+                fs.rename(dest, parked)
             fs.rename(f"{staging}/{rel}", dest)
+            if fs.exists(parked):
+                fs.delete(parked)
 
         if len(part_dirs) > 1:
             from concurrent.futures import ThreadPoolExecutor
@@ -440,6 +498,9 @@ def merge_upsert(
             if fs.exists(dest):
                 fs.delete(dest)
         fs.delete(staging)  # success only — on error staging survives
+        parked_root = f"{base}__parked"
+        if fs.exists(parked_root) and not fs.listdir(parked_root):
+            fs.delete(parked_root)  # only when EMPTY — never drop parked data
     else:
         old = f"{base}__old_{int(time.time() * 1000)}"
         fs.rename(target_path, old)
@@ -449,3 +510,58 @@ def merge_upsert(
             fs.rename(old, target_path)  # restore — staging left for retry
             raise
         fs.delete(old)
+
+
+def recover_merge(
+    spark: SparkSession, target_path: str, partition_depth: int = 0
+) -> list[str]:
+    """Restore crash leftovers of :func:`merge_upsert` that no later
+    merge has healed: partition dirs parked under the ``__parked``
+    sibling whose live copy is missing are renamed back (those whose
+    live copy exists are deleted), and a parked ``__old_*`` dataset
+    sibling with no live target is restored.  ``partition_depth`` =
+    number of partition columns (0 for unpartitioned datasets).
+    Returns a log of actions taken — run it after an unclean writer
+    death, or periodically as a janitor.
+    """
+    fs = HadoopFs(spark, target_path)
+    base = target_path.rstrip("/")
+    actions: list[str] = []
+
+    olds = _sibling_olds(fs, base)
+    if not fs.exists(target_path):
+        if olds:
+            fs.rename(sorted(olds)[-1], target_path)
+            actions.append(f"restored dataset from {sorted(olds)[-1]}")
+            olds = sorted(olds)[:-1]
+        else:
+            return actions
+    for o in olds:
+        fs.delete(o)
+        actions.append(f"deleted leftover {o}")
+
+    parked_root = f"{base}__parked"
+    if not fs.exists(parked_root):
+        return actions
+
+    def walk(rel: str, depth: int) -> None:
+        here = f"{parked_root}/{rel}" if rel else parked_root
+        for name in fs.listdir(here):
+            sub = f"{rel}/{name}" if rel else name
+            if depth > 1 and "=" in name:
+                walk(sub, depth - 1)
+                continue
+            live = f"{target_path}/{sub}"
+            if fs.exists(live):
+                fs.delete(f"{parked_root}/{sub}")
+                actions.append(f"deleted parked {sub} (live copy exists)")
+            else:
+                fs.mkdirs(live.rsplit("/", 1)[0])
+                fs.rename(f"{parked_root}/{sub}", live)
+                actions.append(f"restored {live} from parked copy")
+
+    walk("", max(partition_depth, 1))
+    if not fs.listdir(parked_root):
+        fs.delete(parked_root)
+        actions.append("removed empty parked root")
+    return actions

@@ -332,12 +332,15 @@ def stream_merge_upsert(
     rewrite with ``partition_by``.
 
     Exactly-once composition: the checkpoint replays an unacknowledged
-    batch, and a replayed merge is IDEMPOTENT (replacing a key with the
+    batch, a replayed merge is IDEMPOTENT (replacing a key with the
     same row, re-deleting a gone key, and re-inserting an
-    already-merged key all converge to the same dataset), so the
-    at-least-once delivery of ``foreachBatch`` yields effectively-once
-    table state.  Within one batch the LAST occurrence wins only if
-    keys are unique per batch — dedupe upstream (e.g.
+    already-merged key all converge to the same dataset), and a merge
+    that died mid-promotion is SELF-HEALING on replay — swapped-out
+    data is parked, never deleted, and ``merge_upsert`` restores any
+    parked dataset/partition it touches before reading current state.
+    Together the at-least-once delivery of ``foreachBatch`` yields
+    effectively-once table state.  Within one batch the LAST occurrence
+    wins only if keys are unique per batch — dedupe upstream (e.g.
     ``dropDuplicates`` on key + a version column) when a micro-batch
     can carry multiple changes for one key.
 

@@ -260,3 +260,81 @@ def test_merge_upsert_fully_deleted_partition_removed(spark, tmp_path):
     assert not os.path.exists(f"{target}/day=2024-01")
     got = {r.k: (r.day, r.v) for r in spark.read.parquet(target).collect()}
     assert got == {3: ("2024-02", 3.0)}
+
+
+def test_merge_upsert_heals_parked_partition_before_merge(spark, tmp_path):
+    """Simulated mid-swap crash: the partition is parked under _old_ and
+    missing live; the next merge touching it must restore it BEFORE
+    computing survivors (otherwise the crashed partition's un-updated
+    rows are silently dropped)."""
+    import os
+    import shutil
+
+    from asakusafw_spark_spark.sources.write import merge_upsert
+
+    target = str(tmp_path / "facts")
+    base = spark.createDataFrame(
+        [(1, "2024-01", 1.0), (2, "2024-01", 2.0), (3, "2024-02", 3.0)],
+        "k long, day string, v double",
+    )
+    merge_upsert(target, base, "k", partition_by="day")
+    # simulate the crash window: live dir parked, nothing in its place
+    os.makedirs(f"{target}__parked", exist_ok=True)
+    shutil.move(f"{target}/day=2024-01", f"{target}__parked/day=2024-01")
+    assert not os.path.exists(f"{target}/day=2024-01")
+    # parked data lives OUTSIDE the dataset tree → readers are unaffected
+    assert spark.read.parquet(target).count() == 1
+
+    upd = spark.createDataFrame(
+        [(2, "2024-01", 2.5)], "k long, day string, v double"
+    )
+    merge_upsert(target, upd, "k", partition_by="day")
+    got = {r.k: (r.day, r.v) for r in spark.read.parquet(target).collect()}
+    # k=1 (the crashed partition's untouched row) survived the healing
+    assert got == {1: ("2024-01", 1.0), 2: ("2024-01", 2.5), 3: ("2024-02", 3.0)}
+    assert not os.path.exists(f"{target}__parked/day=2024-01")
+
+
+def test_merge_upsert_restores_dataset_after_crashed_swap(spark, tmp_path):
+    """Simulated crash between the two dataset renames: target missing,
+    data parked under __old_*. A replayed merge must restore and merge,
+    NOT treat the batch as an initial load."""
+    import os
+    import shutil
+
+    from asakusafw_spark_spark.sources.write import merge_upsert
+
+    target = str(tmp_path / "dim")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, name string, v double"
+    )
+    merge_upsert(target, base, "k")
+    shutil.move(target, f"{target}__old_123")  # the crash window state
+
+    upd = spark.createDataFrame([(2, "b2", 25.0)], "k long, name string, v double")
+    merge_upsert(target, upd, "k")
+    got = {r.k: (r.name, r.v) for r in spark.read.parquet(target).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 25.0)}  # k=1 NOT lost
+    assert not os.path.exists(f"{target}__old_123")
+
+
+def test_recover_merge_janitor(spark, tmp_path):
+    import os
+    import shutil
+
+    from asakusafw_spark_spark.sources.write import merge_upsert, recover_merge
+
+    target = str(tmp_path / "facts")
+    base = spark.createDataFrame(
+        [(1, "2024-01", 1.0), (3, "2024-02", 3.0)],
+        "k long, day string, v double",
+    )
+    merge_upsert(target, base, "k", partition_by="day")
+    os.makedirs(f"{target}__parked", exist_ok=True)
+    shutil.move(f"{target}/day=2024-01", f"{target}__parked/day=2024-01")
+    actions = recover_merge(spark, target, partition_depth=1)
+    assert any("restored" in a for a in actions)
+    assert os.path.exists(f"{target}/day=2024-01")
+    assert not os.path.exists(f"{target}__parked")
+    got = {r.k for r in spark.read.parquet(target).collect()}
+    assert got == {1, 3}

@@ -95,8 +95,16 @@ def test_assert_scale_safe_flags_cartesian_and_budgets(spark, sf_dir):
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    cross = orders.crossJoin(nation)
-    assert plan_summary(cross)["cartesian"] in (True, False)  # BNLJ or cartesian
+    # force a genuine CartesianProduct (broadcast would hide it as BNLJ)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cross = orders.crossJoin(nation)
+        assert plan_summary(cross)["cartesian"]
+        with pytest.raises(AssertionError, match="CartesianProduct"):
+            assert_scale_safe(cross)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     with pytest.raises(AssertionError, match="shuffles > budget"):
         assert_scale_safe(
             orders.groupBy("o_orderstatus").count(), max_shuffles=0

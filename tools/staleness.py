@@ -22,9 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    src = open("__spark_entry__.py").read()
-    m = re.search(r"def queries\(\).*?return \{(.*?)\n    \}", src, re.S)
-    registered = re.findall(r'"([a-z0-9_]+)":', m.group(1))
+    # import the registry the same way the driver does (queries() builds
+    # a plain dict of callables — no SparkSession needed)
+    import __spark_entry__ as entry_mod
+
+    registered = list(entry_mod.queries())
 
     last_green: dict[str, int] = {}
     ever_red: dict[str, int] = {}
