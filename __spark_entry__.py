@@ -1349,10 +1349,11 @@ def q_dedup_corpus(spark, sf):
 
 
 def q_quality_filter(spark, sf):
-    """Per-language bottom-quintile quality cut (percent_rank window —
+    """Per-language bottom-quintile quality cut (cume_dist window —
     rank semantics, no float interpolation, so the kept set is
-    deterministic and oracle-exact).  The approx=True variant
-    (percentile_approx cutoffs, no per-group sort) is the 100 TB path."""
+    deterministic and oracle-exact; percent_rank would wrongly drop
+    all-tied groups).  The approx=True variant (percentile_approx
+    cutoffs, no per-group sort) is the 100 TB path."""
     from asakusafw_spark_spark.functions import quality_quantile_filter
 
     docs = _t(spark, sf, "documents")
@@ -1375,7 +1376,14 @@ def q_merge_upsert(spark, sf):
     merge_upsert(target, base, "o_orderkey")
     upd = (
         base.filter(F.col("o_orderkey") % 10 == 0)
-        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2))
+        .withColumn(
+            "o_totalprice",
+            F.round(
+                F.col("o_totalprice").cast("decimal(27,2)")
+                * F.lit("1.1").cast("decimal(3,1)"),
+                2,
+            ).cast("double"),
+        )
         .withColumn("__del", F.lit(False))
     )
     dels = base.filter(F.col("o_orderkey") % 10 == 1).withColumn("__del", F.lit(True))
@@ -1460,7 +1468,14 @@ def q_streaming_cdc_upsert(spark, sf):
 
     b1 = (
         base.filter(F.col("o_orderkey") % 10 == 0)
-        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2))
+        .withColumn(
+            "o_totalprice",
+            F.round(
+                F.col("o_totalprice").cast("decimal(27,2)")
+                * F.lit("1.1").cast("decimal(3,1)"),
+                2,
+            ).cast("double"),
+        )
         .withColumn("__del", F.lit(False))
     )
     b2 = (
@@ -1932,7 +1947,8 @@ _MERGE_ORACLE = """
       FROM orders),
     merged AS (
       SELECT o_orderkey, o_custkey, o_orderstatus,
-             round(o_totalprice * 1.1, 2) AS o_totalprice
+             CAST(round(CAST(o_totalprice AS DECIMAL(27,2)) * 1.1, 2) AS DOUBLE)
+               AS o_totalprice
       FROM base WHERE o_orderkey % 10 = 0
       UNION ALL
       SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,

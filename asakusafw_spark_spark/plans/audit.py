@@ -53,12 +53,16 @@ def plan_summary(df: DataFrame) -> dict:
                 plan,
             )
         ),
-        "broadcasts": plan.count("BroadcastExchange"),
+        # Formatted explain prints every node twice — once in the tree and
+        # once as a "(N) NodeName" detail header — so anchor counts to the
+        # detail headers to get true node counts.
+        "broadcasts": len(re.findall(r"^\(\d+\) BroadcastExchange", plan, re.M)),
         "python_stages": len(
             re.findall(
-                r"MapInPandas|FlatMapGroupsInPandas|FlatMapGroupsInPandasWithState"
-                r"|ArrowEvalPython|BatchEvalPython",
+                r"^\(\d+\) (?:MapInPandas|FlatMapGroupsInPandas"
+                r"|FlatMapGroupsInPandasWithState|ArrowEvalPython|BatchEvalPython)",
                 plan,
+                re.M,
             )
         ),
         "codegen_spans": len(set(re.findall(r"\[codegen id : (\d+)\]", plan))),

@@ -111,10 +111,17 @@ def read_parquet(spark: SparkSession, *paths: str) -> DataFrame:
     relation resolution (the conf is consulted when the relation
     resolves, so restoring it immediately afterwards is safe), and every
     affected column is rebuilt from its raw-nanos long to a µs
-    timestamp.  Either way sub-µs precision is truncated — Spark
+    TIMESTAMP_NTZ.  Either way sub-µs precision is truncated — Spark
     timestamps are µs-resolution (SURVEY §7 boundary semantics; the
     reference's DateTimeOption is seconds-resolution, so µs strictly
     widens it).
+
+    Type contract (both paths, any Spark version, any session timezone):
+    a parquet TIMESTAMP(NANOS) column surfaces as **TIMESTAMP_NTZ
+    holding the naive UTC wall-clock**, exactly what the 4.1+ native
+    read produces.  The legacy rebuild routes through
+    ``from_utc_timestamp(instant, session_tz).cast(ntz)`` so the naive
+    value is UTC-anchored even in non-UTC sessions.
     """
     try:
         df = spark.read.parquet(*paths)
@@ -134,8 +141,27 @@ def read_parquet(spark: SparkSession, *paths: str) -> DataFrame:
             spark.conf.unset(_NANOS_FLAG)
         else:
             spark.conf.set(_NANOS_FLAG, prev)
+    return _rebuild_nanos_ntz(spark, df, nanos)
+
+
+def _rebuild_nanos_ntz(spark: SparkSession, df: DataFrame, nanos) -> DataFrame:
+    """Rebuild raw-nanos LONG columns (legacy ``nanosAsLong`` read) to the
+    same TIMESTAMP_NTZ the Spark 4.1+ native read produces: naive UTC
+    wall-clock, µs-truncated.
+    """
+    tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
     rebuilds = {
-        c: F.timestamp_micros(F.expr(f"`{c}` div 1000"))  # int div: double rounds at ns
+        # int div (not /1000.0): double rounds at ns.  timestamp_micros
+        # gives the instant i; the NTZ cast renders in session tz
+        # (naive = instant + offset(tz)), so pre-shifting by
+        # to_utc_timestamp (instant − offset) makes the naive value i's
+        # UTC wall-clock in ANY session timezone — identical to the 4.1
+        # native NTZ read.  (Offsets are instant-dependent: exact under
+        # fixed-offset zones incl. UTC; DST-transition wall times in
+        # zoned sessions can land in the 1-hour ambiguity window.)
+        c: F.to_utc_timestamp(
+            F.timestamp_micros(F.expr(f"`{c}` div 1000")), tz
+        ).cast("timestamp_ntz")
         for c in nanos
         if c in df.columns and isinstance(df.schema[c].dataType, T.LongType)
     }

@@ -36,9 +36,14 @@ def stream_parquet_source(
     boundary contract as the batch reader (sources/read.py).  Requesting
     it as ``long`` instead would silently coerce the µs timestamp to a
     µs long, and any downstream nanos arithmetic would be off by 1000×.
-    The column is then cast to TIMESTAMP (wall-clock-preserving in the
-    session timezone) because watermarks/event-time operators reject
-    TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
+    The column is then cast to TIMESTAMP because watermarks/event-time
+    operators reject TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
+    The naive parquet value is UTC wall-clock, so the cast (naive →
+    instant via session tz) is corrected with
+    ``from_utc_timestamp(·, session_tz)``: the resulting instant equals
+    the naive value read as UTC in EVERY session timezone (a bare cast
+    would shift event times in non-UTC sessions, matching the batch
+    reader's UTC-anchored contract only by luck).
     """
     if ts_is_nanos:
         if isinstance(schema, str):
@@ -55,7 +60,10 @@ def stream_parquet_source(
         )
     df = spark.readStream.schema(schema).parquet(path)
     if ts_is_nanos:
-        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+        df = df.withColumn(
+            ts_col, F.from_utc_timestamp(F.col(ts_col).cast("timestamp"), tz)
+        )
     return df
 
 

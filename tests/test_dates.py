@@ -99,6 +99,35 @@ def test_nanos_read_does_not_leak_session_conf(spark, nanos_file, micros_file):
     assert spark.conf.get(NANOS_FLAG, None) is None
 
 
+def test_legacy_nanos_rebuild_matches_native_ntz_any_session_tz(spark, nanos_file):
+    # Contract: the legacy nanosAsLong rebuild and the 4.1 native read
+    # surface the SAME TIMESTAMP_NTZ (naive UTC wall-clock, µs-truncated)
+    # in every session timezone (ADVICE r04: the old rebuild produced
+    # tz-aware TIMESTAMP, a different schema per Spark version).
+    from asakusafw_spark_spark.sources.read import _rebuild_nanos_ntz
+
+    native = {r.id: (r.created, r.updated) for r in read_parquet(spark, nanos_file).collect()}
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    for tz in ("UTC", "Asia/Tokyo", "America/New_York"):
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        try:
+            spark.conf.set(NANOS_FLAG, "true")
+            raw = spark.read.parquet(nanos_file)
+            raw.schema  # resolve while the flag is set
+        finally:
+            spark.conf.unset(NANOS_FLAG)
+            spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        assert dict(raw.dtypes)["created"] == "bigint"  # legacy read confirmed
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        try:
+            rebuilt = _rebuild_nanos_ntz(spark, raw, {"created", "updated"})
+            assert dict(rebuilt.dtypes)["created"] == "timestamp_ntz"
+            got = {r.id: (r.created, r.updated) for r in rebuilt.collect()}
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        assert got == native, f"legacy rebuild diverges from native NTZ under {tz}"
+
+
 def test_pre1582_dates_roundtrip_proleptic(spark, tmp_path):
     # proleptic Gregorian: 1500-02-28 is pre-Gregorian-reform; year 1 is the
     # reference DateOption epoch. Spark 3+/DuckDB/pyarrow all agree on

@@ -188,3 +188,34 @@ def test_stream_merge_upsert_cdc_apply(spark, tmp_path):
     )
     got = {r.k: (r.name, r.v) for r in spark.read.parquet(target).collect()}
     assert got == {1: ("a", 1.0), 2: ("b2", 2.2), 4: ("d", 4.0)}
+
+
+def test_stream_ts_instant_is_session_tz_invariant(spark, events_dir, tmp_path):
+    # The streamed event-time instant must equal the parquet naive value
+    # read as UTC in EVERY session timezone (ADVICE r04: a bare NTZ→
+    # TIMESTAMP cast shifts event times in non-UTC sessions).
+    # unix_micros() is tz-independent on an instant, so equal micros ⇒
+    # equal instants.
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    got = {}
+    for i, tz in enumerate(("UTC", "Asia/Tokyo")):
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        try:
+            src = stream_parquet_source(
+                spark, events_dir, EVENTS_SCHEMA, ts_is_nanos=True
+            )
+            agg = src.select(
+                F.lit(1).alias("one"), F.unix_micros("ts").alias("us")
+            ).groupBy("one").agg(
+                F.min("us").alias("lo"), F.max("us").alias("hi")
+            )
+            run_available_now(
+                agg, f"tz_inv_{i}", str(tmp_path / f"ck{i}"), mode="complete"
+            )
+            got[tz] = spark.sql(f"SELECT lo, hi FROM tz_inv_{i}").collect()[0]
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    assert (got["UTC"].lo, got["UTC"].hi) == (
+        got["Asia/Tokyo"].lo,
+        got["Asia/Tokyo"].hi,
+    )

@@ -44,7 +44,11 @@ def value_hash(pdf: pd.DataFrame) -> str:
     for c in pdf.columns:
         s = pdf[c]
         if s.dtype == "float64" or s.dtype == "float32":
-            vals = s.map(lambda v: "null" if pd.isna(v) else f"{float(v):.9g}")
+            # Full-precision repr — the driver hashes floats exactly, so a
+            # looser local hash (the old %.9g) can claim green on a query
+            # the driver will fail.  repr() round-trips float64 (17 sig
+            # digits), making this gate at least as strict as the driver's.
+            vals = s.map(lambda v: "null" if pd.isna(v) else repr(float(v)))
         else:
             vals = s.map(lambda v: "null" if v is None or (isinstance(v, float) and pd.isna(v)) else str(v))
         h.update(("\x01".join(vals.astype(str)) + "\x02" + c).encode())
