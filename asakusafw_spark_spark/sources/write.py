@@ -324,12 +324,27 @@ def _parked_path(base: str, rel: str) -> str:
     return f"{base}__parked/{rel}"
 
 
+#: Directory name Spark/Hive write for a NULL partition value
+#: (ExternalCatalogUtils.DEFAULT_PARTITION_NAME — stable across versions).
+_NULL_PARTITION_DIR = "__HIVE_DEFAULT_PARTITION__"
+
+
 def _escape_rels(spark: SparkSession, parts: Sequence[str], rows) -> list[str]:
     """Partition-relative paths for value rows, with Spark's own
-    partition-path escaping (so they match written directory names)."""
+    partition-path escaping (so they match written directory names).
+    NULL values map to the Hive default-partition dir, exactly as
+    ``partitionBy`` writes them — ``str(None)`` would target a
+    nonexistent ``c=None`` path."""
     esc = spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     return [
-        "/".join(f"{c}={esc.escapePathName(str(row[c]))}" for c in parts)
+        "/".join(
+            f"{c}=" + (
+                _NULL_PARTITION_DIR
+                if row[c] is None
+                else esc.escapePathName(str(row[c]))
+            )
+            for c in parts
+        )
         for row in rows
     ]
 
@@ -364,7 +379,9 @@ def merge_upsert(
     carry its key's CURRENT partition value — pruning keys off the
     update row's partition, so a row whose partition value disagrees
     with the stored row leaves the stale copy in place (move a key
-    across partitions as delete-in-old + insert-in-new).
+    across partitions as delete-in-old + insert-in-new).  NULL partition
+    values are supported: they prune/swap/heal through Hive's
+    ``__HIVE_DEFAULT_PARTITION__`` directory like any other value.
 
     Not a concurrent-writer log-structured table (no snapshot isolation
     between concurrent merges — that is Delta/Iceberg territory).  Crash
@@ -439,7 +456,15 @@ def merge_upsert(
                     fs.rename(parked, dest)
         current = spark.read.format(format).load(target_path)
         if parts:
-            current = current.join(F.broadcast(touched), parts, "left_semi")
+            # null-safe semi-join: a NULL partition value is a real
+            # partition (written as __HIVE_DEFAULT_PARTITION__); plain
+            # column-name equality would never match it, dropping every
+            # non-updated row of the null partition on the swap
+            cond = None
+            for c in parts:
+                e = current[c].eqNullSafe(touched[c])
+                cond = e if cond is None else cond & e
+            current = current.join(F.broadcast(touched), cond, "left_semi")
         survivors = current.join(updates_keys.distinct(), keys, "left_anti")
         merged = survivors.unionByName(inserts)
 

@@ -338,3 +338,43 @@ def test_recover_merge_janitor(spark, tmp_path):
     assert not os.path.exists(f"{target}__parked")
     got = {r.k for r in spark.read.parquet(target).collect()}
     assert got == {1, 3}
+
+
+def test_merge_upsert_null_partition_value(spark, tmp_path):
+    # A NULL partition value is a real partition (written as
+    # __HIVE_DEFAULT_PARTITION__).  The merge must (a) keep the null
+    # partition's non-updated rows as survivors (null-safe semi-join —
+    # plain equality would drop them on the swap), (b) swap/heal/delete
+    # the right directory (None must map to the Hive default dir, not a
+    # literal 'None' path), including full-delete removal.
+    import os
+
+    from asakusafw_spark_spark.sources.write import merge_upsert
+
+    target = str(tmp_path / "facts")
+    base = spark.createDataFrame(
+        [(1, None, 1.0), (2, None, 2.0), (3, "2024-02", 3.0)],
+        "k long, day string, v double",
+    )
+    merge_upsert(target, base, "k", partition_by="day")
+    null_dir = f"{target}/day=__HIVE_DEFAULT_PARTITION__"
+    assert os.path.isdir(null_dir)
+
+    # update one key in the null partition: the other null-partition key
+    # must survive
+    upd = spark.createDataFrame([(2, None, 2.5)], "k long, day string, v double")
+    merge_upsert(target, upd, "k", partition_by="day")
+    got = {r.k: (r.day, r.v) for r in spark.read.parquet(target).collect()}
+    assert got == {1: (None, 1.0), 2: (None, 2.5), 3: ("2024-02", 3.0)}
+    assert not os.path.exists(f"{target}/day=None")
+
+    # delete every remaining null-partition key: the Hive default dir
+    # itself must be removed (emptied-partition path, not 'day=None')
+    dels = spark.createDataFrame(
+        [(1, None, 0.0, True), (2, None, 0.0, True)],
+        "k long, day string, v double, dead boolean",
+    )
+    merge_upsert(target, dels, "k", partition_by="day", delete_col="dead")
+    got = {r.k: (r.day, r.v) for r in spark.read.parquet(target).collect()}
+    assert got == {3: ("2024-02", 3.0)}
+    assert not os.path.exists(null_dir)
