@@ -67,12 +67,38 @@ class MasterSelection:
                      array-like of int`` with one positional master index
                      per tx row (−1 / None / NaN = no match).  One Python
                      call per (group × Arrow batch) instead of per tx row.
+
+    Skew defence for the ``where`` path (the candidate join multiplies a
+    hot key's tx rows by its master-group size BEFORE the per-tx
+    reduction, and AQE has no recourse when the master side is
+    broadcast):
+
+    ``max_candidates`` — keep only the N best master rows per key group
+                     under ``ordering`` before the candidate join,
+                     bounding the blowup at N× regardless of group size.
+                     EXACT whenever every tx row's admissible set (under
+                     ``where``) intersects the kept N or is empty — e.g.
+                     bounded versions-per-key, or a predicate that admits
+                     a prefix of the ordering.  For a backward as-of
+                     join it is an approximation: a tx row older than
+                     all N kept masters reports missed instead of
+                     matching an older master.  Measured in
+                     tools/skew_probe.py (BASELINE.md "where-path skew").
+    ``scatter_tx`` — round-robin-repartition the tx side before the
+                     candidate join.  EXACT always; defends the common
+                     real-world skew where hot-key tx rows arrive
+                     CLUSTERED in a few input partitions (sorted files),
+                     which concentrates the whole blowup in those tasks.
+                     Costs one extra tx shuffle — worth it only when the
+                     blowup is task-concentrated.
     """
 
     ordering: Ordering | None = None
     where: Column | None = None
     select_fn: Callable | None = field(default=None, repr=False)
     select_batch_fn: Callable | None = field(default=None, repr=False)
+    max_candidates: int | None = None
+    scatter_tx: bool = False
 
 
 def _dedupe_masters(master: DataFrame, key: Sequence[str], sel: MasterSelection) -> DataFrame:
@@ -212,9 +238,35 @@ def _join_selected(
     # silently diverge under AQE re-planning or task retries.)  The left
     # join also keeps unmatched tx rows, so no re-join is needed at all.
     full_cond = sel.where if cond is None else (cond & sel.where)
+    ordering = sel.ordering or [(c, "asc") for c in master.columns]
+    if sel.max_candidates is not None:
+        # bound the candidate blowup: N best master rows per key group
+        # under the selection ordering (window sort over the SMALL master
+        # side only; keyless band tables get a global window — they are
+        # broadcast-small by contract).  Semantics documented on
+        # MasterSelection.max_candidates.
+        from pyspark.sql import Window as W
+
+        order_cols = [
+            F.col(c).asc() if d == "asc" else F.col(c).desc()
+            for c, d in ordering
+        ]
+        w = (W.partitionBy(*mkey) if mkey else W.partitionBy()).orderBy(*order_cols)
+        capped = (
+            master.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") <= sel.max_candidates)
+            .drop("__rn__")
+        )
+        m = _prefix(capped, "__m_").withColumn(_HIT, F.lit(True))
+    if sel.scatter_tx:
+        # spread input-clustered hot-key tx rows across the cluster before
+        # the multiplying join (round-robin = exact: the left join and the
+        # per-tx reduction are partitioning-independent, and __txid__ is
+        # assigned AFTER the scatter)
+        spark = tx.sparkSession
+        tx = tx.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
     txid = tx.withColumn("__txid__", F.monotonically_increasing_id())
     cand = txid.join(_apply_strategy(m, strategy), on=full_cond, how="left")
-    ordering = sel.ordering or [(c, "asc") for c in master.columns]
     if all(d == "asc" for _, d in ordering):
         ord_struct = F.struct(*[F.col(f"__m_{c}") for c, _ in ordering])
         row_struct = F.struct(*[F.col(c) for c in cand.columns if c != "__txid__"])

@@ -315,3 +315,63 @@ def test_master_join_skew_salt_same_result(masters, txs, strategy):
         map(tuple, salted["missed"].collect())
     )
     assert salted["joined"].columns == plain["joined"].columns
+
+
+def test_where_path_scatter_tx_is_exact(masters, txs):
+    # scatter_tx round-robins tx before the candidate join — results
+    # must be identical to the unscattered plan (order-insensitive)
+    sel = MasterSelection(where=F.col("__m_score") > F.col("amount") * 10)
+    sel_s = MasterSelection(
+        where=F.col("__m_score") > F.col("amount") * 10, scatter_tx=True
+    )
+    plain = master_join(masters, txs, ["k"], selection=sel)
+    scat = master_join(masters, txs, ["k"], selection=sel_s)
+    key = lambda out: (
+        sorted(map(tuple, out["joined"].collect())),
+        sorted(map(tuple, out["missed"].collect())),
+    )
+    assert key(plain) == key(scat)
+
+
+def test_where_path_max_candidates_exact_when_groups_fit(masters, txs):
+    # every master group has ≤2 rows, so a cap of 2 keeps ALL candidates:
+    # results must equal the uncapped plan (the exactness condition
+    # documented on MasterSelection.max_candidates)
+    sel = MasterSelection(where=F.col("__m_score") > F.col("amount") * 10)
+    capped = MasterSelection(
+        where=F.col("__m_score") > F.col("amount") * 10,
+        ordering=[("score", "desc")],
+        max_candidates=2,
+    )
+    # same ordering on both so the per-tx winner matches
+    sel.ordering = [("score", "desc")]
+    a = master_join(masters, txs, ["k"], selection=sel)
+    b = master_join(masters, txs, ["k"], selection=capped)
+    key = lambda out: (
+        sorted(map(tuple, out["joined"].collect())),
+        sorted(map(tuple, out["missed"].collect())),
+    )
+    assert key(a) == key(b)
+
+
+def test_where_path_max_candidates_bounds_blowup_documented_approx(spark):
+    # asof-style: 100 versions of one hot key; cap=3 keeps the 3 latest.
+    # Recent tx rows still match exactly; a tx row older than all kept
+    # versions reports missed — the DOCUMENTED approximation.
+    from asakusafw_spark_spark.operators import MasterSelection, master_join
+
+    quotes = spark.createDataFrame(
+        [(1, t, float(t)) for t in range(100)], "sym long, qts long, px double"
+    )
+    trades = spark.createDataFrame(
+        [(1, 99), (1, 98), (1, 0)], "sym long, tts long"
+    )
+    sel = MasterSelection(
+        ordering=[("qts", "desc")],
+        where=F.col("__m_qts") <= F.col("tts"),
+        max_candidates=3,
+    )
+    out = master_join(quotes, trades, ["sym"], selection=sel)
+    joined = {r.tts: r.px for r in out["joined"].collect()}
+    assert joined == {99: 99.0, 98: 98.0}  # within the kept window: exact
+    assert {r.tts for r in out["missed"].collect()} == {0}  # outside: missed

@@ -110,6 +110,52 @@ def main() -> None:
         dt, n, _ = timed_collect(out)
         print(f"cogroup {label}: {dt:6.2f}s groups={n}")
 
+    # -- (c) where-path candidate blowup (VERDICT r04 Next #6): a hot key
+    #    whose master group holds V versions multiplies that key's tx rows
+    #    V× in the candidate LEFT-join BEFORE the per-tx min_by reduction,
+    #    and the master side is broadcast — AQE never sees a shuffle to
+    #    split.  Defences measured: max_candidates=8 (bounds the blowup at
+    #    8×; exact here because every trade is newer than the 8 latest
+    #    quotes) and scatter_tx (exact, spreads CLUSTERED hot tx rows).
+    from asakusafw_spark_spark.operators import MasterSelection
+
+    n_tx = 600_000
+    hot_versions = 2_000
+    trades = (
+        spark.range(n_tx)
+        .select(
+            F.when(F.col("id") % 10 == 0, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("sym"),
+            (F.lit(10_000_000) + F.col("id")).alias("tts"),
+        )
+        # cluster the hot rows into few input partitions (worst case)
+        .repartition(32, "sym")
+    )
+    quotes = spark.createDataFrame(
+        [(0, t) for t in range(hot_versions)]
+        + [(s, t) for s in range(1, 1000) for t in range(8)],
+        "sym long, qts long",
+    ).select("sym", "qts", (F.col("qts") % 97).alias("px"))
+
+    for label, sel in [
+        ("baseline     ", MasterSelection(
+            ordering=[("qts", "desc")], where=F.col("__m_qts") <= F.col("tts"))),
+        ("max_cand=8   ", MasterSelection(
+            ordering=[("qts", "desc")], where=F.col("__m_qts") <= F.col("tts"),
+            max_candidates=8)),
+        ("scatter_tx   ", MasterSelection(
+            ordering=[("qts", "desc")], where=F.col("__m_qts") <= F.col("tts"),
+            scatter_tx=True)),
+    ]:
+        out = master_join(quotes, trades, ["sym"], selection=sel,
+                          strategy="broadcast")["joined"]
+        probe = out.agg(F.count(F.lit(1)).alias("n"), F.sum("px").alias("s"))
+        t0 = time.perf_counter()
+        row = probe.collect()[0]
+        dt = time.perf_counter() - t0
+        print(f"where-path {label}: {dt:6.2f}s rows={row['n']} sum_px={row['s']}")
+
 
 if __name__ == "__main__":
     main()
