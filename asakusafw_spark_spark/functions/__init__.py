@@ -52,6 +52,19 @@ from .sampling import (
     export_shards,
     mix_corpus,
 )
+from .multimodal import (
+    MEDIA_SCHEMA,
+    extract_features,
+    resize_images,
+    sample_frames,
+    fake_decoder,
+)
+from .png_codec import (
+    encode_png,
+    decode_png,
+    png_resizer,
+    png_feature_decoder,
+)
 
 __all__ = [
     "F",
@@ -90,4 +103,13 @@ __all__ = [
     "assign_shards",
     "export_shards",
     "mix_corpus",
+    "MEDIA_SCHEMA",
+    "extract_features",
+    "resize_images",
+    "sample_frames",
+    "fake_decoder",
+    "encode_png",
+    "decode_png",
+    "png_resizer",
+    "png_feature_decoder",
 ]

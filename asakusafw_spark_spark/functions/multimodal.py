@@ -11,6 +11,10 @@ codecs are NOT in this container, so decode is stubbed two ways:
   from the md5 of the payload) so pipelines and tests exercise the full
   distributed path with stable outputs.
 
+For PNG payloads specifically a REAL pure-stdlib codec ships in
+:mod:`.png_codec` (``png_resizer`` / ``png_feature_decoder``) — genuine
+decode/resize/feature work with no third-party dependency.
+
 Scale: media bytes ride the same partitions as their metadata (one
 scan), decode fans out per Arrow batch (bounded memory via
 ``spark.sql.execution.arrow.maxRecordsPerBatch``), and feature outputs

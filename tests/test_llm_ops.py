@@ -197,23 +197,107 @@ def test_multimodal_stub_raises_without_codec(spark):
         extract_features(df)
 
 
-@pytest.mark.skipif(
-    __import__("importlib.util", fromlist=["util"]).find_spec("PIL") is None,
-    reason="Pillow not installed — codec-injection plumbing covered by fake_decoder",
-)
+def test_png_codec_roundtrip_and_filter_coverage():
+    """The vendored pure-stdlib PNG codec: encode→decode is lossless,
+    and the decoder unfilters Sub/Up/Average/Paeth streams (hand-built
+    with known filter bytes), so it reads any conformant encoder's
+    output, not just its own filter-0 stream."""
+    import struct
+    import zlib
+
+    from asakusafw_spark_spark.functions.png_codec import (
+        decode_png,
+        encode_png,
+        resize_nearest,
+    )
+
+    rows = [[(x * 16 % 256, y * 32 % 256, (x + y) % 256) for x in range(8)]
+            for y in range(6)]
+    w, h, back = decode_png(encode_png(rows))
+    assert (w, h) == (8, 6) and back == rows
+
+    # hand-build a 2x3 stream exercising every non-zero filter type
+    px = [[(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+          [(15, 25, 35), (45, 55, 65), (75, 85, 95)]]
+    def filt(ftype, line, prev):
+        out = bytearray([ftype])
+        for i in range(len(line)):
+            a = line[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if ftype == 1: pred = a
+            elif ftype == 2: pred = b
+            elif ftype == 3: pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((line[i] - pred) & 0xFF)
+        return bytes(out)
+
+    lines = [bytes(v for p in row for v in p) for row in px]
+    for ftype in (1, 2, 3, 4):
+        raw = filt(ftype, lines[0], bytes(9)) + filt(ftype, lines[1], lines[0])
+        sig = b"\x89PNG\r\n\x1a\n"
+        def chunk(tag, data):
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+        png = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+        assert decode_png(png) == (3, 2, px), f"filter {ftype}"
+
+    assert resize_nearest(rows, 4, 3) == [
+        [rows[(y * 6) // 3][(x * 8) // 4] for x in range(4)] for y in range(3)
+    ]
+
+
 def test_multimodal_real_codec_roundtrip(spark):
-    """With a REAL image library present, the same injection points
-    carry genuine decode work: resize_images re-encodes actual PNG bytes
-    and extract_features embeds from real pixel data — proving the
-    mapInPandas plumbing beyond the deterministic fake."""
-    import io
+    """The same injection points carrying GENUINE decode work over real
+    PNG bytes — Pillow when installed, else the vendored pure-stdlib
+    codec (VERDICT r04 Next #7: no more environment-gated skip):
+    resize_images re-encodes actual PNG streams and extract_features
+    embeds from real pixel data, proving the mapInPandas plumbing
+    beyond the deterministic fake."""
+    import importlib.util
 
-    from PIL import Image
+    if importlib.util.find_spec("PIL") is not None:
+        import io
 
-    def png_bytes(w, h, color):
-        buf = io.BytesIO()
-        Image.new("RGB", (w, h), color).save(buf, format="PNG")
-        return buf.getvalue()
+        from PIL import Image
+
+        def png_bytes(w, h, color):
+            buf = io.BytesIO()
+            Image.new("RGB", (w, h), color).save(buf, format="PNG")
+            return buf.getvalue()
+
+        def size_of(payload):
+            return Image.open(io.BytesIO(bytes(payload))).size
+
+        def resizer(payload, w, h):
+            img = Image.open(io.BytesIO(payload)).resize((w, h))
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            return buf.getvalue()
+
+        def decoder(payload, kind):
+            img = Image.open(io.BytesIO(payload)).convert("L").resize((4, 4))
+            return [p / 255.0 for p in img.getdata()]
+    else:
+        from asakusafw_spark_spark.functions.png_codec import (
+            decode_png,
+            encode_png,
+            png_feature_decoder,
+            png_resizer,
+        )
+
+        def png_bytes(w, h, color):
+            return encode_png([[color] * w for _ in range(h)])
+
+        def size_of(payload):
+            w, h, _ = decode_png(bytes(payload))
+            return (w, h)
+
+        resizer, decoder = png_resizer, png_feature_decoder
 
     rows = [
         (1, "image", png_bytes(8, 6, (255, 0, 0)), "image/png", 8, 6, None),
@@ -221,23 +305,12 @@ def test_multimodal_real_codec_roundtrip(spark):
     ]
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
 
-    def pil_resizer(payload, w, h):
-        img = Image.open(io.BytesIO(payload)).resize((w, h))
-        buf = io.BytesIO()
-        img.save(buf, format="PNG")
-        return buf.getvalue()
-
-    out = {r.media_id: r for r in resize_images(df, 4, 4, resizer=pil_resizer).collect()}
+    out = {r.media_id: r for r in resize_images(df, 4, 4, resizer=resizer).collect()}
     for mid in (1, 2):
-        img = Image.open(io.BytesIO(bytes(out[mid].payload)))
-        assert img.size == (4, 4)
+        assert size_of(out[mid].payload) == (4, 4)
         assert (out[mid].width, out[mid].height) == (4, 4)
 
-    def pil_decoder(payload, kind):
-        img = Image.open(io.BytesIO(payload)).convert("L").resize((4, 4))
-        return [p / 255.0 for p in img.getdata()]
-
-    feats = {r.media_id: r.features for r in extract_features(df, decoder=pil_decoder).collect()}
+    feats = {r.media_id: r.features for r in extract_features(df, decoder=decoder).collect()}
     assert len(feats[1]) == 16
     assert feats[1] != feats[2]  # different images → different features
 
