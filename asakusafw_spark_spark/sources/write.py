@@ -78,6 +78,14 @@ class HadoopFs:
         finally:
             out.close()
 
+    def glob(self, pattern: str) -> list[str]:
+        """Paths matching a Hadoop glob (``*``, ``?``, ``[abc]``,
+        ``{a,b}`` — FileSystem.globStatus semantics)."""
+        statuses = self._fs.globStatus(self._jpath(pattern))
+        if statuses is None:
+            return []
+        return sorted(str(st.getPath()) for st in statuses)
+
 
 def write_flat(
     df: DataFrame,
@@ -85,10 +93,31 @@ def write_flat(
     format: str = "parquet",
     mode: str = "overwrite",
     partition_by: Sequence[str] | None = None,
+    delete_patterns: Sequence[str] | None = None,
     **options,
 ) -> None:
     """Flat output: dataset files under ``base_path`` (``*`` in the
-    reference's pattern = attempt id = Spark's part-file numbering)."""
+    reference's pattern = attempt id = Spark's part-file numbering).
+
+    ``delete_patterns``: ``base_path``-relative Hadoop globs deleted
+    BEFORE the write — the reference's flat-output "delete patterns"
+    (DirectOutputPrepare.scala:156-199: clear matching stale resources
+    without dropping the whole dataset).  Use with ``mode="append"`` to
+    replace one slice of a mixed directory; plain ``mode="overwrite"``
+    already clears everything.  Patterns resolving outside ``base_path``
+    are rejected (same guard as the grouped writer's path grammar).
+    """
+    if delete_patterns:
+        fs = HadoopFs(df.sparkSession, base_path)
+        base = base_path.rstrip("/")
+        for pat in delete_patterns:
+            rel = [seg for seg in pat.split("/") if seg not in ("", ".")]
+            if any(seg == ".." for seg in rel):
+                raise ValueError(
+                    f"write_flat: delete pattern escapes the dataset: {pat!r}"
+                )
+            for hit in fs.glob(f"{base}/{'/'.join(rel)}"):
+                fs.delete(hit)
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)

@@ -378,3 +378,38 @@ def test_merge_upsert_null_partition_value(spark, tmp_path):
     got = {r.k: (r.day, r.v) for r in spark.read.parquet(target).collect()}
     assert got == {3: ("2024-02", 3.0)}
     assert not os.path.exists(null_dir)
+
+
+def test_write_flat_delete_patterns(spark, tmp_path):
+    # reference flat-output "delete patterns": clear matching stale
+    # resources before writing, without dropping the rest of the dataset
+    import glob as g
+
+    from asakusafw_spark_spark.sources.write import write_flat
+
+    out = str(tmp_path / "mixed")
+    a = spark.createDataFrame([(1,)], "v long")
+    write_flat(a, out, format="csv", mode="append")
+    # rename the first write's parts to a recognizable stale slice
+    import os
+
+    for i, f in enumerate(sorted(g.glob(f"{out}/part-*.csv"))):
+        os.rename(f, f"{out}/stale-{i:05d}.csv")
+    write_flat(a, out, format="csv", mode="append")
+    assert g.glob(f"{out}/stale-*.csv") and g.glob(f"{out}/part-*.csv")
+
+    # replace ONLY the stale slice
+    b = spark.createDataFrame([(2,)], "v long")
+    write_flat(b, out, format="csv", mode="append", delete_patterns=["stale-*.csv"])
+    assert not g.glob(f"{out}/stale-*.csv")
+    vals = sorted(
+        int(r.v)
+        for r in spark.read.schema("v long")
+        .option("header", True)
+        .csv(out)
+        .collect()
+    )
+    assert vals == [1, 2]
+
+    with pytest.raises(ValueError, match="escapes"):
+        write_flat(b, out, delete_patterns=["../evil*"])
