@@ -1118,6 +1118,45 @@ def q_distinct(spark, sf):
 # ---------------------------------------------------------------------------
 
 
+def q_redact(spark, sf):
+    """PII scrubbing (native regexp_replace chain, zero Python): PII is
+    INJECTED deterministically per doc (email + phone + IP built from
+    doc_id) so the redaction rules demonstrably fire, then scrubbed with
+    the default rule set.  Oracle: the identical concat + RE2-compatible
+    regex chain in DuckDB."""
+    from asakusafw_spark_spark.functions import redact
+
+    docs = _t(spark, sf, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1555000"),
+        F.col("doc_id").cast("string"),
+        F.lit(" at 10.0.0."),
+        (F.col("doc_id") % 255).cast("string"),
+    )
+    return docs.select("doc_id", redact(dirty).alias("clean"))
+
+
+def q_vocab_top_k(spark, sf):
+    """Corpus vocabulary top-50 (tf + doc-freq + rank) — distributed
+    TakeOrderedAndProject, no global sort."""
+    from asakusafw_spark_spark.functions import vocab_top_k
+
+    return vocab_top_k(_t(spark, sf, "documents"), k=50)
+
+
+def q_tfidf(spark, sf):
+    """Per-document TF-IDF (smoothed IDF over the FULL corpus), sampled
+    to every 20th doc at the output — the doc-frequency statistics
+    deliberately come from all documents, the filter applies after."""
+    from asakusafw_spark_spark.functions import tfidf
+
+    out = tfidf(_t(spark, sf, "documents"), min_df=2)
+    return out.filter(F.col("doc_id") % 20 == 0)
+
+
 def q_text_analysis(spark, sf):
     from asakusafw_spark_spark.functions.dedup import ensure_parallelism
 
@@ -2163,6 +2202,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "streaming_cdc_upsert": q_streaming_cdc_upsert,
         "hadoop_input": q_hadoop_input,
+        "redact": q_redact,
+        "vocab_top_k": q_vocab_top_k,
+        "tfidf": q_tfidf,
         # --- 2. stale-since-r01/r02 block (41) ---
         "similarity_ivf": q_similarity_ivf,
         "embedding_dup_clusters": q_embedding_dup_clusters,
@@ -2209,10 +2251,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_revenue_per_nation": _flagship,
         "summarize_q1": q_summarize_q1,
         "cogroup": q_cogroup,
+        # --- past the ~50 window: r04-banked rows ---
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "dedup_clusters": q_dedup_clusters,
-        # --- past the ~50 window: r04-banked rows ---
         "master_join_where": q_master_join_where,
         "q3_shipping_priority": q3_shipping_priority,
         "fold": q_fold,
@@ -2443,6 +2485,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
                    CAST(n_regionkey AS BIGINT) AS n_regionkey
             FROM nation
+        """,
+        "redact": """
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         text || ' contact user' || CAST(doc_id AS VARCHAR)
+                              || '@example.com or +1555000' || CAST(doc_id AS VARCHAR)
+                              || ' at 10.0.0.' || CAST(doc_id % 255 AS VARCHAR),
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                       '<IP>', 'g'),
+                     '\\+[0-9]{7,15}\\b', '<PHONE>', 'g') AS clean
+            FROM documents
+        """,
+        "vocab_top_k": """
+            WITH ex AS (
+              SELECT doc_id, t.tok AS token
+              FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(tok)
+              WHERE t.tok <> ''
+            ), s AS (
+              SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+              FROM ex GROUP BY token
+            )
+            SELECT token, tf, df, rank FROM (
+              SELECT token, tf, df,
+                     ROW_NUMBER() OVER (ORDER BY tf DESC, token ASC) AS rank
+              FROM s
+            ) sub WHERE rank <= 50
+        """,
+        "tfidf": """
+            WITH ex AS (
+              SELECT doc_id, t.tok AS token
+              FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(tok)
+              WHERE t.tok <> ''
+            ), tf AS (
+              SELECT doc_id, token, COUNT(*) AS tf FROM ex GROUP BY doc_id, token
+            ), dfq AS (
+              SELECT token, COUNT(*) AS doc_freq FROM tf
+              GROUP BY token HAVING COUNT(*) >= 2
+            ), n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents)
+            SELECT tf.doc_id, tf.token, tf.tf, dfq.doc_freq,
+                   round(tf.tf * (ln((n.n + 1.0) / (dfq.doc_freq + 1.0)) + 1), 6)
+                     AS tfidf
+            FROM tf JOIN dfq USING (token) CROSS JOIN n
+            WHERE tf.doc_id % 20 = 0
         """,
         "logging": "SELECT * FROM nation",
         "checkpoint": """

@@ -12,6 +12,9 @@ from pyspark.sql import functions as F  # noqa: F401  (scalar surface)
 
 from .text import (
     tokens,
+    redact,
+    vocab_top_k,
+    tfidf,
     token_count,
     bpe_token_count,
     chunk_documents,
@@ -76,6 +79,9 @@ __all__ = [
     "lang_id",
     "quality_score",
     "quality_quantile_filter",
+    "redact",
+    "vocab_top_k",
+    "tfidf",
     "fingerprint",
     "str_hash64",
     "word_shingles",

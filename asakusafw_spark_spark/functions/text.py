@@ -294,3 +294,99 @@ def chunk_documents(
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).cast("long").alias("n_tokens"),
     )
+
+
+#: Default PII redaction rules: name → (pattern, replacement).  Patterns
+#: are restricted to the regex subset Java and RE2/DuckDB interpret
+#: identically (no lookaround, no backreferences) so the operation is
+#: oracle-exact; applied in sorted-name order (email → ipv4 → phone).
+DEFAULT_REDACT_RULES: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    "phone": (r"\+[0-9]{7,15}\b", "<PHONE>"),
+}
+
+
+def redact(
+    col: Column | str, rules: dict[str, tuple[str, str]] | None = None
+) -> Column:
+    """PII scrubbing: chained native ``regexp_replace`` over the rule
+    set, applied in sorted-name order for determinism.  Zero Python —
+    one JVM pass per rule over the text bytes, whole-stage codegen'd,
+    exactly what a 100 TB pre-training scrub needs.  Custom ``rules``
+    must stay inside the Java∩RE2 regex subset to remain oracle-exact.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    ruleset = DEFAULT_REDACT_RULES if rules is None else rules
+    for name in sorted(ruleset):
+        pat, repl = ruleset[name]
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def vocab_top_k(
+    df,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Corpus vocabulary: the ``k`` most frequent whitespace tokens with
+    term frequency (total occurrences) and document frequency (docs
+    containing the token) → ``(token, tf, df, rank)``.
+
+    Scale shape: explode → hash-aggregate (map-side combinable) →
+    ``orderBy(...).limit(k)``, which Spark executes as distributed
+    TakeOrderedAndProject (per-partition top-k, then a k-row driver
+    merge) — NO global sort, no single-partition window over the full
+    vocabulary.  Rank is assigned by a window over the ≤k-row result.
+    Ties break token-ascending for determinism.
+    """
+    from pyspark.sql import Window as W
+
+    ex = df.select(
+        F.col(id_col).alias("__d__"), F.explode(tokens(text_col)).alias("token")
+    )
+    stats = ex.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("__d__").alias("df"),
+    )
+    top = stats.orderBy(F.col("tf").desc(), F.col("token").asc()).limit(k)
+    w = W.orderBy(F.col("tf").desc(), F.col("token").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def tfidf(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+):
+    """Per-document TF-IDF over whitespace tokens →
+    ``(id_col, token, tf, doc_freq, tfidf)`` with smoothed IDF
+    ``ln((N+1)/(df+1)) + 1`` (sklearn's ``smooth_idf`` convention) and
+    ``tfidf = tf · idf`` rounded to 6 decimals (each row derives from
+    integer counts through one double expression — no
+    aggregation-order float drift, oracle-exact).
+
+    Scale shape: two hash aggregates (doc×token counts, then token doc
+    frequencies) + one equi-join on token (AQE picks the strategy — the
+    doc-frequency side is NOT force-broadcast, vocabularies outgrow any
+    broadcast threshold at corpus scale) + a 1-row broadcast of N.
+    ``min_df`` prunes hapax noise before the join.
+    """
+    ex = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tf = ex.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_df)
+    )
+    ndf = df.select(F.countDistinct(id_col).alias("__n__"))
+    idf = F.log((F.col("__n__") + 1) / (F.col("doc_freq") + 1)) + 1
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(ndf))
+        .withColumn("tfidf", F.round(F.col("tf") * idf, 6))
+        .drop("__n__")
+        .select(id_col, "token", "tf", "doc_freq", "tfidf")
+    )

@@ -609,3 +609,63 @@ def test_dedup_corpus_custom_pair_generator(spark):
     out = dedup_corpus(docs, pairs=simhash_pairs(docs, max_hamming=3))
     kept = {r.doc_id: r.cluster_size for r in out.collect()}
     assert kept == {1: 2, 3: 1}
+
+
+def test_redact_default_rules(spark):
+    from asakusafw_spark_spark.functions import redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b-c_d@sub.example.org now"),
+            (2, "call +4915123456789 tomorrow"),
+            (3, "host 192.168.001.42 is up, 999.999.999.999 too"),
+            (4, "clean text stays untouched"),
+            (5, "multi x@y.io and z@w.ai plus +1234567 end"),
+        ],
+        "id long, text string",
+    )
+    got = {r.id: r.clean for r in df.select("id", redact("text").alias("clean")).collect()}
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "call <PHONE> tomorrow"
+    # the simple ipv4 shape redacts dotted quads without range validation
+    assert got[3] == "host <IP> is up, <IP> too"
+    assert got[4] == "clean text stays untouched"
+    assert got[5] == "multi <EMAIL> and <EMAIL> plus <PHONE> end"
+
+    # custom rules: applied in sorted-name order
+    custom = {"b_second": (r"AA", "B"), "a_first": (r"A+", "AA")}
+    one = spark.createDataFrame([("AAAA",)], "t string")
+    assert one.select(redact("t", custom).alias("c")).collect()[0].c == "B"
+
+
+def test_vocab_top_k_counts_and_rank(spark):
+    from asakusafw_spark_spark.functions import vocab_top_k
+
+    df = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a b  b"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = vocab_top_k(df, k=2, id_col="doc_id").collect()
+    assert [(r.token, r.tf, r.df, r.rank) for r in rows] == [
+        ("a", 3, 2, 1),
+        ("b", 3, 2, 2),  # tf tie with 'a' → token-ascending tiebreak
+    ]
+
+
+def test_tfidf_matches_manual_formula(spark):
+    import math
+
+    from asakusafw_spark_spark.functions import tfidf
+
+    df = spark.createDataFrame(
+        [(1, "x x y"), (2, "x z"), (3, "y z z")],
+        "doc_id long, text string",
+    )
+    rows = {(r.doc_id, r.token): r for r in tfidf(df, min_df=1).collect()}
+    n = 3
+    # x: df=2; doc 1 has tf=2
+    want = round(2 * (math.log((n + 1) / (2 + 1)) + 1), 6)
+    r = rows[(1, "x")]
+    assert (r.tf, r.doc_freq) == (2, 2) and abs(r.tfidf - want) < 1e-9
+    # min_df prunes: with min_df=3 nothing survives (max df is 2)
+    assert tfidf(df, min_df=3).count() == 0
