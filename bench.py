@@ -44,6 +44,10 @@ HEADLINE = [
     "similarity_bruteforce_topk",
     "similarity_ivf",
     "streaming_windowed_agg",
+    # round-5 additions (appended, never substituted — r04 VERDICT #8
+    # keeps the 20-query prefix ratio-comparable across rounds)
+    "redact",
+    "tfidf",
 ]
 
 
