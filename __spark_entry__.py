@@ -1509,6 +1509,18 @@ def q_shard_assignment(spark, sf):
     )
 
 
+def q_pack_sequences(spark, sf):
+    """Concat-then-chunk sequence packing (512-token packs, per-source
+    domains, deterministic hash layout): each doc's pack id + token
+    offset — pure window math, one shuffle, replay-identical."""
+    from asakusafw_spark_spark.functions import pack_sequences
+
+    docs = _t(spark, sf, "documents")
+    return pack_sequences(docs, 512, by="source").select(
+        "doc_id", "source", "n_tokens", "pack_id", "pack_pos"
+    )
+
+
 def q_chunk_documents(spark, sf):
     """Token-budgeted sliding-window chunking (40-token chunks, 8-token
     overlap) — pure native explode/slice, no shuffle, no Python."""
@@ -2205,6 +2217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact": q_redact,
         "vocab_top_k": q_vocab_top_k,
         "tfidf": q_tfidf,
+        "pack_sequences": q_pack_sequences,
         # --- 2. stale-since-r01/r02 block (41) ---
         "similarity_ivf": q_similarity_ivf,
         "embedding_dup_clusters": q_embedding_dup_clusters,
@@ -2532,6 +2545,28 @@ def oracle_sql() -> dict[str, str]:
                      AS tfidf
             FROM tf JOIN dfq USING (token) CROSS JOIN n
             WHERE tf.doc_id % 20 = 0
+        """,
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id, source,
+                     CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+'))
+                     END AS n_tokens,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pack:42'),
+                          1, 15) AS BIGINT) AS oh
+              FROM documents
+            ), c AS (
+              SELECT doc_id, source, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY source
+                                         ORDER BY oh, doc_id
+                                         ROWS UNBOUNDED PRECEDING) - n_tokens
+                       AS start
+              FROM t
+            )
+            SELECT doc_id, source, n_tokens,
+                   CAST(start // 512 AS BIGINT) AS pack_id,
+                   CAST(start % 512 AS BIGINT) AS pack_pos
+            FROM c
         """,
         "logging": "SELECT * FROM nation",
         "checkpoint": """

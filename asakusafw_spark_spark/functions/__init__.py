@@ -54,6 +54,7 @@ from .sampling import (
     assign_shards,
     export_shards,
     mix_corpus,
+    pack_sequences,
 )
 from .multimodal import (
     MEDIA_SCHEMA,
@@ -109,6 +110,7 @@ __all__ = [
     "assign_shards",
     "export_shards",
     "mix_corpus",
+    "pack_sequences",
     "MEDIA_SCHEMA",
     "extract_features",
     "resize_images",

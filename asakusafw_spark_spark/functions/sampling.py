@@ -194,3 +194,77 @@ def mix_corpus(
     return out.filter(unit_hash(F.col(key_col), seed) < F.col("__rate__")).drop(
         "__rate__"
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+    by: str | None = None,
+    shards: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: assign each document its
+    position in fixed-token training sequences → adds ``n_tokens``,
+    ``pack_id`` (which pack the doc STARTS in) and ``pack_pos`` (token
+    offset of the doc's start inside that pack), plus ``pack_shard``
+    when ``shards > 1``.
+
+    Documents are laid out in deterministic hash order (hash of the id +
+    seed, id tiebreak — no ``rand()``, replay/retry/engine-identical),
+    concatenated, and chunked every ``budget_tokens``: exactly the
+    pretraining packing convention where sequence N holds tokens
+    ``[N·budget, (N+1)·budget)`` of the concatenated stream.  The pack
+    layout is therefore a pure FUNCTION of (ids, token counts, seed) —
+    a 100 TB re-run or a per-shard retry rebuilds byte-identical packs.
+
+    Scale shape: one window cumsum per packing domain (``by`` × shard).
+    A total order inside each domain is inherent to packing; ``shards=N``
+    subdivides domains by id-hash so each window sorts 1/N of the data
+    independently (N× parallelism, still deterministic) — size shards so
+    a domain's token stream fits a task's spill budget.
+
+    ``token_col`` supplies pre-computed token counts (e.g. from a real
+    tokenizer); default is whitespace :func:`~..text.token_count`.
+    """
+    from pyspark.sql import Window as W
+
+    from .text import token_count
+
+    n = (
+        F.col(token_col).cast("long")
+        if token_col
+        else token_count(text_col)
+    )
+    out = df.withColumn("n_tokens", F.coalesce(n, F.lit(0)))
+    order_h = str_hash64(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":pack:{seed}"))
+    )
+    parts = [by] if by else []
+    if shards > 1:
+        shard = F.pmod(
+            str_hash64(
+                F.concat(F.col(id_col).cast("string"), F.lit(f":packshard:{seed}"))
+            ),
+            F.lit(shards),
+        ).cast("int")
+        out = out.withColumn("pack_shard", shard)
+        parts.append("pack_shard")
+    w = (
+        (W.partitionBy(*parts) if parts else W.partitionBy())
+        .orderBy(order_h.asc(), F.col(id_col).asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        out.withColumn("__start__", start)
+        .withColumn(
+            "pack_id", F.expr(f"__start__ div {int(budget_tokens)}").cast("long")
+        )
+        .withColumn(
+            "pack_pos", F.pmod(F.col("__start__"), F.lit(int(budget_tokens))).cast("long")
+        )
+        .drop("__start__")
+    )

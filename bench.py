@@ -48,6 +48,7 @@ HEADLINE = [
     # keeps the 20-query prefix ratio-comparable across rounds)
     "redact",
     "tfidf",
+    "pack_sequences",
 ]
 
 

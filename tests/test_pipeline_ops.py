@@ -188,3 +188,52 @@ def test_mix_corpus_rates_and_determinism(spark):
     # unlisted source → rate 0
     none_kept = mix_corpus(df, {"small": 1.0}, token_budget=100)
     assert none_kept.filter("source = 'big'").count() == 0
+
+
+def test_pack_sequences_layout_properties(spark):
+    from asakusafw_spark_spark.functions import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "w " * (i % 7 + 1), "s%d" % (i % 2)) for i in range(40)],
+        "doc_id long, text string, source string",
+    )
+    out = pack_sequences(df, 10, by="source").collect()
+    assert len(out) == 40
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rows in by_src.items():
+        # reconstruct the concat stream: sort by (pack_id, pack_pos)
+        rows.sort(key=lambda r: (r.pack_id, r.pack_pos))
+        cum = 0
+        for r in rows:
+            assert r.pack_id == cum // 10 and r.pack_pos == cum % 10
+            cum += r.n_tokens
+    # deterministic: identical layout on re-run
+    again = sorted(map(tuple, pack_sequences(df, 10, by="source").collect()))
+    assert sorted(map(tuple, out)) == again
+
+
+def test_pack_sequences_sharded_subdivides_domains(spark):
+    from asakusafw_spark_spark.functions import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "a b c") for i in range(200)], "doc_id long, text string"
+    )
+    out = pack_sequences(df, 12, shards=4).collect()
+    assert {r.pack_shard for r in out} == {0, 1, 2, 3}
+    # within each shard the layout is contiguous from zero
+    for sh in range(4):
+        rows = sorted(
+            (r for r in out if r.pack_shard == sh),
+            key=lambda r: (r.pack_id, r.pack_pos),
+        )
+        cum = 0
+        for r in rows:
+            assert r.pack_id == cum // 12 and r.pack_pos == cum % 12
+            cum += r.n_tokens
+    # precomputed token counts via token_col
+    pre = df.withColumn("tc", F.lit(5))
+    out2 = pack_sequences(pre, 10, token_col="tc").collect()
+    assert all(r.n_tokens == 5 for r in out2)
+    assert sum(1 for r in out2 if r.pack_pos == 5) == 100  # 2 docs per pack
