@@ -152,6 +152,49 @@ def q_spill_cogroup(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    from asakusafw_spark_spark.functions import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, 128, by="source", shards=2).select(
+        "doc_id", "pack_shard", "pack_id", "pack_pos"
+    )
+
+
+def q_tfidf(spark, sf_dir):
+    from asakusafw_spark_spark.functions import tfidf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf(docs, min_df=2).filter(F.col("doc_id") % 10 == 0)
+
+
+def q_vocab(spark, sf_dir):
+    from asakusafw_spark_spark.functions import vocab_top_k
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_top_k(docs, k=20)
+
+
+def q_scatter_where_join(spark, sf_dir):
+    # scatter_tx repartitions by the CURRENT shuffle-partition conf — the
+    # exactness claim is precisely that results never depend on it
+    from asakusafw_spark_spark.operators import MasterSelection, master_join
+
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_custkey", "o_totalprice")
+    masters = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.max("o_totalprice").alias("cap")
+    )
+    sel = MasterSelection(
+        ordering=[("cap", "desc")],
+        where=F.col("__m_cap") >= F.col("o_totalprice"),
+        scatter_tx=True,
+        max_candidates=1,
+    )
+    return master_join(
+        masters, orders, [("k", "o_custkey")], selection=sel
+    )["joined"]
+
+
 QUERIES = {
     "summarize": q_summarize,
     "join": q_join,
@@ -163,6 +206,10 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "quality_filter": q_quality_filter,
     "spill_cogroup": q_spill_cogroup,
+    "pack_sequences": q_pack_sequences,
+    "tfidf": q_tfidf,
+    "vocab_top_k": q_vocab,
+    "scatter_where_join": q_scatter_where_join,
 }
 
 
