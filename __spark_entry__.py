@@ -2201,12 +2201,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # truncates at ~50 entries, so ordering decides which queries get a
     # FRESH oracle row each round.  Round 5 window (first 50):
     #   1. the two r04-red CDC queries (decimal-exact fix must prove
-    #      green) + hadoop_input (NEW this round — no banked row exists),
+    #      green) + the five NEW round-5 queries (hadoop_input, redact,
+    #      vocab_top_k, tfidf, pack_sequences — no banked rows exist),
     #   2. the 41 queries whose last fresh row is r01/r02 (the whole
     #      similarity/text/sampling surface, giant-group paths,
     #      iterative_rounds, output_roundtrip, group_view_lookup,
     #      bucketed_join, and the r02 record/join-operator block),
-    #   3. six core smoke picks re-freshened from r04.
+    #   3. two core smoke picks (flagship, summarize_q1) — exactly 50;
+    #      the remaining core picks sit just past the window and ride
+    #      r04-banked rows.
     # Queries past the window ride r04-banked rows (1 round stale).
     # Next round: rotate the tail block back into the window.
     return {

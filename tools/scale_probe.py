@@ -143,6 +143,36 @@ def main():
     print(f"merge_upsert growth: {t_half / t_one:.1f}x for 50x touched partitions")
     shutil.rmtree(base_dir, ignore_errors=True)
 
+    # round-5 ops ------------------------------------------------------
+    from asakusafw_spark_spark.functions import pack_sequences, tfidf
+
+    def tfidf_count(d):
+        return tfidf(d, min_df=2).count()
+
+    t1 = timed("tfidf 1x (5k docs)", lambda: tfidf_count(docs))
+    docs10c = inflate(docs, ["doc_id"]).persist()
+    docs10c.count()
+    t10 = timed("tfidf 10x (50k docs)", lambda: tfidf_count(docs10c))
+    print(f"tfidf growth: {t10 / t1:.1f}x for 10x docs")
+
+    def pack_count(d, shards):
+        return pack_sequences(d, 512, by="source", shards=shards).count()
+
+    t1 = timed("pack_sequences 1x (5k docs, 1 shard)", lambda: pack_count(docs, 1))
+    t10 = timed(
+        "pack_sequences 10x (50k docs, 1 shard — window sort grows 10x)",
+        lambda: pack_count(docs10c, 1),
+    )
+    t10s = timed(
+        "pack_sequences 10x sharded (50k docs, 8 shards — bounded sorts)",
+        lambda: pack_count(docs10c, 8),
+    )
+    print(
+        f"pack_sequences growth: {t10 / t1:.1f}x unsharded, "
+        f"{t10s / t1:.1f}x with shards=8, for 10x docs"
+    )
+    docs10c.unpersist()
+
 
 if __name__ == "__main__":
     main()
