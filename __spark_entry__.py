@@ -1418,6 +1418,21 @@ def q_dedup_corpus(spark, sf):
     )
 
 
+def q_dedup_corpus_best(spark, sf):
+    """Quality-keeper dedup: same clusters as ``dedup_corpus``, but each
+    cluster keeps its LONGEST member (max n_chars, min-id tiebreak) —
+    the keeper policy curation pipelines actually want.  Oracle: the
+    recursive-CTE clustering with a two-stage argmax."""
+    from asakusafw_spark_spark.functions import dedup_corpus
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "lang", "source", "text", "n_chars"
+    )
+    return dedup_corpus(docs, threshold=0.5, keep_by="n_chars").select(
+        "doc_id", "lang", "source", "cluster_size"
+    )
+
+
 def q_quality_filter(spark, sf):
     """Per-language bottom-quintile quality cut (cume_dist window —
     rank semantics, no float interpolation, so the kept set is
@@ -2201,15 +2216,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # truncates at ~50 entries, so ordering decides which queries get a
     # FRESH oracle row each round.  Round 5 window (first 50):
     #   1. the two r04-red CDC queries (decimal-exact fix must prove
-    #      green) + the five NEW round-5 queries (hadoop_input, redact,
-    #      vocab_top_k, tfidf, pack_sequences — no banked rows exist),
+    #      green) + the six NEW round-5 queries (hadoop_input, redact,
+    #      vocab_top_k, tfidf, pack_sequences, dedup_corpus_best — no
+    #      banked rows exist),
     #   2. the 41 queries whose last fresh row is r01/r02 (the whole
     #      similarity/text/sampling surface, giant-group paths,
     #      iterative_rounds, output_roundtrip, group_view_lookup,
     #      bucketed_join, and the r02 record/join-operator block),
-    #   3. two core smoke picks (flagship, summarize_q1) — exactly 50;
-    #      the remaining core picks sit just past the window and ride
-    #      r04-banked rows.
+    #   3. one core smoke pick (flagship) — exactly 50; the remaining
+    #      core picks sit just past the window and ride r04-banked rows.
     # Queries past the window ride r04-banked rows (1 round stale).
     # Next round: rotate the tail block back into the window.
     return {
@@ -2221,6 +2236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_k": q_vocab_top_k,
         "tfidf": q_tfidf,
         "pack_sequences": q_pack_sequences,
+        "dedup_corpus_best": q_dedup_corpus_best,
         # --- 2. stale-since-r01/r02 block (41) ---
         "similarity_ivf": q_similarity_ivf,
         "embedding_dup_clusters": q_embedding_dup_clusters,
@@ -2958,6 +2974,47 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes s USING (cluster_id)
             JOIN documents d ON d.doc_id = a.doc_id
             WHERE a.doc_id = a.cluster_id
+        """,
+        "dedup_corpus_best": f"""
+            WITH RECURSIVE pairs AS ({_duck_minhash_lsh_sql(threshold=0.5)}),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ),
+            reach AS (
+              SELECT a AS n, b AS m FROM edges
+              UNION
+              SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+            ),
+            labels AS (
+              SELECT n, LEAST(n, MIN(m)) AS cluster_id FROM reach GROUP BY n
+            ),
+            lab_all AS (
+              SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN labels l ON l.n = d.doc_id
+            ),
+            sizes AS (
+              SELECT cluster_id, COUNT(*) AS cluster_size
+              FROM lab_all GROUP BY cluster_id
+            ),
+            scored AS (
+              SELECT a.doc_id, a.cluster_id, d.n_chars
+              FROM lab_all a JOIN documents d USING (doc_id)
+            ),
+            mx AS (
+              SELECT cluster_id, MAX(n_chars) AS mx FROM scored GROUP BY cluster_id
+            ),
+            keepers AS (
+              SELECT s.cluster_id, MIN(s.doc_id) AS doc_id
+              FROM scored s
+              JOIN mx ON mx.cluster_id = s.cluster_id AND s.n_chars = mx.mx
+              GROUP BY s.cluster_id
+            )
+            SELECT d.doc_id, d.lang, d.source, z.cluster_size
+            FROM keepers k
+            JOIN sizes z USING (cluster_id)
+            JOIN documents d ON d.doc_id = k.doc_id
         """,
         "mix_corpus": f"""
             WITH t AS (

@@ -599,6 +599,7 @@ def dedup_corpus(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     pairs: DataFrame | None = None,
+    keep_by: "Column | str | None" = None,
     **lsh_kwargs,
 ) -> DataFrame:
     """End-to-end fuzzy dedup: pair generation → connected components →
@@ -609,8 +610,16 @@ def dedup_corpus(
     decisions, and this function applies the decisions — the returned
     frame is the DEDUPED corpus (every original column preserved) plus
     ``cluster_size`` (how many near-dups this keeper absorbed; 1 =
-    unique).  Keeper choice is the component-minimum id, so the output
-    is deterministic and replay-stable.
+    unique).  Default keeper choice is the component-minimum id, so the
+    output is deterministic and replay-stable.
+
+    ``keep_by`` switches to a QUALITY keeper policy: a column (name or
+    expression over ``docs``) scored per document — the cluster's keeper
+    is its highest-scoring member, ties broken by minimum id (still
+    fully deterministic).  The policy real curation pipelines want:
+    among near-duplicate crawls keep the longest / highest-quality
+    variant, not the numerically-smallest id.  Clusters whose every
+    member scores NULL keep the minimum id (null-safe fallback).
 
     ``pairs`` substitutes a custom pair frame (``id_a``/``id_b`` — e.g.
     :func:`simhash_pairs` output or an embedding
@@ -626,5 +635,27 @@ def dedup_corpus(
     if pairs is None:
         pairs = minhash_lsh_pairs(docs, id_col=id_col, threshold=threshold, **lsh_kwargs)
     decisions = dup_clusters(pairs, nodes=docs.select(id_col), node_col=id_col)
-    keepers = decisions.filter(F.col("is_keeper")).select(id_col, "cluster_size")
+    if keep_by is None:
+        keepers = decisions.filter(F.col("is_keeper")).select(id_col, "cluster_size")
+    else:
+        kb = F.col(keep_by) if isinstance(keep_by, str) else keep_by
+        # two-stage argmax (max score per cluster → members at the max →
+        # min id): works for any id type, slim (id, cluster, score) rows
+        # only — the doc payload never rides these shuffles
+        scored = decisions.select(id_col, "cluster_id", "cluster_size").join(
+            docs.select(id_col, kb.alias("__kb__")), id_col
+        )
+        mx = scored.groupBy("cluster_id").agg(F.max("__kb__").alias("__mx__"))
+        keepers = (
+            scored.join(mx, "cluster_id")
+            .filter(
+                F.col("__kb__").eqNullSafe(F.col("__mx__"))  # all-null cluster
+            )
+            .groupBy("cluster_id")
+            .agg(
+                F.min(id_col).alias(id_col),
+                F.max("cluster_size").alias("cluster_size"),
+            )
+            .select(id_col, "cluster_size")
+        )
     return docs.join(keepers, id_col, "inner")

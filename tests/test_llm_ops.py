@@ -669,3 +669,30 @@ def test_tfidf_matches_manual_formula(spark):
     assert (r.tf, r.doc_freq) == (2, 2) and abs(r.tfidf - want) < 1e-9
     # min_df prunes: with min_df=3 nothing survives (max df is 2)
     assert tfidf(df, min_df=3).count() == 0
+
+
+def test_dedup_corpus_keep_by_quality(spark):
+    from asakusafw_spark_spark.functions import dedup_corpus
+
+    # docs 1,2,5 are near/exact dups; 2 is the longest variant
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog indeed"),
+        (4, "completely different text about spark engines"),
+        (5, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "n_chars", F.length("text")
+    )
+    default = {r.doc_id for r in dedup_corpus(df, threshold=0.5).collect()}
+    assert default == {1, 4}  # min-id keeper
+    best = {r.doc_id: r.cluster_size for r in
+            dedup_corpus(df, threshold=0.5, keep_by="n_chars").collect()}
+    assert set(best) == {2, 4}  # longest variant wins the dup cluster
+    assert best[2] == 3
+
+    # all-null scores fall back to min id (null-safe argmax)
+    nul = df.withColumn("n_chars", F.lit(None).cast("long"))
+    fallback = {r.doc_id for r in
+                dedup_corpus(nul, threshold=0.5, keep_by="n_chars").collect()}
+    assert fallback == {1, 4}
