@@ -264,7 +264,11 @@ def _join_selected(
         # per-tx reduction are partitioning-independent, and __txid__ is
         # assigned AFTER the scatter)
         spark = tx.sparkSession
-        tx = tx.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+        try:
+            width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):  # e.g. "auto" on some builds
+            width = spark.sparkContext.defaultParallelism
+        tx = tx.repartition(width)
     txid = tx.withColumn("__txid__", F.monotonically_increasing_id())
     cand = txid.join(_apply_strategy(m, strategy), on=full_cond, how="left")
     if all(d == "asc" for _, d in ordering):
