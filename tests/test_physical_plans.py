@@ -111,3 +111,38 @@ def test_assert_scale_safe_flags_cartesian_and_budgets(spark, sf_dir):
         )
     ok = assert_scale_safe(orders.select("o_orderkey"), max_shuffles=0)
     assert ok["shuffles"] == 0
+
+
+def test_round5_text_ops_plan_budgets(spark, sf_dir):
+    """Scale-shape contracts for the round-5 operators: redact is a pure
+    scan-side expression (no shuffle, no Python), vocab_top_k ranks via
+    distributed TakeOrderedAndProject (no global sort), pack_sequences
+    is one window shuffle, tfidf stays within its documented
+    two-aggregate + join budget — all with zero Python stages."""
+    from asakusafw_spark_spark.functions import (
+        pack_sequences,
+        redact,
+        tfidf,
+        vocab_top_k,
+    )
+    from asakusafw_spark_spark.plans import assert_scale_safe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    s = assert_scale_safe(
+        docs.select("doc_id", redact("text").alias("t")),
+        max_shuffles=0,
+        max_python_stages=0,
+    )
+    assert s["joins"] == []
+
+    s = assert_scale_safe(vocab_top_k(docs, k=10), max_shuffles=2, max_python_stages=0)
+    assert "TakeOrderedAndProject" in s["plan"], "top-k must not be a global sort"
+
+    assert_scale_safe(
+        pack_sequences(docs, 128, by="source", shards=4),
+        max_shuffles=1,
+        max_python_stages=0,
+    )
+
+    assert_scale_safe(tfidf(docs, min_df=2), max_shuffles=4, max_python_stages=0)
