@@ -1536,6 +1536,19 @@ def q_pack_sequences(spark, sf):
     )
 
 
+def q_materialize_packs(spark, sf):
+    """Packing materialized into training rows: per (source, pack) the
+    ordered concatenated text, comma-joined doc ids, token total —
+    window shuffle + ONE bounded hash aggregate (per-group state ≤ the
+    pack budget by construction)."""
+    from asakusafw_spark_spark.functions import materialize_packs
+
+    docs = _t(spark, sf, "documents")
+    return materialize_packs(docs, 512, by="source").select(
+        "source", "pack_id", "n_docs", "n_tokens", "doc_ids", "pack_text"
+    )
+
+
 def q_chunk_documents(spark, sf):
     """Token-budgeted sliding-window chunking (40-token chunks, 8-token
     overlap) — pure native explode/slice, no shuffle, no Python."""
@@ -2223,8 +2236,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      similarity/text/sampling surface, giant-group paths,
     #      iterative_rounds, output_roundtrip, group_view_lookup,
     #      bucketed_join, and the r02 record/join-operator block),
-    #   3. one core smoke pick (flagship) — exactly 50; the remaining
-    #      core picks sit just past the window and ride r04-banked rows.
+    #      (+ materialize_packs, dedup_corpus_best) — the seven new
+    #      queries and the two CDC fills put the window at exactly 50;
+    #      the core smoke picks sit just past it and ride r04-banked
+    #      rows (flagship is additionally smoke-checked by entry()
+    #      every round).
     # Queries past the window ride r04-banked rows (1 round stale).
     # Next round: rotate the tail block back into the window.
     return {
@@ -2237,6 +2253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf": q_tfidf,
         "pack_sequences": q_pack_sequences,
         "dedup_corpus_best": q_dedup_corpus_best,
+        "materialize_packs": q_materialize_packs,
         # --- 2. stale-since-r01/r02 block (41) ---
         "similarity_ivf": q_similarity_ivf,
         "embedding_dup_clusters": q_embedding_dup_clusters,
@@ -2586,6 +2603,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(start // 512 AS BIGINT) AS pack_id,
                    CAST(start % 512 AS BIGINT) AS pack_pos
             FROM c
+        """,
+        "materialize_packs": """
+            WITH t AS (
+              SELECT doc_id, source, text,
+                     CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+'))
+                     END AS n_tokens,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pack:42'),
+                          1, 15) AS BIGINT) AS oh
+              FROM documents
+            ), c AS (
+              SELECT doc_id, source, text, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY source
+                                         ORDER BY oh, doc_id
+                                         ROWS UNBOUNDED PRECEDING) - n_tokens
+                       AS start
+              FROM t
+            )
+            SELECT source, CAST(start // 512 AS BIGINT) AS pack_id,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY start % 512, CAST(doc_id AS VARCHAR))
+                     AS doc_ids,
+                   string_agg(text, ' '
+                              ORDER BY start % 512, CAST(doc_id AS VARCHAR))
+                     AS pack_text
+            FROM c GROUP BY source, CAST(start // 512 AS BIGINT)
         """,
         "logging": "SELECT * FROM nation",
         "checkpoint": """

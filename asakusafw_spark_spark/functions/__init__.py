@@ -55,6 +55,7 @@ from .sampling import (
     export_shards,
     mix_corpus,
     pack_sequences,
+    materialize_packs,
 )
 from .multimodal import (
     MEDIA_SCHEMA,
@@ -111,6 +112,7 @@ __all__ = [
     "export_shards",
     "mix_corpus",
     "pack_sequences",
+    "materialize_packs",
     "MEDIA_SCHEMA",
     "extract_features",
     "resize_images",

@@ -268,3 +268,53 @@ def pack_sequences(
         )
         .drop("__start__")
     )
+
+
+def materialize_packs(
+    df: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    by: str | None = None,
+    shards: int = 1,
+    seed: int = 42,
+    sep: str = " ",
+) -> DataFrame:
+    """Materialize :func:`pack_sequences` into training rows: one row per
+    (domain, shard, pack) with the documents' text concatenated in pack
+    order → ``(…, pack_id, n_docs, n_tokens, doc_ids, pack_text)``.
+    ``doc_ids`` is the ``sep``-ordered comma-joined id list (a string,
+    not an array — engine-stable for the oracle and cheap to log).
+
+    Scale shape: the packing window shuffle, then ONE hash aggregate
+    keyed by (domain, shard, pack).  Per-group state is bounded by the
+    pack budget (a pack holds ≤ budget tokens by construction, modulo
+    one straddling document), so ``collect_list`` here — normally a red
+    flag — is bounded the way a Spark aggregate needs; sorting each
+    pack's few structs (``array_sort``) replaces a global order-by.
+    """
+    packed = pack_sequences(
+        df,
+        budget_tokens,
+        id_col=id_col,
+        text_col=text_col,
+        by=by,
+        shards=shards,
+        seed=seed,
+    )
+    keys = ([by] if by else []) + (["pack_shard"] if shards > 1 else []) + ["pack_id"]
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("pack_pos").alias("p"),
+                F.col(id_col).cast("string").alias("i"),
+                F.col(text_col).alias("t"),
+            )
+        )
+    )
+    return packed.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.array_join(F.transform(ordered, lambda s: s["i"]), ",").alias("doc_ids"),
+        F.array_join(F.transform(ordered, lambda s: s["t"]), sep).alias("pack_text"),
+    )

@@ -237,3 +237,23 @@ def test_pack_sequences_sharded_subdivides_domains(spark):
     out2 = pack_sequences(pre, 10, token_col="tc").collect()
     assert all(r.n_tokens == 5 for r in out2)
     assert sum(1 for r in out2 if r.pack_pos == 5) == 100  # 2 docs per pack
+
+
+def test_materialize_packs_reconstructs_stream(spark):
+    from asakusafw_spark_spark.functions import materialize_packs, pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "tok " * (i % 5 + 1)) for i in range(30)], "doc_id long, text string"
+    )
+    packs = {r.pack_id: r for r in materialize_packs(df, 12).collect()}
+    assign = pack_sequences(df, 12).collect()
+    # per-pack doc membership and order agree with the assignment op
+    want = {}
+    for r in sorted(assign, key=lambda r: (r.pack_id, r.pack_pos, str(r.doc_id))):
+        want.setdefault(r.pack_id, []).append(str(r.doc_id))
+    got = {pid: p.doc_ids.split(",") for pid, p in packs.items()}
+    assert got == want
+    for p in packs.values():
+        # concat of member texts, sep-joined, in pack order
+        assert p.n_docs == len(got[p.pack_id])
+        assert p.pack_text.count("tok") == p.n_tokens
