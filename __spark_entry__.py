@@ -915,6 +915,217 @@ def q18_large_volume_customer(spark, sf):
     )
 
 
+def q7_volume_shipping(spark, sf):
+    """TPC-H Q7-style: shipping volume between a nation PAIR by year —
+    two independent dimension branches (supplier-nation, customer-
+    nation) meet in a symmetric OR predicate over the fact.
+
+    Plan shape at scale: both nation branches broadcast into their
+    dimension (supplier / customer→orders), the pair predicate prunes
+    BEFORE the fact join (each side keeps only the two named nations),
+    and lineitem — the only large input — joins orders under "auto" and
+    never shuffles twice.  The year projection is a scan-stage expr.
+    """
+    a, b = "NATION_1", "NATION_2"
+    nat = _t(spark, sf, "nation").filter(F.col("n_name").isin(a, b)).select(
+        "n_nationkey", "n_name"
+    )
+    supp = master_join(
+        nat,
+        _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey"),
+        [("n_nationkey", "s_nationkey")],
+        strategy="broadcast",
+        unique_master=True,
+    )["joined"].select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = master_join(
+        nat,
+        _t(spark, sf, "customer").select("c_custkey", "c_nationkey"),
+        [("n_nationkey", "c_nationkey")],
+        strategy="broadcast",
+        unique_master=True,
+    )["joined"].select("c_custkey", F.col("n_name").alias("cust_nation"))
+    orders = master_join(
+        cust,
+        _t(spark, sf, "orders").select("o_orderkey", "o_custkey"),
+        [("c_custkey", "o_custkey")],
+        strategy="broadcast",
+        unique_master=True,
+    )["joined"].select("o_orderkey", "cust_nation")
+    li = (
+        _t(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    )
+    li_s = master_join(
+        supp, li, [("s_suppkey", "l_suppkey")], strategy="broadcast",
+        unique_master=True,
+    )["joined"]
+    both = master_join(
+        orders, li_s, [("o_orderkey", "l_orderkey")], strategy="auto",
+        unique_master=True,
+    )["joined"].filter(
+        ((F.col("supp_nation") == a) & (F.col("cust_nation") == b))
+        | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+    )
+    vol = update(
+        both,
+        l_year=F.year("l_shipdate").cast("long"),
+        volume=(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(27,6)"
+        ),
+    )
+    return summarize(
+        vol, ["supp_nation", "cust_nation", "l_year"], {"revenue": ("sum", "volume")}
+    ).select(
+        "supp_nation",
+        "cust_nation",
+        "l_year",
+        F.col("revenue").cast("double").alias("revenue"),
+    )
+
+
+def q10_returned_items(spark, sf):
+    """TPC-H Q10-style: top-20 customers by lost revenue on RETURNED
+    items in one quarter — selective fact filter, dimension enrichment,
+    aggregate, global top-k.
+
+    Plan shape at scale: the returnflag + date filters land in the
+    scans (pushdown), customer/nation broadcast, the per-customer
+    aggregate map-side-combines, and the top-20 runs as
+    TakeOrderedAndProject (per-partition heads, never a global sort).
+    The LIMIT set is decided on the exact DECIMAL revenue (double ties
+    must not make the cut engine-dependent).
+    """
+    orders = (
+        _t(spark, sf, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        _t(spark, sf, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    li_o = master_join(
+        orders, li, [("o_orderkey", "l_orderkey")], strategy="auto",
+        unique_master=True,
+    )["joined"]
+    rev = update(
+        li_o,
+        volume=(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(27,6)"
+        ),
+    )
+    per_cust = summarize(rev, ["o_custkey"], {"revenue": ("sum", "volume")})
+    cust = master_join(
+        _t(spark, sf, "nation").select("n_nationkey", "n_name"),
+        _t(spark, sf, "customer").select(
+            "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+        ),
+        [("n_nationkey", "c_nationkey")],
+        strategy="broadcast",
+        unique_master=True,
+    )["joined"]
+    out = master_join(
+        cust,
+        per_cust,
+        [("c_custkey", "o_custkey")],
+        strategy="broadcast",
+        unique_master=True,
+    )["joined"]
+    return (
+        out.orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
+        .limit(20)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "c_name",
+            F.col("revenue").cast("double").alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+    )
+
+
+def q_scrub_spans(spark, sf):
+    """Exact substring-level dedup (Lee et al.-style): corpus-duplicated
+    8-token spans scrubbed from every document.  Native explode/agg/
+    semi-join pipeline — see functions.dedup.scrub_duplicate_spans."""
+    from asakusafw_spark_spark.functions import scrub_duplicate_spans
+
+    docs = _t(spark, sf, "documents")
+    out = scrub_duplicate_spans(docs, n=8, min_count=2)
+    return out.select(
+        "doc_id", "clean", F.col("n_tokens").cast("long").alias("n_tokens"), "n_removed"
+    )
+
+
+def q_quantize_embeddings(spark, sf):
+    """Int8 scalar quantization: per-vector codes checked by exact
+    integer content + order witnesses (sum, L1, position-weighted sum)
+    plus the double inv_scale — all bit-deterministic cross-engine."""
+    from asakusafw_spark_spark.functions import quantize_embeddings
+
+    qz = quantize_embeddings(_t(spark, sf, "embeddings"))
+    codes = F.col("codes")
+    lsum = F.aggregate(
+        codes, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+    )
+    l1 = F.aggregate(
+        codes, F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x.cast("long"))
+    )
+    wsum = F.aggregate(
+        F.zip_with(
+            codes,
+            F.sequence(F.lit(1), F.size(codes)),
+            lambda c, i: c.cast("long") * i.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return qz.select(
+        "vec_id",
+        F.size(codes).cast("long").alias("n_dim"),
+        lsum.alias("code_sum"),
+        l1.alias("code_l1"),
+        wsum.alias("code_wsum"),
+        "inv_scale",
+    )
+
+
+def q_similarity_quantized(spark, sf):
+    """Brute-force cosine top-k over int8 codes (integer dot products,
+    4× smaller corpus scan) — the affordable exact-scan at 10⁹ vectors."""
+    from asakusafw_spark_spark.functions import quantized_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return quantized_topk(emb, queries, k=5)
+
+
+def q_extract_json(spark, sf):
+    """Semi-structured ingestion: typed attribute extraction from the
+    events JSON props column (native get_json_object, scan-stage), then
+    a per-event-type profile over the extracted value."""
+    from asakusafw_spark_spark.functions import extract_json
+
+    ev = extract_json(
+        _t(spark, sf, "events"), "props", {"k": "$.k:bigint"}
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("k_sum"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+        F.count_distinct(F.col("k")).alias("k_distinct"),
+    )
+
+
 def q_master_join_multikey(spark, sf):
     """Composite (2-column) group key: enrich lineitems from a
     high-quantity master keyed on (orderkey, linenumber)."""
@@ -2243,6 +2454,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      every round).
     # Queries past the window ride r04-banked rows (1 round stale).
     # Next round: rotate the tail block back into the window.
+    # The six session-2 queries (scrub_spans … q10_returned_items) push
+    # the LAST ~6 entries of block 2 (the r02-green master_check/branch/
+    # selection record-join block — the lowest-risk members) past the
+    # window; they ride their r02 rows one more round.  New queries
+    # have no banked rows at all, so window slots go to them first.
     return {
         # --- 1. must-green: r04-red CDC pair + new query ---
         "merge_upsert": q_merge_upsert,
@@ -2254,6 +2470,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "dedup_corpus_best": q_dedup_corpus_best,
         "materialize_packs": q_materialize_packs,
+        # round-5 session-2 additions (no banked rows — must be in the
+        # window; they displace the tail of block 2, see note below)
+        "scrub_spans": q_scrub_spans,
+        "quantize_embeddings": q_quantize_embeddings,
+        "similarity_quantized_topk": q_similarity_quantized,
+        "extract_json": q_extract_json,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q10_returned_items": q10_returned_items,
         # --- 2. stale-since-r01/r02 block (41) ---
         "similarity_ivf": q_similarity_ivf,
         "embedding_dup_clusters": q_embedding_dup_clusters,
@@ -2631,6 +2855,150 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY start % 512, CAST(doc_id AS VARCHAR))
                      AS pack_text
             FROM c GROUP BY source, CAST(start // 512 AS BIGINT)
+        """,
+        "scrub_spans": """
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL OR trim(text) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(text), '\\s+') END AS t
+              FROM documents
+            ), spans AS (
+              SELECT doc_id, u.i AS pos,
+                     array_to_string(list_slice(t, u.i + 1, u.i + 8), ' ') AS gram
+              FROM toks, unnest(range(0, len(t) - 8 + 1)) AS u(i)
+            ), dup AS (
+              SELECT gram FROM spans GROUP BY gram HAVING COUNT(*) >= 2
+            ), cov AS (
+              SELECT DISTINCT s.doc_id, s.pos + j.j AS cv
+              FROM spans s JOIN dup USING (gram), unnest(range(0, 8)) AS j(j)
+            ), tk AS (
+              SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS p
+              FROM toks
+            ), kept AS (
+              SELECT tk.doc_id, tk.p, tk.tok
+              FROM tk LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.cv = tk.p
+              WHERE cov.cv IS NULL
+            ), agg AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean,
+                     COUNT(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT toks.doc_id,
+                   COALESCE(agg.clean, '') AS clean,
+                   CAST(len(toks.t) AS BIGINT) AS n_tokens,
+                   CAST(len(toks.t) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed
+            FROM toks LEFT JOIN agg USING (doc_id)
+        """,
+        "quantize_embeddings": """
+            WITH m AS (
+              SELECT vec_id, embedding,
+                     list_max(list_transform(embedding,
+                                             e -> abs(CAST(e AS DOUBLE)))) AS mx
+              FROM embeddings
+            ), qz AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       e -> CAST(greatest(-127, least(127,
+                              floor(CAST(e AS DOUBLE) *
+                                (CASE WHEN mx > 0 THEN 127.0 / mx
+                                      ELSE 0.0 END)))) AS BIGINT)) AS codes,
+                     CASE WHEN mx > 0 THEN mx / 127.0 ELSE 0.0 END AS inv_scale
+              FROM m
+            ), ex AS (
+              SELECT vec_id, unnest(codes) AS c,
+                     generate_subscripts(codes, 1) AS i
+              FROM qz
+            ), s AS (
+              SELECT vec_id, CAST(SUM(c) AS BIGINT) AS code_sum,
+                     CAST(SUM(abs(c)) AS BIGINT) AS code_l1,
+                     CAST(SUM(c * i) AS BIGINT) AS code_wsum
+              FROM ex GROUP BY vec_id
+            )
+            SELECT qz.vec_id, CAST(len(qz.codes) AS BIGINT) AS n_dim,
+                   s.code_sum, s.code_l1, s.code_wsum, qz.inv_scale
+            FROM qz LEFT JOIN s USING (vec_id)
+        """,
+        "similarity_quantized_topk": """
+            WITH m AS (
+              SELECT vec_id,
+                     list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v,
+                     list_max(list_transform(embedding,
+                                             e -> abs(CAST(e AS DOUBLE)))) AS mx
+              FROM embeddings
+            ), qz AS (
+              SELECT vec_id,
+                     list_transform(v,
+                       e -> CAST(greatest(-127, least(127,
+                              floor(e * (CASE WHEN mx > 0 THEN 127.0 / mx
+                                              ELSE 0.0 END)))) AS BIGINT)) AS codes
+              FROM m
+            ), n AS (
+              SELECT vec_id, codes,
+                     sqrt(CAST(list_sum(list_transform(codes, c -> c * c))
+                               AS DOUBLE)) AS nrm
+              FROM qz
+            ), s AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     CASE WHEN q.nrm > 0 AND c.nrm > 0
+                          THEN round(CAST(list_sum(list_transform(
+                                 list_zip(q.codes, c.codes),
+                                 p -> p[1] * p[2])) AS DOUBLE)
+                               / (q.nrm * c.nrm), 6)
+                          ELSE 0.0 END AS sim
+              FROM n q, n c
+              WHERE q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
+            )
+            SELECT query_id, neighbor_id, sim FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id ASC) AS rn FROM s
+            ) WHERE rn <= 5
+        """,
+        "extract_json": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   CAST(SUM(k) AS BIGINT) AS k_sum, MIN(k) AS k_min,
+                   MAX(k) AS k_max, COUNT(DISTINCT k) AS k_distinct
+            FROM (SELECT event_type,
+                         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                  FROM events)
+            GROUP BY event_type
+        """,
+        "q7_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON n1.n_nationkey = s_nationkey
+            JOIN nation n2 ON n2.n_nationkey = c_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY n1.n_name, n2.n_name,
+                     CAST(EXTRACT(year FROM l_shipdate) AS BIGINT)
+        """,
+        "q10_returned_items": """
+            WITH per AS (
+              SELECT o_custkey,
+                     SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(27,6))) AS rev
+              FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+              WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+                AND o_orderdate <  TIMESTAMP '1997-01-01'
+                AND l_returnflag = 'R'
+              GROUP BY o_custkey
+            )
+            SELECT per.o_custkey AS c_custkey, c.c_name,
+                   CAST(per.rev AS DOUBLE) AS revenue, c.c_acctbal, n.n_name
+            FROM per
+            JOIN customer c ON c.c_custkey = per.o_custkey
+            JOIN nation n   ON n.n_nationkey = c.c_nationkey
+            ORDER BY per.rev DESC, per.o_custkey ASC
+            LIMIT 20
         """,
         "logging": "SELECT * FROM nation",
         "checkpoint": """

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F  # noqa: F401  (scalar surface)
 from .text import (
     tokens,
     redact,
+    extract_json,
     vocab_top_k,
     tfidf,
     token_count,
@@ -37,6 +38,7 @@ from .dedup import (
     simhash_dup_groups,
     simhash_pairs,
     dup_clusters,
+    scrub_duplicate_spans,
 )
 from .similarity import (
     cosine_similarity,
@@ -45,6 +47,8 @@ from .similarity import (
     lsh_ann_topk,
     ivf_topk,
     label_centroids,
+    quantize_embeddings,
+    quantized_topk,
 )
 from .text import repetition_signals, word_ngrams
 from .sampling import (
@@ -82,6 +86,7 @@ __all__ = [
     "quality_score",
     "quality_quantile_filter",
     "redact",
+    "extract_json",
     "vocab_top_k",
     "tfidf",
     "fingerprint",
@@ -97,6 +102,7 @@ __all__ = [
     "simhash_dup_groups",
     "simhash_pairs",
     "dup_clusters",
+    "scrub_duplicate_spans",
     "repetition_signals",
     "word_ngrams",
     "cosine_similarity",
@@ -105,6 +111,8 @@ __all__ = [
     "lsh_ann_topk",
     "ivf_topk",
     "label_centroids",
+    "quantize_embeddings",
+    "quantized_topk",
     "unit_hash",
     "hash_sample",
     "assign_split",

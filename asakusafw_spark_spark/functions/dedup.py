@@ -659,3 +659,96 @@ def dedup_corpus(
             .select(id_col, "cluster_size")
         )
     return docs.join(keepers, id_col, "inner")
+
+
+def scrub_duplicate_spans(
+    docs: DataFrame,
+    n: int = 5,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact SUBSTRING-level dedup: remove every corpus-duplicated
+    ``n``-token span from the documents themselves.
+
+    The third dedup granularity (after whole-document exact dedup and
+    near-duplicate document dedup): a span of ``n`` consecutive tokens
+    that occurs at least ``min_count`` times ANYWHERE in the corpus
+    (other documents or elsewhere in the same one) is scrubbed from all
+    its occurrences — the scrub drops every token covered by at least
+    one duplicated span, then reassembles the remaining tokens in
+    order.  This is the hash-count formulation of exact substring
+    dedup as popularised for LLM training corpora (duplicate spans
+    memorise disproportionately); a suffix-array formulation finds
+    maximal repeats, the n-gram-cover variant here finds the same
+    repeated regions with bounded state and pure relational ops.
+
+    Returns one row per input document: ``id_col``, ``clean``
+    (scrubbed text), ``n_tokens`` (original), ``n_removed`` (tokens
+    dropped).  Documents shorter than ``n`` tokens are kept whole.
+    Deterministic — no hashing is involved in the decision, the span
+    KEY is the token join itself.
+
+    Scale shape: tokenisation and span enumeration are a projection
+    (one scan, no Python); the global span count is a partial-aggregable
+    hash aggregate over one row per token position; the duplicated-span
+    → occurrence lookup is a LEFT SEMI equi-join (output ≤ span rows,
+    immune to hot-span fan-out); cover expansion multiplies only
+    duplicated positions by ``n``.  Nothing is quadratic and the only
+    wide payload (the text) rides exactly one shuffle-free scan — the
+    span/cover frames carry (id, pos) pairs plus the span string.
+    """
+    sz = F.size(tokens(F.col(text_col)))
+    toked = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        tokens(F.col(text_col)).alias("__toks__"),
+        sz.alias("n_tokens"),
+    )
+    # one row per span start: (id, pos, gram). sequence() guard — Spark
+    # sequence(0, negative) counts DOWN, so short docs must yield [].
+    spans = toked.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.col("n_tokens") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_tokens") - n),
+                    lambda i: F.array_join(F.slice(F.col("__toks__"), i + 1, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "gram"),
+    )
+    dup_grams = (
+        spans.groupBy("gram").agg(F.count(F.lit(1)).alias("__c__"))
+        .filter(F.col("__c__") >= min_count)
+        .select("gram")
+    )
+    covered = (
+        spans.join(dup_grams, "gram", "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("cov"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("cov").alias("__cov__"))
+    )
+    out = toked.join(covered, id_col, "left").select(
+        F.col(id_col),
+        F.array_join(
+            F.filter(
+                F.zip_with(
+                    F.col("__toks__"),
+                    F.sequence(F.lit(0), F.greatest(F.col("n_tokens") - 1, F.lit(0))),
+                    lambda t, p: F.struct(t.alias("t"), p.alias("p")),
+                ),
+                lambda s: ~F.coalesce(
+                    F.array_contains(F.col("__cov__"), s["p"]), F.lit(False)
+                ),
+            ).getField("t"),
+            " ",
+        ).alias("clean"),
+        F.col("n_tokens"),
+        F.coalesce(F.size("__cov__"), F.lit(0)).cast("long").alias("n_removed"),
+    )
+    return out

@@ -8,7 +8,7 @@ text bytes at any scale.  Each has an exactly-equivalent ANSI-SQL form
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 #: Tiny per-language stopword lists for the n-gram/stopword language-ID
 #: heuristic.  Deliberately small + frozen: the heuristic is the
@@ -390,3 +390,30 @@ def tfidf(
         .drop("__n__")
         .select(id_col, "token", "tf", "doc_freq", "tfidf")
     )
+
+
+def extract_json(
+    df: DataFrame,
+    json_col: str,
+    fields: "dict[str, str]",
+) -> DataFrame:
+    """Project typed columns out of a JSON-string column.
+
+    ``fields`` maps output column name → ``"$.path:type"`` (type is any
+    Spark cast target — ``bigint``, ``double``, ``string``, …; omit
+    ``:type`` for string).  Missing paths / nulls / type mismatches
+    yield NULL, matching semi-structured source reality.  All original
+    columns are preserved; extraction is ``get_json_object`` + cast —
+    native, codegen'd, zero Python, no shuffle, and pushdown-friendly
+    (a filter on an extracted column stays in the same scan stage).
+
+    This is the event-log ingestion front door the reference delegates
+    to user Java parsing code (SURVEY.md §2.7): attribute extraction
+    from a semi-structured payload column at scan speed.
+    """
+    out = df
+    for name, spec in fields.items():
+        path, _, typ = spec.partition(":")
+        c = F.get_json_object(F.col(json_col), path)
+        out = out.withColumn(name, c.cast(typ) if typ else c)
+    return out

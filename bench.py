@@ -49,6 +49,11 @@ HEADLINE = [
     "redact",
     "tfidf",
     "pack_sequences",
+    # round-5 session-2 additions (appended)
+    "scrub_spans",
+    "quantize_embeddings",
+    "q7_volume_shipping",
+    "q10_returned_items",
 ]
 
 

@@ -696,3 +696,103 @@ def test_dedup_corpus_keep_by_quality(spark):
     fallback = {r.doc_id for r in
                 dedup_corpus(nul, threshold=0.5, keep_by="n_chars").collect()}
     assert fallback == {1, 4}
+
+
+def test_scrub_duplicate_spans_removes_shared_span(spark):
+    from asakusafw_spark_spark.functions import scrub_duplicate_spans
+
+    boiler = "all rights reserved click here to subscribe now today"  # 9 toks
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {boiler} delta"),
+            (2, f"one two {boiler} three four"),
+            (3, "totally unique text with no repeats at all whatsoever"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in scrub_duplicate_spans(docs, n=9, min_count=2).collect()
+    }
+    assert len(out) == 4
+    # the shared 9-token boilerplate vanishes from both docs, the
+    # surrounding unique tokens survive in order
+    assert out[1]["clean"] == "alpha beta gamma delta"
+    assert out[2]["clean"] == "one two three four"
+    assert out[1]["n_removed"] == 9 and out[2]["n_removed"] == 9
+    # untouched + empty docs pass through whole
+    assert out[3]["n_removed"] == 0 and out[3]["clean"].startswith("totally")
+    assert out[4]["clean"] == "" and out[4]["n_tokens"] == 0
+
+
+def test_scrub_duplicate_spans_overlapping_cover(spark):
+    from asakusafw_spark_spark.functions import scrub_duplicate_spans
+
+    # the duplicated region is LONGER than n: overlapping spans must
+    # merge into one contiguous cover, not leave mod-n residue tokens
+    rep = "a b c d e f"  # 6 tokens, scrub with n=3
+    docs = spark.createDataFrame(
+        [(1, f"x {rep} y"), (2, f"p q {rep} r")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in scrub_duplicate_spans(docs, n=3).collect()}
+    assert out[1]["clean"] == "x y"
+    assert out[2]["clean"] == "p q r"
+    assert out[1]["n_removed"] == 6
+
+
+def test_scrub_within_doc_repeat_counts(spark):
+    from asakusafw_spark_spark.functions import scrub_duplicate_spans
+
+    # min_count counts occurrences ANYWHERE, including the same doc
+    docs = spark.createDataFrame(
+        [(1, "u v w SPAM SPAM SPAM one two SPAM SPAM SPAM three")],
+        "doc_id long, text string",
+    )
+    out = scrub_duplicate_spans(docs, n=3, min_count=2).collect()[0]
+    assert "SPAM" not in out["clean"]
+    assert out["clean"] == "u v w one two three"
+
+
+def test_quantize_embeddings_roundtrip_error_bounded(spark):
+    import math
+
+    from asakusafw_spark_spark.functions import quantize_embeddings
+
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector → zero codes, inv_scale 0
+        (3, [127.0, -127.0, 1.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    for vid, vec in rows:
+        codes, inv = out[vid]["codes"], out[vid]["inv_scale"]
+        assert len(codes) == len(vec)
+        assert all(-127 <= c <= 127 for c in codes)
+        # dequantized value within one quantization step of the original
+        step = inv if inv > 0 else 0.0
+        for c, x in zip(codes, vec):
+            assert math.isclose(c * inv, x, abs_tol=step + 1e-12)
+    assert out[2]["inv_scale"] == 0.0 and all(c == 0 for c in out[2]["codes"])
+
+
+def test_quantized_topk_agrees_with_float_topk(spark, sf_dir):
+    # ranking quality: int8-quantized top-5 must substantially overlap
+    # exact float top-5 on the real embedding table
+    from asakusafw_spark_spark.functions import brute_force_topk, quantized_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    quant = quantized_topk(emb, queries, k=5).collect()
+    ex = {}
+    qt = {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in quant:
+        qt.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(ex) == set(qt)
+    recall = sum(len(ex[q] & qt[q]) for q in ex) / sum(len(ex[q]) for q in ex)
+    assert recall >= 0.8, f"quantized top-5 recall too low: {recall}"

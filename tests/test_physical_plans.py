@@ -146,3 +146,47 @@ def test_round5_text_ops_plan_budgets(spark, sf_dir):
     )
 
     assert_scale_safe(tfidf(docs, min_df=2), max_shuffles=4, max_python_stages=0)
+
+
+def test_round5_session2_ops_plan_budgets(spark, sf_dir):
+    """Scale-shape contracts for the session-2 operators: quantization
+    and JSON extraction are pure projections (no shuffle, no Python);
+    substring scrub stays within its documented span-agg + cover-agg
+    budget with equi-joins only; quantized top-k mirrors the brute-force
+    plan (broadcast queries, corpus unshuffled, one rank window)."""
+    from asakusafw_spark_spark.functions import (
+        extract_json,
+        quantize_embeddings,
+        quantized_topk,
+        scrub_duplicate_spans,
+    )
+    from asakusafw_spark_spark.plans import assert_scale_safe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    assert_scale_safe(
+        quantize_embeddings(emb), max_shuffles=0, max_python_stages=0
+    )
+    s = assert_scale_safe(
+        extract_json(ev, "props", {"k": "$.k:bigint"}),
+        max_shuffles=0,
+        max_python_stages=0,
+    )
+    assert s["joins"] == []
+
+    # span-count agg + cover agg (+ AQE-chosen join exchanges at real
+    # volume); never a cartesian, never Python
+    assert_scale_safe(
+        scrub_duplicate_spans(docs, n=8), max_shuffles=4, max_python_stages=0
+    )
+
+    # the BNLJ is the same documented exact-scan theta-join as
+    # brute_force_topk: queries broadcast, corpus side never shuffled
+    s = assert_scale_safe(
+        quantized_topk(emb, emb.limit(5), k=3),
+        max_shuffles=3,
+        max_python_stages=0,
+    )
+    assert "BroadcastNestedLoopJoin" in s["joins"]

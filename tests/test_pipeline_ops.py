@@ -257,3 +257,28 @@ def test_materialize_packs_reconstructs_stream(spark):
         # concat of member texts, sep-joined, in pack order
         assert p.n_docs == len(got[p.pack_id])
         assert p.pack_text.count("tok") == p.n_tokens
+
+
+def test_extract_json_typed_and_missing_paths(spark):
+    from asakusafw_spark_spark.functions import extract_json
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 7, "tag": "x", "f": 1.5}'),
+            (2, '{"tag": "y"}'),          # k missing → NULL
+            (3, "not json at all"),        # unparseable → NULL
+            (4, None),                     # null payload → NULL
+        ],
+        "id long, props string",
+    )
+    out = {
+        r["id"]: r
+        for r in extract_json(
+            df, "props", {"k": "$.k:bigint", "tag": "$.tag", "f": "$.f:double"}
+        ).collect()
+    }
+    assert out[1]["k"] == 7 and out[1]["tag"] == "x" and out[1]["f"] == 1.5
+    assert out[2]["k"] is None and out[2]["tag"] == "y"
+    assert out[3]["k"] is None and out[4]["k"] is None
+    # original columns preserved
+    assert out[1]["props"].startswith("{")
