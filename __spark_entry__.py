@@ -1126,6 +1126,24 @@ def q_extract_json(spark, sf):
     )
 
 
+def q_dedup_incremental(spark, sf):
+    """Incremental ingestion dedup: the odd-id half of the corpus is
+    'today's batch', deduped against a prebuilt index of the even-id
+    history — new docs near-matching (jaccard ≥ 0.5) any historical doc
+    are dropped; survivors pass through with all columns."""
+    from asakusafw_spark_spark.functions import (
+        build_dedup_index,
+        dedup_against_corpus,
+    )
+
+    docs = _t(spark, sf, "documents")
+    history = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    index = build_dedup_index(history)
+    kept = dedup_against_corpus(batch, index=index, threshold=0.5)
+    return kept.select("doc_id", "lang", "source", "n_chars")
+
+
 def q_master_join_multikey(spark, sf):
     """Composite (2-column) group key: enrich lineitems from a
     high-quantity master keyed on (orderkey, linenumber)."""
@@ -2206,6 +2224,41 @@ def _duck_minhash_lsh_sql(threshold: float = 0.5, k: int = 8, bands: int = 4) ->
     """
 
 
+def _duck_incremental_sql(threshold: float = 0.5, k: int = 8, bands: int = 4) -> str:
+    """dedup_against_corpus (even ids = history, odd ids = batch) in DuckDB."""
+    r = k // bands
+    band_rows = ", ".join(
+        "{{'band': {b}, 'key': CAST(sig[{i1}] AS VARCHAR) || ':' || "
+        "CAST(sig[{i2}] AS VARCHAR)}}".format(b=b, i1=b * r + 1, i2=b * r + 2)
+        for b in range(bands)
+    )
+    return f"""
+        WITH base AS ({_DUCK_SHINGLES}),
+        hashed AS (
+          SELECT id, shingles,
+                 list_transform(shingles,
+                   s -> CAST('0x' || substr(md5(s),1,15) AS BIGINT) % {MERSENNE_P}) AS hs
+          FROM base),
+        sigs AS (SELECT id, shingles, {_duck_sig_terms(k)} AS sig FROM hashed),
+        banded AS (
+          SELECT id, shingles, bk.band AS band, bk.key AS key
+          FROM sigs, UNNEST([{band_rows}]) AS t(bk)),
+        cand AS (
+          SELECT a.id AS old_id, b.id AS new_id,
+                 any_value(a.shingles) AS sh_a, any_value(b.shingles) AS sh_b
+          FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+          WHERE a.id % 2 = 0 AND b.id % 2 = 1 GROUP BY 1, 2),
+        matched AS (
+          SELECT DISTINCT new_id FROM cand
+          WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+                CAST(len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))
+                     AS DOUBLE) >= {threshold})
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE doc_id % 2 = 1
+          AND doc_id NOT IN (SELECT new_id FROM matched)
+    """
+
+
 def _duck_ngram_jaccard_sql(threshold: float = 0.3, max_doc_freq: int = 5) -> str:
     # mirrors ngram_jaccard_pairs' doc-freq cut: shingles in > max_doc_freq
     # docs are dropped from intersections; unions keep FULL set sizes
@@ -2473,6 +2526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 session-2 additions (no banked rows — must be in the
         # window; they displace the tail of block 2, see note below)
         "scrub_spans": q_scrub_spans,
+        "dedup_incremental": q_dedup_incremental,
         "quantize_embeddings": q_quantize_embeddings,
         "similarity_quantized_topk": q_similarity_quantized,
         "extract_json": q_extract_json,
@@ -2856,6 +2910,7 @@ def oracle_sql() -> dict[str, str]:
                      AS pack_text
             FROM c GROUP BY source, CAST(start // 512 AS BIGINT)
         """,
+        "dedup_incremental": _duck_incremental_sql(threshold=0.5),
         "scrub_spans": """
             WITH toks AS (
               SELECT doc_id,

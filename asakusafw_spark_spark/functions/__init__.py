@@ -39,6 +39,8 @@ from .dedup import (
     simhash_pairs,
     dup_clusters,
     scrub_duplicate_spans,
+    build_dedup_index,
+    dedup_against_corpus,
 )
 from .similarity import (
     cosine_similarity,
@@ -103,6 +105,8 @@ __all__ = [
     "simhash_pairs",
     "dup_clusters",
     "scrub_duplicate_spans",
+    "build_dedup_index",
+    "dedup_against_corpus",
     "repetition_signals",
     "word_ngrams",
     "cosine_similarity",

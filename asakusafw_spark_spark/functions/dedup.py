@@ -752,3 +752,121 @@ def scrub_duplicate_spans(
         F.coalesce(F.size("__cov__"), F.lit(0)).cast("long").alias("n_removed"),
     )
     return out
+
+
+def build_dedup_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Reusable near-dup index of a corpus: (id, shingles, sig).
+
+    The expensive part of MinHash dedup is shingling + signing the
+    corpus — ONE scan that this index captures so incremental
+    ingestion (:func:`dedup_against_corpus`) never re-pays it.  Band
+    keys are deliberately NOT materialized: they are a per-row
+    projection of ``sig`` (explode, no shuffle), so the stored index
+    stays band-count-agnostic — re-band without rebuilding.  Persist it
+    with ``write_flat``/``write_bucketed`` and read it back for the
+    next batch.
+    """
+    base = docs.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
+    )
+    return base.withColumn("sig", minhash_signature(F.col("shingles"), k, seed))
+
+
+def _band_rows(index: DataFrame, k: int, bands: int) -> DataFrame:
+    """Slim (id, band, key) rows projected from a signature index."""
+    r = k // bands
+    return index.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ":", *[F.col("sig")[b * r + i] for i in range(r)]
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def dedup_against_corpus(
+    new_docs: DataFrame,
+    corpus: DataFrame | None = None,
+    index: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental ingestion dedup: drop new documents that near-match
+    the EXISTING corpus (MinHash-LSH candidates, exact-Jaccard verify,
+    ``jaccard ≥ threshold`` ⇒ drop).  Returns the surviving new rows,
+    all columns preserved.
+
+    This is the production shape whole-corpus :func:`dedup_corpus`
+    can't serve: a daily batch must not re-pair the full history with
+    itself.  Pass ``index=`` (a persisted :func:`build_dedup_index`
+    frame) and the historical corpus costs only a slim band-key
+    projection per batch — O(|corpus|) re-sign work drops out
+    entirely; ``corpus=`` (raw documents) builds the index inline.
+
+    Scale shape: candidate generation is a (band, key) equi-join where
+    the NEW side is a typically-broadcastable slim projection; the
+    verify join touches only candidate ids; the final filter is a LEFT
+    ANTI join of the batch against matched ids.  Within-batch
+    duplicates are NOT decided here — run :func:`dedup_corpus` on the
+    survivors (cheap: survivors are one batch, not the history).
+    """
+    if (corpus is None) == (index is None):
+        raise ValueError("pass exactly one of corpus= or index=")
+    if k % bands != 0:
+        raise ValueError("bands must divide k")
+    if index is None:
+        index = build_dedup_index(
+            corpus, id_col=id_col, text_col=text_col, n=n, k=k, seed=seed
+        )
+    index = index.persist(StorageLevel.MEMORY_AND_DISK)
+    new_index = build_dedup_index(
+        ensure_parallelism(new_docs), id_col=id_col, text_col=text_col, n=n, k=k,
+        seed=seed,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    cand = (
+        _band_rows(index, k, bands)
+        .alias("a")
+        .join(
+            _band_rows(new_index, k, bands).alias("b"),
+            on=[F.col("a.band") == F.col("b.band"), F.col("a.key") == F.col("b.key")],
+        )
+        .select(F.col("a.id").alias("old_id"), F.col("b.id").alias("new_id"))
+        .dropDuplicates(["old_id", "new_id"])
+    )
+    verified = cand.join(
+        index.select(F.col("id").alias("old_id"), F.col("shingles").alias("sh_a")),
+        "old_id",
+    ).join(
+        new_index.select(F.col("id").alias("new_id"), F.col("shingles").alias("sh_b")),
+        "new_id",
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    matched = (
+        verified.filter(inter.cast("double") / union.cast("double") >= threshold)
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new_docs.join(matched, id_col, "left_anti")

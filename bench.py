@@ -51,6 +51,7 @@ HEADLINE = [
     "pack_sequences",
     # round-5 session-2 additions (appended)
     "scrub_spans",
+    "dedup_incremental",
     "quantize_embeddings",
     "q7_volume_shipping",
     "q10_returned_items",

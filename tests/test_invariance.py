@@ -195,6 +195,20 @@ def q_scatter_where_join(spark, sf_dir):
     )["joined"]
 
 
+def q_scrub_spans(spark, sf_dir):
+    from asakusafw_spark_spark.functions import scrub_duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return scrub_duplicate_spans(docs, n=8)
+
+
+def q_quantized_topk(spark, sf_dir):
+    from asakusafw_spark_spark.functions import quantized_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return quantized_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
 QUERIES = {
     "summarize": q_summarize,
     "join": q_join,
@@ -210,6 +224,8 @@ QUERIES = {
     "tfidf": q_tfidf,
     "vocab_top_k": q_vocab,
     "scatter_where_join": q_scatter_where_join,
+    "scrub_spans": q_scrub_spans,
+    "quantized_topk": q_quantized_topk,
 }
 
 

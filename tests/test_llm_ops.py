@@ -796,3 +796,52 @@ def test_quantized_topk_agrees_with_float_topk(spark, sf_dir):
     assert set(ex) == set(qt)
     recall = sum(len(ex[q] & qt[q]) for q in ex) / sum(len(ex[q]) for q in ex)
     assert recall >= 0.8, f"quantized top-5 recall too low: {recall}"
+
+
+def test_dedup_against_corpus_drops_known_dups(spark):
+    from asakusafw_spark_spark.functions import (
+        build_dedup_index,
+        dedup_against_corpus,
+    )
+
+    history = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "spark engines shuffle partitioned data across executors with hash keys"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # exact copy of doc 0 → drop
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            # near copy of doc 2 (last word changed → high jaccard AND a
+            # deterministic band collision under the fixed seed) → drop
+            (3, "spark engines shuffle partitioned data across executors with hash buckets"),
+            # unrelated → keep
+            (5, "completely different content about cooking pasta with garlic butter"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = dedup_against_corpus(batch, corpus=history, threshold=0.5)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [5]
+
+    # a persisted/prebuilt index gives the identical decision
+    idx = build_dedup_index(history)
+    kept2 = dedup_against_corpus(batch, index=idx, threshold=0.5)
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [5]
+
+    # batch-internal duplicates are NOT this op's business: two copies
+    # in the batch both survive when neither matches history
+    twin_batch = spark.createDataFrame(
+        [(7, "novel text one two three four five six"),
+         (9, "novel text one two three four five six")],
+        "doc_id long, text string",
+    )
+    kept3 = dedup_against_corpus(twin_batch, corpus=history, threshold=0.5)
+    assert kept3.count() == 2
+
+    with pytest.raises(ValueError):
+        dedup_against_corpus(batch)
+    with pytest.raises(ValueError):
+        dedup_against_corpus(batch, corpus=history, index=idx)
