@@ -1144,6 +1144,33 @@ def q_dedup_incremental(spark, sf):
     return kept.select("doc_id", "lang", "source", "n_chars")
 
 
+def q_cap_per_group(spark, sf):
+    """Anti-dominance cap: at most 10 documents per source, selected by
+    seed-stable hash order (deterministic reservoir)."""
+    from asakusafw_spark_spark.functions import cap_per_group
+
+    docs = _t(spark, sf, "documents")
+    return cap_per_group(docs, by="source", n=10, key_col="doc_id").select(
+        "doc_id", "source"
+    )
+
+
+def q_winsorize(spark, sf):
+    """Per-returnflag winsorization of extended price at [p05, p95] —
+    exact interpolated percentiles (≡ DuckDB quantile_cont), clamp as a
+    broadcast-joined projection."""
+    from asakusafw_spark_spark.functions import winsorize
+
+    li = _t(spark, sf, "lineitem")
+    out = winsorize(li, "l_extendedprice", by="l_returnflag", lower=0.05, upper=0.95)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.col("l_extendedprice_winsorized").alias("price_w"),
+    )
+
+
 def q_master_join_multikey(spark, sf):
     """Composite (2-column) group key: enrich lineitems from a
     high-quantity master keyed on (orderkey, linenumber)."""
@@ -2507,8 +2534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      every round).
     # Queries past the window ride r04-banked rows (1 round stale).
     # Next round: rotate the tail block back into the window.
-    # The six session-2 queries (scrub_spans … q10_returned_items) push
-    # the LAST ~6 entries of block 2 (the r02-green master_check/branch/
+    # The session-2 queries (scrub_spans … winsorize, 9 so far) push
+    # the LAST entries of block 2 (the r02-green master_check/branch/
     # selection record-join block — the lowest-risk members) past the
     # window; they ride their r02 rows one more round.  New queries
     # have no banked rows at all, so window slots go to them first.
@@ -2532,6 +2559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_json": q_extract_json,
         "q7_volume_shipping": q7_volume_shipping,
         "q10_returned_items": q10_returned_items,
+        "cap_per_group": q_cap_per_group,
+        "winsorize": q_winsorize,
         # --- 2. stale-since-r01/r02 block (41) ---
         "similarity_ivf": q_similarity_ivf,
         "embedding_dup_clusters": q_embedding_dup_clusters,
@@ -2911,6 +2940,31 @@ def oracle_sql() -> dict[str, str]:
             FROM c GROUP BY source, CAST(start // 512 AS BIGINT)
         """,
         "dedup_incremental": _duck_incremental_sql(threshold=0.5),
+        "cap_per_group": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                 || ':42'), 1, 15) AS BIGINT) % 1000000)
+                                / 1000000.0 ASC,
+                                doc_id ASC) AS rn
+              FROM documents
+            ) WHERE rn <= 10
+        """,
+        "winsorize": """
+            WITH cuts AS (
+              SELECT l_returnflag,
+                     quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05) AS lo,
+                     quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS hi
+              FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l_orderkey, l_linenumber, l.l_returnflag,
+                   CASE WHEN l_extendedprice IS NULL THEN NULL
+                        ELSE least(greatest(CAST(l_extendedprice AS DOUBLE), lo), hi)
+                   END AS price_w
+            FROM lineitem l JOIN cuts USING (l_returnflag)
+        """,
         "scrub_spans": """
             WITH toks AS (
               SELECT doc_id,

@@ -62,7 +62,9 @@ from .sampling import (
     mix_corpus,
     pack_sequences,
     materialize_packs,
+    cap_per_group,
 )
+from .stats import winsorize
 from .multimodal import (
     MEDIA_SCHEMA,
     extract_features,
@@ -125,6 +127,8 @@ __all__ = [
     "mix_corpus",
     "pack_sequences",
     "materialize_packs",
+    "cap_per_group",
+    "winsorize",
     "MEDIA_SCHEMA",
     "extract_features",
     "resize_images",

@@ -318,3 +318,40 @@ def materialize_packs(
         F.array_join(F.transform(ordered, lambda s: s["i"]), ",").alias("doc_ids"),
         F.array_join(F.transform(ordered, lambda s: s["t"]), sep).alias("pack_text"),
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    by: str | list[str],
+    n: int,
+    key_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-group cap: keep at most ``n`` rows per group,
+    chosen by hash order — reservoir sampling's reproducible cousin.
+
+    The anti-dominance curation primitive: cap documents per domain /
+    source so no single origin swamps the mixture.  Selection order is
+    ``(unit_hash(key), key)`` — a uniform, seed-stable shuffle within
+    the group, so the kept set is a uniform sample that never changes
+    across runs, retries, or cluster sizes (no ``rand()``, no
+    first-n-in-arrival-order bias).
+
+    Scale shape: one shuffle on the group key; the rank window sorts
+    within groups only.  Hot groups sort ``group_size·log`` — if a
+    group is pathologically hot, pre-filter with
+    :func:`hash_sample` at ``~2n/size`` to bound the sort input; the
+    docstring-level contract (hash order) makes the two compose
+    exactly.
+    """
+    from pyspark.sql import Window as W
+
+    keys = [by] if isinstance(by, str) else list(by)
+    w = W.partitionBy(*keys).orderBy(
+        unit_hash(F.col(key_col), seed).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= n)
+        .drop("__rn__")
+    )

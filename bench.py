@@ -55,6 +55,7 @@ HEADLINE = [
     "quantize_embeddings",
     "q7_volume_shipping",
     "q10_returned_items",
+    "winsorize",
 ]
 
 

@@ -190,3 +190,26 @@ def test_round5_session2_ops_plan_budgets(spark, sf_dir):
         max_python_stages=0,
     )
     assert "BroadcastNestedLoopJoin" in s["joins"]
+
+
+def test_cap_and_winsorize_plan_budgets(spark, sf_dir):
+    """cap_per_group is one group-key shuffle + rank window;
+    winsorize is one slim cut-point aggregate broadcast back onto an
+    unshuffled scan — neither uses Python or a global sort."""
+    from asakusafw_spark_spark.functions import cap_per_group, winsorize
+    from asakusafw_spark_spark.plans import assert_scale_safe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    assert_scale_safe(
+        cap_per_group(docs, by="source", n=10, key_col="doc_id"),
+        max_shuffles=1,
+        max_python_stages=0,
+    )
+    s = assert_scale_safe(
+        winsorize(li, "l_extendedprice", by="l_returnflag"),
+        max_shuffles=2,  # the cut-point aggregate's partial/final pair
+        max_python_stages=0,
+    )
+    assert s["broadcasts"] >= 1, "cut points must broadcast, not shuffle the fact"

@@ -282,3 +282,50 @@ def test_extract_json_typed_and_missing_paths(spark):
     assert out[3]["k"] is None and out[4]["k"] is None
     # original columns preserved
     assert out[1]["props"].startswith("{")
+
+
+def test_cap_per_group_deterministic_uniform_cap(spark):
+    from asakusafw_spark_spark.functions import cap_per_group
+
+    rows = [(i, "big" if i < 40 else "small") for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = cap_per_group(df, by="grp", n=15, key_col="id")
+    counts = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 15, "small": 10}  # small group under cap → untouched
+    # replay-identical: the same rows are kept on every run
+    a = sorted(r["id"] for r in out.collect())
+    b = sorted(r["id"] for r in cap_per_group(df, by="grp", n=15, key_col="id").collect())
+    assert a == b
+    # a different seed keeps a different (but still size-15) subset
+    c = sorted(
+        r["id"]
+        for r in cap_per_group(df, by="grp", n=15, key_col="id", seed=7)
+        .filter(F.col("grp") == "big")
+        .collect()
+    )
+    assert len(c) == 15 and c != [x for x in a if x < 40]
+
+
+def test_winsorize_clamps_to_quantile_band(spark):
+    from asakusafw_spark_spark.functions import winsorize
+
+    vals = list(range(1, 101))  # 1..100 per group
+    rows = [(i, "g1", float(v)) for i, v in enumerate(vals)]
+    rows += [(1000, "g1", None)]  # null stays null
+    rows += [(2000 + i, "g2", 5.0) for i in range(4)]  # constant group
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    out = {r["id"]: r["v_winsorized"] for r in winsorize(df, "v", by="grp").collect()}
+    # p05 of 1..100 (linear interpolation) = 5.95; p95 = 95.05
+    assert abs(out[0] - 5.95) < 1e-9      # v=1 clamped up
+    assert abs(out[99] - 95.05) < 1e-9    # v=100 clamped down
+    assert out[49] == 50.0                # interior value untouched
+    assert out[1000] is None
+    assert all(out[2000 + i] == 5.0 for i in range(4))
+
+    # approx mode: same clamp semantics, sketch cut points
+    outa = {r["id"]: r["v_winsorized"] for r in winsorize(df, "v", by="grp", approx=True).collect()}
+    assert outa[1000] is None and 1.0 <= outa[0] <= 10.0
+
+    # ungrouped mode
+    outg = winsorize(df.filter("grp = 'g1'"), "v", lower=0.0, upper=1.0)
+    assert outg.filter("v_winsorized != v").count() == 0
