@@ -1144,6 +1144,78 @@ def q_dedup_incremental(spark, sf):
     return kept.select("doc_id", "lang", "source", "n_chars")
 
 
+def q4_order_priority(spark, sf):
+    """TPC-H Q4-style: orders in one quarter with at least one RETURNED
+    line item, counted by priority — the EXISTS shape: a pure existence
+    probe where no line-item payload may cross the join.
+
+    Built on master_check (semi join): the probe side is a deduped
+    orderkey set, so at scale Spark runs a broadcast existence filter
+    over the orders scan — orders never shuffles, and the count
+    aggregate map-side-combines to 5 rows.
+    """
+    orders = (
+        _t(spark, sf, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderpriority")
+    )
+    returned = (
+        _t(spark, sf, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey"))
+    )
+    found = master_check(
+        returned, orders, [("l_orderkey", "o_orderkey")], strategy="auto"
+    )["found"]
+    return found.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+def q14_promo_revenue(spark, sf):
+    """TPC-H Q14-style: PROMO part-type revenue share for one month —
+    conditional aggregation over a fact⋈dimension join, returning one
+    row.  Part broadcasts; the two decimal-exact sums divide in double
+    only at the very end (cross-engine deterministic)."""
+    li = (
+        _t(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    joined = master_join(
+        _t(spark, sf, "part").select("p_partkey", "p_type"),
+        li,
+        [("p_partkey", "l_partkey")],
+        strategy="broadcast",
+        unique_master=True,
+    )["joined"]
+    rev = update(
+        joined,
+        volume=(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(27,6)"
+        ),
+    )
+    agg = rev.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", F.col("volume"))).alias("__promo__"),
+        F.sum("volume").alias("__total__"),
+    )
+    return agg.select(
+        (
+            F.lit(100.0)
+            * F.coalesce(F.col("__promo__"), F.lit(0).cast("decimal(27,6)")).cast(
+                "double"
+            )
+            / F.col("__total__").cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
 def q_cap_per_group(spark, sf):
     """Anti-dominance cap: at most 10 documents per source, selected by
     seed-stable hash order (deterministic reservoir)."""
@@ -2534,7 +2606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      every round).
     # Queries past the window ride r04-banked rows (1 round stale).
     # Next round: rotate the tail block back into the window.
-    # The session-2 queries (scrub_spans … winsorize, 9 so far) push
+    # The session-2 queries (scrub_spans … q14_promo_revenue, 11 so far) push
     # the LAST entries of block 2 (the r02-green master_check/branch/
     # selection record-join block — the lowest-risk members) past the
     # window; they ride their r02 rows one more round.  New queries
@@ -2561,6 +2633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q10_returned_items,
         "cap_per_group": q_cap_per_group,
         "winsorize": q_winsorize,
+        "q4_order_priority": q4_order_priority,
+        "q14_promo_revenue": q14_promo_revenue,
         # --- 2. stale-since-r01/r02 block (41) ---
         "similarity_ivf": q_similarity_ivf,
         "embedding_dup_clusters": q_embedding_dup_clusters,
@@ -2940,6 +3014,28 @@ def oracle_sql() -> dict[str, str]:
             FROM c GROUP BY source, CAST(start // 512 AS BIGINT)
         """,
         "dedup_incremental": _duck_incremental_sql(threshold=0.5),
+        "q4_order_priority": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate <  TIMESTAMP '1996-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        "q14_promo_revenue": """
+            SELECT 100.0 * CAST(COALESCE(SUM(CASE WHEN p_type = 'PROMO'
+                                 THEN CAST(l_extendedprice * (1 - l_discount)
+                                           AS DECIMAL(27,6)) END),
+                               0) AS DOUBLE)
+                   / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(27,6))) AS DOUBLE)
+                     AS promo_revenue_pct
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+        """,
         "cap_per_group": """
             SELECT doc_id, source FROM (
               SELECT doc_id, source,

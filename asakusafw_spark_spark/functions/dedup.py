@@ -733,23 +733,40 @@ def scrub_duplicate_spans(
         .groupBy(id_col)
         .agg(F.collect_set("cov").alias("__cov__"))
     )
-    out = toked.join(covered, id_col, "left").select(
-        F.col(id_col),
-        F.array_join(
-            F.filter(
-                F.zip_with(
-                    F.col("__toks__"),
-                    F.sequence(F.lit(0), F.greatest(F.col("n_tokens") - 1, F.lit(0))),
-                    lambda t, p: F.struct(t.alias("t"), p.alias("p")),
-                ),
-                lambda s: ~F.coalesce(
-                    F.array_contains(F.col("__cov__"), s["p"]), F.lit(False)
-                ),
-            ).getField("t"),
-            " ",
-        ).alias("clean"),
-        F.col("n_tokens"),
-        F.coalesce(F.size("__cov__"), F.lit(0)).cast("long").alias("n_removed"),
+    # cover probe is a MAP lookup, not array_contains: a heavily-
+    # duplicated long doc has |cover| ≈ n_tokens, and a linear probe per
+    # token would make reassembly O(n_tokens²) in that worst case
+    out = (
+        toked.join(covered, id_col, "left")
+        .withColumn(
+            "__covmap__",
+            F.map_from_entries(
+                F.transform(
+                    F.col("__cov__"),
+                    lambda c: F.struct(c.alias("k"), F.lit(True).alias("v")),
+                )
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.filter(
+                    F.zip_with(
+                        F.col("__toks__"),
+                        F.sequence(
+                            F.lit(0), F.greatest(F.col("n_tokens") - 1, F.lit(0))
+                        ),
+                        lambda t, p: F.struct(t.alias("t"), p.alias("p")),
+                    ),
+                    lambda s: ~F.coalesce(
+                        F.try_element_at(F.col("__covmap__"), s["p"]), F.lit(False)
+                    ),
+                ).getField("t"),
+                " ",
+            ).alias("clean"),
+            F.col("n_tokens"),
+            F.coalesce(F.size("__cov__"), F.lit(0)).cast("long").alias("n_removed"),
+        )
     )
     return out
 

@@ -335,7 +335,9 @@ def cap_per_group(
     ``(unit_hash(key), key)`` — a uniform, seed-stable shuffle within
     the group, so the kept set is a uniform sample that never changes
     across runs, retries, or cluster sizes (no ``rand()``, no
-    first-n-in-arrival-order bias).
+    first-n-in-arrival-order bias).  ``key_col`` must be row-unique
+    (a document/record id): it is the determinism tiebreak — duplicate
+    keys inside one group would leave the cut arbitrary among them.
 
     Scale shape: one shuffle on the group key; the rank window sorts
     within groups only.  Hot groups sort ``group_size·log`` — if a

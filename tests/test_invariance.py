@@ -209,6 +209,25 @@ def q_quantized_topk(spark, sf_dir):
     return quantized_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+
+def q_cap_per_group(spark, sf_dir):
+    from asakusafw_spark_spark.functions import cap_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cap_per_group(docs, by="source", n=10, key_col="doc_id").select(
+        "doc_id", "source"
+    )
+
+
+def q_winsorize(spark, sf_dir):
+    from asakusafw_spark_spark.functions import winsorize
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return winsorize(li, "l_extendedprice", by="l_returnflag").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice_winsorized"
+    )
+
+
 QUERIES = {
     "summarize": q_summarize,
     "join": q_join,
@@ -226,6 +245,8 @@ QUERIES = {
     "scatter_where_join": q_scatter_where_join,
     "scrub_spans": q_scrub_spans,
     "quantized_topk": q_quantized_topk,
+    "cap_per_group": q_cap_per_group,
+    "winsorize": q_winsorize,
 }
 
 

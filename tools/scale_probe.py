@@ -173,6 +173,41 @@ def main():
     )
     docs10c.unpersist()
 
+    # round-5 session-2 ops -------------------------------------------
+    from asakusafw_spark_spark.functions import (
+        build_dedup_index,
+        dedup_against_corpus,
+        scrub_duplicate_spans,
+    )
+
+    def scrub_count(d):
+        return scrub_duplicate_spans(d, n=8).count()
+
+    t1 = timed("scrub_spans 1x (5k docs)", lambda: scrub_count(docs))
+    docs10d = inflate(docs, ["doc_id"]).persist()
+    docs10d.count()
+    t10 = timed("scrub_spans 10x (50k docs)", lambda: scrub_count(docs10d))
+    print(f"scrub_spans growth: {t10 / t1:.1f}x for 10x docs")
+
+    # incremental dedup: history grows 10x, the BATCH stays fixed —
+    # per-batch cost must track the batch + candidate volume, not the
+    # full history re-sign (the index amortizes that)
+    batch = docs.withColumn("doc_id", F.col("doc_id") + F.lit(900_000_000))
+    idx1 = build_dedup_index(docs).persist()
+    idx1.count()
+    t1 = timed(
+        "dedup_incremental 1x history (5k) fixed batch (5k)",
+        lambda: dedup_against_corpus(batch, index=idx1, threshold=0.5).count(),
+    )
+    idx10 = build_dedup_index(docs10d).persist()
+    idx10.count()
+    t10 = timed(
+        "dedup_incremental 10x history (50k) fixed batch (5k)",
+        lambda: dedup_against_corpus(batch, index=idx10, threshold=0.5).count(),
+    )
+    print(f"dedup_incremental growth: {t10 / t1:.1f}x for 10x history, fixed batch")
+    idx1.unpersist(); idx10.unpersist(); docs10d.unpersist()
+
 
 if __name__ == "__main__":
     main()
