@@ -1216,6 +1216,18 @@ def q14_promo_revenue(spark, sf):
     )
 
 
+def q_quantile_bucket(spark, sf):
+    """Per-nation account-balance quartile binning — value cut points
+    (ties share buckets), exact percentile ≡ DuckDB quantile_cont."""
+    from asakusafw_spark_spark.functions import quantile_bucket
+
+    cust = _t(spark, sf, "customer")
+    out = quantile_bucket(cust, "c_acctbal", by="c_nationkey", buckets=4)
+    return out.select(
+        "c_custkey", "c_nationkey", F.col("c_acctbal_bucket").alias("bal_bucket")
+    )
+
+
 def q_cap_per_group(spark, sf):
     """Anti-dominance cap: at most 10 documents per source, selected by
     seed-stable hash order (deterministic reservoir)."""
@@ -2635,6 +2647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "q4_order_priority": q4_order_priority,
         "q14_promo_revenue": q14_promo_revenue,
+        "quantile_bucket": q_quantile_bucket,
         # --- 2. stale-since-r01/r02 block (41) ---
         "similarity_ivf": q_similarity_ivf,
         "embedding_dup_clusters": q_embedding_dup_clusters,
@@ -3014,6 +3027,23 @@ def oracle_sql() -> dict[str, str]:
             FROM c GROUP BY source, CAST(start // 512 AS BIGINT)
         """,
         "dedup_incremental": _duck_incremental_sql(threshold=0.5),
+        "quantile_bucket": """
+            WITH cuts AS (
+              SELECT c_nationkey,
+                     quantile_cont(CAST(c_acctbal AS DOUBLE), 0.25) AS q0,
+                     quantile_cont(CAST(c_acctbal AS DOUBLE), 0.5)  AS q1,
+                     quantile_cont(CAST(c_acctbal AS DOUBLE), 0.75) AS q2
+              FROM customer GROUP BY c_nationkey
+            )
+            SELECT c_custkey, c.c_nationkey,
+                   CASE WHEN c_acctbal IS NULL THEN NULL
+                        ELSE 1
+                          + (CASE WHEN CAST(c_acctbal AS DOUBLE) > q0 THEN 1 ELSE 0 END)
+                          + (CASE WHEN CAST(c_acctbal AS DOUBLE) > q1 THEN 1 ELSE 0 END)
+                          + (CASE WHEN CAST(c_acctbal AS DOUBLE) > q2 THEN 1 ELSE 0 END)
+                   END AS bal_bucket
+            FROM customer c JOIN cuts USING (c_nationkey)
+        """,
         "q4_order_priority": """
             SELECT o_orderpriority, COUNT(*) AS order_count
             FROM orders

@@ -64,7 +64,7 @@ from .sampling import (
     materialize_packs,
     cap_per_group,
 )
-from .stats import winsorize
+from .stats import winsorize, quantile_bucket
 from .multimodal import (
     MEDIA_SCHEMA,
     extract_features,
@@ -129,6 +129,7 @@ __all__ = [
     "materialize_packs",
     "cap_per_group",
     "winsorize",
+    "quantile_bucket",
     "MEDIA_SCHEMA",
     "extract_features",
     "resize_images",

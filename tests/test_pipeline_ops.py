@@ -329,3 +329,24 @@ def test_winsorize_clamps_to_quantile_band(spark):
     # ungrouped mode
     outg = winsorize(df.filter("grp = 'g1'"), "v", lower=0.0, upper=1.0)
     assert outg.filter("v_winsorized != v").count() == 0
+
+
+def test_quantile_bucket_value_based_bins(spark):
+    from asakusafw_spark_spark.functions import quantile_bucket
+
+    rows = [(i, "g", float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8])]
+    rows += [(100, "g", None), (200, None, 3.0)]
+    rows += [(300 + i, "tied", 9.0) for i in range(6)]  # all equal
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    out = {r["id"]: r["v_bucket"] for r in quantile_bucket(df, "v", by="grp").collect()}
+    # 1..8 quartiles: cuts at 2.75 / 4.5 / 6.25
+    assert [out[i] for i in range(8)] == [1, 1, 2, 2, 3, 3, 4, 4]
+    assert out[100] is None          # null value
+    assert out[200] is None          # null group key: no cut-point row
+    # ties share a bucket — the ntile failure mode this op avoids
+    assert {out[300 + i] for i in range(6)} == {1}
+
+    # ungrouped + approx modes execute and stay in range
+    got = quantile_bucket(df.filter("v is not null"), "v", buckets=3, approx=True)
+    bs = [r["v_bucket"] for r in got.collect()]
+    assert all(1 <= b <= 3 for b in bs)
