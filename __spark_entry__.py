@@ -1216,6 +1216,15 @@ def q14_promo_revenue(spark, sf):
     )
 
 
+def q_funnel(spark, sf):
+    """view → click → purchase funnel per user: earliest strictly-
+    ordered completion anchors; NULL from the first uncompleted step."""
+    from asakusafw_spark_spark.functions import funnel
+
+    ev = _t(spark, sf, "events")
+    return funnel(ev, ["view", "click", "purchase"])
+
+
 def q_quantile_bucket(spark, sf):
     """Per-nation account-balance quartile binning — value cut points
     (ties share buckets), exact percentile ≡ DuckDB quantile_cont."""
@@ -2618,7 +2627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      every round).
     # Queries past the window ride r04-banked rows (1 round stale).
     # Next round: rotate the tail block back into the window.
-    # The session-2 queries (scrub_spans … q14_promo_revenue, 11 so far) push
+    # The session-2 queries (scrub_spans … funnel, 14 so far) push
     # the LAST entries of block 2 (the r02-green master_check/branch/
     # selection record-join block — the lowest-risk members) past the
     # window; they ride their r02 rows one more round.  New queries
@@ -2648,6 +2657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": q4_order_priority,
         "q14_promo_revenue": q14_promo_revenue,
         "quantile_bucket": q_quantile_bucket,
+        "funnel": q_funnel,
         # --- 2. stale-since-r01/r02 block (41) ---
         "similarity_ivf": q_similarity_ivf,
         "embedding_dup_clusters": q_embedding_dup_clusters,
@@ -3027,6 +3037,24 @@ def oracle_sql() -> dict[str, str]:
             FROM c GROUP BY source, CAST(start // 512 AS BIGINT)
         """,
         "dedup_incremental": _duck_incremental_sql(threshold=0.5),
+        "funnel": """
+            WITH s1 AS (
+              SELECT user_id, MIN(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+              SELECT e.user_id, MIN(e.ts) AS t2
+              FROM events e JOIN s1 ON s1.user_id = e.user_id
+                                   AND e.ts > s1.t1
+              WHERE e.event_type = 'click' GROUP BY e.user_id
+            ), s3 AS (
+              SELECT e.user_id, MIN(e.ts) AS t3
+              FROM events e JOIN s2 ON s2.user_id = e.user_id
+                                   AND e.ts > s2.t2
+              WHERE e.event_type = 'purchase' GROUP BY e.user_id
+            )
+            SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+            FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        """,
         "quantile_bucket": """
             WITH cuts AS (
               SELECT c_nationkey,

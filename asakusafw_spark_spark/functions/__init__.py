@@ -65,6 +65,7 @@ from .sampling import (
     cap_per_group,
 )
 from .stats import winsorize, quantile_bucket
+from .events import funnel
 from .multimodal import (
     MEDIA_SCHEMA,
     extract_features,
@@ -130,6 +131,7 @@ __all__ = [
     "cap_per_group",
     "winsorize",
     "quantile_bucket",
+    "funnel",
     "MEDIA_SCHEMA",
     "extract_features",
     "resize_images",

@@ -350,3 +350,40 @@ def test_quantile_bucket_value_based_bins(spark):
     got = quantile_bucket(df.filter("v is not null"), "v", buckets=3, approx=True)
     bs = [r["v_bucket"] for r in got.collect()]
     assert all(1 <= b <= 3 for b in bs)
+
+
+def test_funnel_ordered_anchors(spark):
+    from datetime import datetime
+
+    from asakusafw_spark_spark.functions import funnel
+
+    T = datetime
+    rows = [
+        # user 1: full completion, but the first click is BEFORE the
+        # first view — only the later click advances the funnel
+        (1, T(2024, 1, 1, 9), "click"),
+        (1, T(2024, 1, 1, 10), "view"),
+        (1, T(2024, 1, 1, 11), "click"),
+        (1, T(2024, 1, 1, 12), "purchase"),
+        # user 2: view then purchase with NO intermediate click → stops at t1
+        (2, T(2024, 1, 2, 10), "view"),
+        (2, T(2024, 1, 2, 11), "purchase"),
+        # user 3: click/purchase only, never views → not in the funnel
+        (3, T(2024, 1, 3, 10), "click"),
+        (3, T(2024, 1, 3, 11), "purchase"),
+        # user 4: simultaneous view+click (same ts) → click must NOT count
+        (4, T(2024, 1, 4, 10), "view"),
+        (4, T(2024, 1, 4, 10), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r["user_id"]: r for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1]["t1"] == T(2024, 1, 1, 10)
+    assert out[1]["t2"] == T(2024, 1, 1, 11)   # pre-view click skipped
+    assert out[1]["t3"] == T(2024, 1, 1, 12)
+    assert out[2]["t2"] is None and out[2]["t3"] is None
+    assert out[4]["t2"] is None                 # strictly-after contract
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        funnel(df, ["view"])
