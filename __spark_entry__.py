@@ -1225,6 +1225,23 @@ def q_funnel(spark, sf):
     return funnel(ev, ["view", "click", "purchase"])
 
 
+def q_retention(spark, sf):
+    """Daily cohort retention over the events log (first-event cohort,
+    distinct-active users at day k, cohort sizes)."""
+    from asakusafw_spark_spark.functions import retention
+
+    ev = _t(spark, sf, "events")
+    out = retention(ev, periods=14, period="day")
+    # DATE surfaces as python date on Spark but datetime64 via DuckDB's
+    # pandas bridge — compare as timestamp (the repo's date-hash contract)
+    return out.select(
+        F.col("cohort").cast("timestamp").alias("cohort"),
+        "period_k",
+        "n_users",
+        "cohort_size",
+    )
+
+
 def q_quantile_bucket(spark, sf):
     """Per-nation account-balance quartile binning — value cut points
     (ties share buckets), exact percentile ≡ DuckDB quantile_cont."""
@@ -2627,7 +2644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      every round).
     # Queries past the window ride r04-banked rows (1 round stale).
     # Next round: rotate the tail block back into the window.
-    # The session-2 queries (scrub_spans … funnel, 14 so far) push
+    # The session-2 queries (scrub_spans … retention, 15 so far) push
     # the LAST entries of block 2 (the r02-green master_check/branch/
     # selection record-join block — the lowest-risk members) past the
     # window; they ride their r02 rows one more round.  New queries
@@ -2658,6 +2675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": q14_promo_revenue,
         "quantile_bucket": q_quantile_bucket,
         "funnel": q_funnel,
+        "retention": q_retention,
         # --- 2. stale-since-r01/r02 block (41) ---
         "similarity_ivf": q_similarity_ivf,
         "embedding_dup_clusters": q_embedding_dup_clusters,
@@ -3037,6 +3055,28 @@ def oracle_sql() -> dict[str, str]:
             FROM c GROUP BY source, CAST(start // 512 AS BIGINT)
         """,
         "dedup_incremental": _duck_incremental_sql(threshold=0.5),
+        "retention": """
+            WITH firsts AS (
+              SELECT user_id,
+                     CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort
+              FROM events GROUP BY user_id
+            ), activity AS (
+              SELECT DISTINCT e.user_id, f.cohort,
+                     CAST(FLOOR(date_diff('day', f.cohort, CAST(e.ts AS DATE))
+                                / 1.0) AS INT) AS period_k
+              FROM events e JOIN firsts f ON f.user_id = e.user_id
+            ), act AS (
+              SELECT * FROM activity WHERE period_k >= 0 AND period_k < 14
+            ), counts AS (
+              SELECT cohort, period_k, COUNT(*) AS n_users
+              FROM act GROUP BY cohort, period_k
+            ), sizes AS (
+              SELECT cohort, COUNT(*) AS cohort_size FROM firsts GROUP BY cohort
+            )
+            SELECT CAST(c.cohort AS TIMESTAMP) AS cohort, c.period_k,
+                   c.n_users, s.cohort_size
+            FROM counts c JOIN sizes s USING (cohort)
+        """,
         "funnel": """
             WITH s1 AS (
               SELECT user_id, MIN(ts) AS t1 FROM events

@@ -65,7 +65,7 @@ from .sampling import (
     cap_per_group,
 )
 from .stats import winsorize, quantile_bucket
-from .events import funnel
+from .events import funnel, retention
 from .multimodal import (
     MEDIA_SCHEMA,
     extract_features,
@@ -132,6 +132,7 @@ __all__ = [
     "winsorize",
     "quantile_bucket",
     "funnel",
+    "retention",
     "MEDIA_SCHEMA",
     "extract_features",
     "resize_images",

@@ -387,3 +387,35 @@ def test_funnel_ordered_anchors(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         funnel(df, ["view"])
+
+
+def test_retention_cohort_matrix(spark):
+    from datetime import datetime
+
+    from asakusafw_spark_spark.functions import retention
+
+    T = datetime
+    rows = [
+        # cohort A (week of 2024-01-01): users 1,2
+        (1, T(2024, 1, 2, 10)), (1, T(2024, 1, 9, 10)), (1, T(2024, 1, 16, 9)),
+        (2, T(2024, 1, 3, 11)), (2, T(2024, 1, 17, 8)),
+        # cohort B (week of 2024-01-08): user 3, active only week 0
+        (3, T(2024, 1, 10, 12)), (3, T(2024, 1, 10, 13)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (str(r["cohort"]), r["period_k"]): (r["n_users"], r["cohort_size"])
+        for r in retention(df, periods=4, period="week").collect()
+    }
+    a, b = "2024-01-01", "2024-01-08"
+    assert out[(a, 0)] == (2, 2)
+    assert out[(a, 1)] == (1, 2)   # only user 1 returned in week 1
+    assert out[(a, 2)] == (2, 2)   # both back in week 2
+    assert out[(b, 0)] == (1, 1)
+    assert (b, 1) not in out       # user 3 never returned
+    # duplicate events in one period count the user once
+    assert out[(b, 0)][0] == 1
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        retention(df, period="fortnight")
