@@ -1225,6 +1225,22 @@ def q_funnel(spark, sf):
     return funnel(ev, ["view", "click", "purchase"])
 
 
+def q_normalize_text(spark, sf):
+    """Canonical text normalization with every rule demonstrably firing:
+    the text is dirtied deterministically (curly quotes, em-dash, NBSP,
+    a control char, mixed case, run-on whitespace) then normalized.
+    Oracle: the identical translate/regexp_replace chain in DuckDB."""
+    from asakusafw_spark_spark.functions import normalize_text
+
+    docs = _t(spark, sf, "documents")
+    dirty = F.concat(
+        F.lit("“MIXED Case” — "),
+        F.col("text"),
+        F.lit("  trailing\tspaces and\x07control … END"),
+    )
+    return docs.select("doc_id", normalize_text(dirty).alias("clean"))
+
+
 def q_retention(spark, sf):
     """Daily cohort retention over the events log (first-event cohort,
     distinct-active users at day k, cohort sizes)."""
@@ -2644,7 +2660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      every round).
     # Queries past the window ride r04-banked rows (1 round stale).
     # Next round: rotate the tail block back into the window.
-    # The session-2 queries (scrub_spans … retention, 15 so far) push
+    # The session-2 queries (scrub_spans … normalize_text, 16 so far) push
     # the LAST entries of block 2 (the r02-green master_check/branch/
     # selection record-join block — the lowest-risk members) past the
     # window; they ride their r02 rows one more round.  New queries
@@ -2676,6 +2692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bucket": q_quantile_bucket,
         "funnel": q_funnel,
         "retention": q_retention,
+        "normalize_text": q_normalize_text,
         # --- 2. stale-since-r01/r02 block (41) ---
         "similarity_ivf": q_similarity_ivf,
         "embedding_dup_clusters": q_embedding_dup_clusters,
@@ -3055,6 +3072,23 @@ def oracle_sql() -> dict[str, str]:
             FROM c GROUP BY source, CAST(start // 512 AS BIGINT)
         """,
         "dedup_incremental": _duck_incremental_sql(threshold=0.5),
+        "normalize_text": """
+            SELECT doc_id,
+                   trim(regexp_replace(
+                     lower(
+                       regexp_replace(
+                         regexp_replace(
+                           translate('“MIXED Case” — ' || text ||
+                                     '  trailing' || chr(9) || 'spaces' ||
+                                     chr(160) || 'and' || chr(7) ||
+                                     'control … END',
+                                     '‘’“”–— ',
+                                     '''''""--' || ' '),
+                           '…', '...', 'g'),
+                         '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')),
+                     '\\s+', ' ', 'g')) AS clean
+            FROM documents
+        """,
         "retention": """
             WITH firsts AS (
               SELECT user_id,

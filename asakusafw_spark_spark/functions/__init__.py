@@ -14,6 +14,7 @@ from .text import (
     tokens,
     redact,
     extract_json,
+    normalize_text,
     vocab_top_k,
     tfidf,
     token_count,
@@ -92,6 +93,7 @@ __all__ = [
     "quality_quantile_filter",
     "redact",
     "extract_json",
+    "normalize_text",
     "vocab_top_k",
     "tfidf",
     "fingerprint",

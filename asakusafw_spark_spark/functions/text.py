@@ -417,3 +417,28 @@ def extract_json(
         c = F.get_json_object(F.col(json_col), path)
         out = out.withColumn(name, c.cast(typ) if typ else c)
     return out
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text normalization for curation pipelines: lowercase,
+    straighten curly quotes/dashes, strip control characters, collapse
+    runs of whitespace, trim.  A deterministic chain of native
+    ``lower``/``regexp_replace``/``translate`` — zero Python, one pass,
+    and every rule sits in the Java∩RE2∩POSIX regex subset so the SQL
+    oracle is exact.
+
+    Run it BEFORE hashing/fingerprinting so near-identical crawls of
+    the same page (smart quotes vs ascii, NBSP vs space, case) collapse
+    to one canonical form — it is the front half of
+    :func:`fingerprint`'s normalize-then-hash contract, exposed for
+    pipelines that need the normalized TEXT, not just its hash.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    # typographic → ascii: quotes, dashes, ellipsis, NBSP
+    c = F.translate(c, "‘’“”–— ", "''\"\"-- ")
+    c = F.regexp_replace(c, "…", "...")
+    # control chars (C0 except \t\n\r which fold into whitespace below)
+    c = F.regexp_replace(c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    c = F.lower(c)
+    c = F.regexp_replace(c, "\\s+", " ")
+    return F.trim(c)

@@ -879,3 +879,27 @@ def test_scrub_spans_noop_and_idempotence_properties(spark):
             assert n_clean == r["n_tokens"] - r["n_removed"]
 
     prop()
+
+
+def test_normalize_text_rules(spark):
+    from asakusafw_spark_spark.functions import normalize_text
+
+    rows = [
+        (1, "“Smart” ‘quotes’ — and – dashes"),
+        (2, "UPPER  Case\t\twith NBSP and\x07bel\x1fus"),
+        (3, "ellipsis…here"),
+        (4, "  already clean  "),
+        (5, ""),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = {r["id"]: r["c"] for r in df.select("id", normalize_text("t").alias("c")).collect()}
+    assert out[1] == "\"smart\" 'quotes' - and - dashes"  # both dash widths → '-'
+    assert out[2] == "upper case with nbsp andbelus"
+    assert out[3] == "ellipsis...here"
+    assert out[4] == "already clean"
+    assert out[5] == "" and out[6] is None
+    # idempotent: normalizing normalized text is a no-op
+    again = {r["id"]: r["c2"] for r in df.select(
+        "id", normalize_text(normalize_text("t")).alias("c2")).collect()}
+    assert again == out
