@@ -2660,7 +2660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      every round).
     # Queries past the window ride r04-banked rows (1 round stale).
     # Next round: rotate the tail block back into the window.
-    # The session-2 queries (scrub_spans … normalize_text, 16 so far) push
+    # The session-2 queries (scrub_spans … normalize_text, 15 so far) push
     # the LAST entries of block 2 (the r02-green master_check/branch/
     # selection record-join block — the lowest-risk members) past the
     # window; they ride their r02 rows one more round.  New queries

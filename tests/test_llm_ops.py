@@ -903,3 +903,35 @@ def test_normalize_text_rules(spark):
     again = {r["id"]: r["c2"] for r in df.select(
         "id", normalize_text(normalize_text("t")).alias("c2")).collect()}
     assert again == out
+
+
+def test_dedup_index_roundtrips_through_storage(spark, sf_dir, tmp_path):
+    """The documented 100 TB flow: build the signature index ONCE,
+    persist it, read it back in a later 'batch job', and get decisions
+    identical to an inline index — proves the stored (id, shingles,
+    sig) columns are self-sufficient."""
+    from asakusafw_spark_spark.functions import (
+        build_dedup_index,
+        dedup_against_corpus,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    history = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+
+    idx_path = str(tmp_path / "dedup_index")
+    build_dedup_index(history).write.parquet(idx_path)
+    stored = spark.read.parquet(idx_path)
+
+    kept_stored = sorted(
+        r["doc_id"]
+        for r in dedup_against_corpus(batch, index=stored, threshold=0.5).collect()
+    )
+    kept_inline = sorted(
+        r["doc_id"]
+        for r in dedup_against_corpus(
+            batch, index=build_dedup_index(history), threshold=0.5
+        ).collect()
+    )
+    assert kept_stored == kept_inline
+    assert 0 < len(kept_stored) <= batch.count()

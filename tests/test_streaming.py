@@ -219,3 +219,28 @@ def test_stream_ts_instant_is_session_tz_invariant(spark, events_dir, tmp_path):
         got["Asia/Tokyo"].lo,
         got["Asia/Tokyo"].hi,
     )
+
+
+def test_stateless_function_ops_compose_with_streams(
+    spark, events_stream, events_batch, tmp_path
+):
+    """extract_json / normalize_text are pure projections, so they run
+    unchanged inside a streaming query — the micro-batch result equals
+    the batch result (semi-structured parsing at stream ingestion)."""
+    from asakusafw_spark_spark.functions import extract_json
+    from asakusafw_spark_spark.streaming import run_available_now
+
+    streamed = extract_json(events_stream, "props", {"k": "$.k:bigint"}).select(
+        "event_id", "k"
+    )
+    run_available_now(streamed, "json_stream", str(tmp_path / "ck"), mode="append")
+    got = {
+        r["event_id"]: r["k"] for r in spark.sql("SELECT * FROM json_stream").collect()
+    }
+    want = {
+        r["event_id"]: r["k"]
+        for r in extract_json(events_batch, "props", {"k": "$.k:bigint"})
+        .select("event_id", "k")
+        .collect()
+    }
+    assert got == want and len(got) > 0
