@@ -2007,6 +2007,52 @@ def q_streaming_cdc_upsert(spark, sf):
     )
 
 
+def q_streaming_dedup_ingest(spark, sf):
+    """Ingestion dedup THROUGH the streaming engine: the odd-id half of
+    the corpus arrives as a 2-file stream, each micro-batch dedupes
+    against a static index of the even-id history, survivors append.
+    Batch boundaries cannot change the survivor set (static index,
+    per-doc decisions), so the read-back equals the batch
+    ``dedup_incremental`` oracle exactly."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from asakusafw_spark_spark.functions import build_dedup_index
+    from asakusafw_spark_spark.streaming import stream_dedup_ingest
+
+    docs = _t(spark, sf, "documents")
+    index = build_dedup_index(docs.filter(F.col("doc_id") % 2 == 0))
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+
+    stream_dir = tempfile.mkdtemp(prefix="ingest_stream_")
+    for i, part in enumerate(
+        [batch.filter(F.col("doc_id") % 4 == 1), batch.filter(F.col("doc_id") % 4 == 3)]
+    ):
+        stage = tempfile.mkdtemp(prefix="ingest_part_") + "/out"
+        part.coalesce(1).write.parquet(stage)
+        src = glob.glob(f"{stage}/part-*.parquet")[0]
+        dest = f"{stream_dir}/{i:04d}.parquet"
+        shutil.copy(src, dest)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    target = tempfile.mkdtemp(prefix="ingest_target_") + "/docs"
+    stream_dedup_ingest(
+        stream, index, target, tempfile.mkdtemp(prefix="ck_ingest_"),
+        threshold=0.5, query_name="q_ingest_" + os.path.basename(stream_dir),
+    )
+    back = spark.read.parquet(target)
+    return back.select("doc_id", "lang", "source", "n_chars")
+
+
 def q_dedup_ngram_jaccard(spark, sf):
     # max_doc_freq=5 actually prunes at the oracle corpus (29 shingles have
     # df>5 at sf0.01), so the driver verifies the CAPPED semantics — the
@@ -2660,7 +2706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      every round).
     # Queries past the window ride r04-banked rows (1 round stale).
     # Next round: rotate the tail block back into the window.
-    # The session-2 queries (scrub_spans … normalize_text, 15 so far) push
+    # The session-2 queries (scrub_spans … streaming_dedup_ingest, 16 so far) push
     # the LAST entries of block 2 (the r02-green master_check/branch/
     # selection record-join block — the lowest-risk members) past the
     # window; they ride their r02 rows one more round.  New queries
@@ -2693,6 +2739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "retention": q_retention,
         "normalize_text": q_normalize_text,
+        "streaming_dedup_ingest": q_streaming_dedup_ingest,
         # --- 2. stale-since-r01/r02 block (41) ---
         "similarity_ivf": q_similarity_ivf,
         "embedding_dup_clusters": q_embedding_dup_clusters,
@@ -3072,6 +3119,9 @@ def oracle_sql() -> dict[str, str]:
             FROM c GROUP BY source, CAST(start // 512 AS BIGINT)
         """,
         "dedup_incremental": _duck_incremental_sql(threshold=0.5),
+        # identical survivor set: static index + per-doc decisions make
+        # the streamed ingest equal the single-batch dedup
+        "streaming_dedup_ingest": _duck_incremental_sql(threshold=0.5),
         "normalize_text": """
             SELECT doc_id,
                    trim(regexp_replace(

@@ -11,6 +11,7 @@ from .stream import (
     stream_interval_join,
     stream_to_direct_output,
     stream_merge_upsert,
+    stream_dedup_ingest,
     run_available_now,
 )
 
@@ -23,5 +24,6 @@ __all__ = [
     "stream_interval_join",
     "stream_to_direct_output",
     "stream_merge_upsert",
+    "stream_dedup_ingest",
     "run_available_now",
 ]

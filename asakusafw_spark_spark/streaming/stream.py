@@ -375,3 +375,65 @@ def stream_merge_upsert(
         q.awaitTermination()
         return q
     return w.start()
+
+
+def stream_dedup_ingest(
+    stream_df: DataFrame,
+    index: DataFrame,
+    target_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    format: str = "parquet",
+    query_name: str = "dedup_ingest",
+    available_now: bool = True,
+    **dedup_kwargs,
+):
+    """Streaming ingestion dedup: every micro-batch of new documents is
+    deduped against a STATIC corpus signature ``index`` (a persisted
+    :func:`~..functions.dedup.build_dedup_index` frame) and only the
+    survivors append to ``target_path``.
+
+    The streaming face of :func:`~..functions.dedup.dedup_against_corpus`:
+    because the index is static and per-document decisions are
+    independent, the appended dataset is IDENTICAL regardless of how
+    the stream is micro-batched — drain order, batch boundaries, and
+    replays do not change which documents survive (a replayed batch
+    re-appends its files; downstream readers dedupe on the batch
+    directory, or run with ``availableNow`` drains where the
+    checkpoint prevents replay).  Near-dups WITHIN the live stream are
+    not decided here (same contract as the batch op) — fold survivors
+    back into the index between sessions to catch them on the next
+    ingest.
+
+    Scale shape per batch: the batch side of the candidate join is one
+    micro-batch (typically broadcastable); the index side re-projects
+    slim band keys only — the 100 TB history never re-signs.
+    """
+    from ..functions.dedup import dedup_against_corpus
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        kept = dedup_against_corpus(
+            batch_df,
+            index=index,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=threshold,
+            **dedup_kwargs,
+        )
+        kept.write.format(format).mode("append").save(target_path)
+
+    w = (
+        stream_df.writeStream.outputMode("append")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+    )
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return w.start()

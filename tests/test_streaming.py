@@ -244,3 +244,53 @@ def test_stateless_function_ops_compose_with_streams(
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_dedup_ingest_appends_only_survivors(spark, sf_dir, tmp_path):
+    """Micro-batched ingestion dedup equals the batch operator: the
+    survivor set is independent of batch boundaries because the index
+    is static and decisions are per-document."""
+    import glob
+    import shutil
+
+    from asakusafw_spark_spark.functions import (
+        build_dedup_index,
+        dedup_against_corpus,
+    )
+    from asakusafw_spark_spark.streaming import stream_dedup_ingest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    history = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    index = build_dedup_index(history)
+
+    stream_dir = tmp_path / "stream_in"
+    stream_dir.mkdir()
+    for i, part in enumerate(
+        [batch.filter(F.col("doc_id") % 4 == 1), batch.filter(F.col("doc_id") % 4 == 3)]
+    ):
+        stage = tmp_path / f"stage{i}"
+        part.coalesce(1).write.parquet(str(stage))
+        shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0], stream_dir / f"{i}.parquet")
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    target = str(tmp_path / "survivors")
+    stream_dedup_ingest(
+        stream, index, target, str(tmp_path / "ck"), threshold=0.5,
+        query_name="t_ingest",
+    )
+    streamed_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(target).collect()
+    )
+    batch_ids = sorted(
+        r["doc_id"]
+        for r in dedup_against_corpus(batch, index=index, threshold=0.5).collect()
+    )
+    assert streamed_ids == batch_ids
+    assert 0 < len(streamed_ids) < batch.count()  # some docs were dropped
