@@ -1270,6 +1270,84 @@ def q_quantile_bucket(spark, sf):
     )
 
 
+def q19_discounted_revenue(spark, sf):
+    """TPC-H Q19-style: revenue from line items matching ANY of three
+    (brand × size-band × quantity-band) bundles — the disjunctive
+    predicate shape.  Catalyst splits the OR across the join: the
+    part-only conjuncts (brand, size) prune the broadcast build side
+    and the lineitem-only conjunct (quantity range) pushes into the
+    fact scan, so the join input is pre-filtered on BOTH sides even
+    though the user wrote one big OR."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    joined = master_join(
+        _t(spark, sf, "part").select("p_partkey", "p_brand", "p_size"),
+        li,
+        [("p_partkey", "l_partkey")],
+        strategy="broadcast",
+        unique_master=True,
+    )["joined"]
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#1") & s.between(1, 15) & q.between(1, 20))
+        | ((b == "Brand#2") & s.between(10, 30) & q.between(10, 35))
+        | ((b == "Brand#3") & s.between(20, 50) & q.between(20, 50))
+    )
+    rev = update(
+        joined.filter(cond),
+        volume=(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(27,6)"
+        ),
+    )
+    return rev.agg(
+        F.coalesce(
+            F.sum("volume"), F.lit(0).cast("decimal(27,6)")
+        ).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q22_global_sales_opportunity(spark, sf):
+    """TPC-H Q22-style: rich customers (balance above the positive-
+    balance average) with no RECENT orders, profiled per nation — a
+    global scalar threshold + NOT EXISTS anti-join.
+
+    The threshold is one decimal-exact aggregate broadcast everywhere;
+    the NOT EXISTS is master_check's "missed" port (anti semi-join on a
+    deduped orderer-key probe side); the final profile is a
+    map-side-combinable aggregate.  The average divides exact decimal
+    by exact count IN DOUBLE on both engines (decimal-avg return types
+    differ cross-engine; the quotient of exact inputs does not)."""
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    thr = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(27,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("__thr__")
+        )
+    )
+    rich = cust.join(F.broadcast(thr)).filter(
+        F.col("c_acctbal") > F.col("__thr__")
+    )
+    orderers = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    never_ordered = master_check(
+        orderers, rich, [("o_custkey", "c_custkey")], strategy="auto"
+    )["missed"]
+    return never_ordered.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum(F.col("c_acctbal").cast("decimal(27,2)"))
+        .cast("double")
+        .alias("total_bal"),
+    )
+
+
 def q_cap_per_group(spark, sf):
     """Anti-dominance cap: at most 10 documents per source, selected by
     seed-stable hash order (deterministic reservoir)."""
@@ -2706,7 +2784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      every round).
     # Queries past the window ride r04-banked rows (1 round stale).
     # Next round: rotate the tail block back into the window.
-    # The session-2 queries (scrub_spans … streaming_dedup_ingest, 16 so far) push
+    # The session-2 queries (scrub_spans … q22, 18 so far) push
     # the LAST entries of block 2 (the r02-green master_check/branch/
     # selection record-join block — the lowest-risk members) past the
     # window; they ride their r02 rows one more round.  New queries
@@ -2738,6 +2816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bucket": q_quantile_bucket,
         "funnel": q_funnel,
         "retention": q_retention,
+        "q19_discounted_revenue": q19_discounted_revenue,
+        "q22_global_sales_opportunity": q22_global_sales_opportunity,
         "normalize_text": q_normalize_text,
         "streaming_dedup_ingest": q_streaming_dedup_ingest,
         # --- 2. stale-since-r01/r02 block (41) ---
@@ -3195,6 +3275,35 @@ def oracle_sql() -> dict[str, str]:
                           + (CASE WHEN CAST(c_acctbal AS DOUBLE) > q2 THEN 1 ELSE 0 END)
                    END AS bal_bucket
             FROM customer c JOIN cuts USING (c_nationkey)
+        """,
+        "q19_discounted_revenue": """
+            SELECT CAST(COALESCE(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                          AS DECIMAL(27,6))), 0) AS DOUBLE)
+                     AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+                   AND l_quantity BETWEEN 10 AND 35)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+                   AND l_quantity BETWEEN 20 AND 50)
+        """,
+        "q22_global_sales_opportunity": """
+            WITH thr AS (
+              SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE)
+                     / COUNT(*) AS t
+              FROM customer WHERE c_acctbal > 0
+            )
+            SELECT c_nationkey, COUNT(*) AS n_cust,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE)
+                     AS total_bal
+            FROM customer, thr
+            WHERE c_acctbal > thr.t
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY c_nationkey
         """,
         "q4_order_priority": """
             SELECT o_orderpriority, COUNT(*) AS order_count
