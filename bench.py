@@ -56,6 +56,13 @@ HEADLINE = [
     "q7_volume_shipping",
     "q10_returned_items",
     "winsorize",
+    "q4_order_priority",
+    "q14_promo_revenue",
+    "q19_discounted_revenue",
+    "q22_global_sales_opportunity",
+    "funnel",
+    "retention",
+    "normalize_text",
 ]
 
 
