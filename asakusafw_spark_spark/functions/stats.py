@@ -1,0 +1,125 @@
+"""Robust-statistics cleaning operators.
+
+The reference has no statistics surface (scalar math lives in user Java
+bodies, SURVEY.md §2.7); these are the Spark-native numeric-cleaning
+primitives a feature/training pipeline needs, built on the same
+exact-vs-approx split as ``quality_quantile_filter``: the exact path is
+oracle-checkable (Spark ``percentile`` ≡ DuckDB ``quantile_cont``,
+linear interpolation), the approx path trades a bounded sketch error
+for never sorting a group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    by: str | list[str] | None = None,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    approx: bool = False,
+    accuracy: int = 10_000,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Clamp outliers to the [``lower``, ``upper``] quantile band,
+    optionally per group — the standard robust-cleaning step before
+    scaling/aggregating heavy-tailed columns (prices, token counts,
+    quality scores).
+
+    Adds ``out_col`` (default ``<value_col>_winsorized``); all original
+    columns and rows are preserved (NULL values stay NULL).  Rows whose
+    GROUP key is NULL pass through unclamped (they match no cut-point
+    row; least/greatest skip the null cuts), mirroring SQL group-join
+    semantics rather than inventing a null-group band.
+
+    Scale shape: ONE aggregate computes both cut points per group, then
+    a broadcast-friendly join (group-count rows, slim) feeds a clamp
+    projection — the data rides a single scan + at most one shuffle of
+    the slim threshold frame.  ``approx=True`` switches the cut points
+    to ``percentile_approx`` (bounded-memory sketch, partial-
+    aggregable — the 100 TB path; exact ``percentile`` buffers each
+    group's values in the aggregate).
+    """
+    keys = [by] if isinstance(by, str) else list(by or [])
+    fn = "percentile_approx" if approx else "percentile"
+    acc = f", {accuracy}" if approx else ""
+    # ONE percentile aggregate with an array of fractions: n separate
+    # percentile(col, p) calls each buffer/sort the group independently
+    # (measured ~2× on the exact path for two cuts)
+    both = F.expr(f"{fn}({value_col}, array({lower}, {upper}){acc})")
+    aggs = [both[0].alias("__lo__"), both[1].alias("__hi__")]
+    cuts = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    joined = (
+        df.join(F.broadcast(cuts), keys, "left") if keys else df.crossJoin(F.broadcast(cuts))
+    )
+    out = out_col or f"{value_col}_winsorized"
+    # least/greatest SKIP nulls in both Spark and DuckDB, which would
+    # silently clamp a NULL value to the lower cut — guard explicitly
+    clamped: Column = F.when(
+        F.col(value_col).isNull(), F.lit(None).cast("double")
+    ).otherwise(
+        F.least(
+            F.greatest(F.col(value_col).cast("double"), F.col("__lo__").cast("double")),
+            F.col("__hi__").cast("double"),
+        )
+    )
+    return joined.withColumn(out, clamped).drop("__lo__", "__hi__")
+
+
+def quantile_bucket(
+    df: DataFrame,
+    value_col: str,
+    by: str | list[str] | None = None,
+    buckets: int = 4,
+    approx: bool = False,
+    accuracy: int = 10_000,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Quantile binning by VALUE cut points, optionally per group:
+    adds ``out_col`` (default ``<value_col>_bucket``) in 1..``buckets``.
+
+    Unlike ``ntile`` (row-count-balanced, so TIED values land in
+    different buckets), the bucket is a pure function of the value and
+    the group's cut points — equal values always share a bucket, which
+    is what feature binning and stratified reporting need.  Cut point
+    ``q_i`` uses the same exact-``percentile``-vs-``percentile_approx``
+    split as :func:`winsorize`; bucket = 1 + #cuts strictly below the
+    value.  NULL values get NULL buckets; NULL group keys pass through
+    with NULL buckets (no cut-point row to match).
+
+    Scale shape: one aggregate computes all ``buckets-1`` cut points
+    per group; the slim cut frame broadcasts back onto an unshuffled
+    scan; assignment is an array fold projection.
+    """
+    keys = [by] if isinstance(by, str) else list(by or [])
+    fn = "percentile_approx" if approx else "percentile"
+    acc = f", {accuracy}" if approx else ""
+    qs = [i / buckets for i in range(1, buckets)]
+    # single array-fraction aggregate — see winsorize
+    arr = F.expr(
+        f"{fn}({value_col}, array({', '.join(str(q) for q in qs)}){acc})"
+    ).alias("__qs__")
+    grouped = df.groupBy(*keys).agg(arr) if keys else df.agg(arr)
+    cuts = grouped.select(
+        *keys, *[F.col("__qs__")[i].alias(f"__q{i}__") for i in range(len(qs))]
+    )
+    joined = (
+        df.join(F.broadcast(cuts), keys, "left") if keys else df.crossJoin(F.broadcast(cuts))
+    )
+    out = out_col or f"{value_col}_bucket"
+    v = F.col(value_col).cast("double")
+    bucket: Column = F.lit(1)
+    for i in range(len(qs)):
+        bucket = bucket + F.when(v > F.col(f"__q{i}__").cast("double"), 1).otherwise(0)
+    assigned = F.when(v.isNull(), F.lit(None).cast("int")).otherwise(
+        # NULL cuts (null group key / all-null group) → NULL bucket
+        F.when(F.col("__q0__").isNull(), F.lit(None).cast("int")).otherwise(
+            bucket.cast("int")
+        )
+    )
+    return joined.withColumn(out, assigned).drop(
+        *[f"__q{i}__" for i in range(len(qs))]
+    )
