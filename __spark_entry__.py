@@ -2123,11 +2123,14 @@ def q_streaming_dedup_ingest(spark, sf):
         .parquet(stream_dir)
     )
     target = tempfile.mkdtemp(prefix="ingest_target_") + "/docs"
+    os.makedirs(target, exist_ok=True)  # empty stream appends nothing
     stream_dedup_ingest(
         stream, index, target, tempfile.mkdtemp(prefix="ck_ingest_"),
         threshold=0.5, query_name="q_ingest_" + os.path.basename(stream_dir),
     )
-    back = spark.read.parquet(target)
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(target)
     return back.select("doc_id", "lang", "source", "n_chars")
 
 
