@@ -63,6 +63,13 @@ def main() -> None:
         )
         print(f"ivf-kmeans n_centroids={n_c} nprobe={nprobe}: recall@{k} = {recall(a, exact):.3f}")
 
+    # int8-quantized exact scan: the 4×-smaller-bytes path — recall loss
+    # here is pure quantization error, not candidate pruning
+    from asakusafw_spark_spark.functions import quantized_topk
+
+    a = truth_sets(quantized_topk(emb, queries, k=k))
+    print(f"int8 quantized brute-force: recall@{k} = {recall(a, exact):.3f}")
+
 
 if __name__ == "__main__":
     main()
