@@ -1225,6 +1225,16 @@ def q_funnel(spark, sf):
     return funnel(ev, ["view", "click", "purchase"])
 
 
+def q_bm25(spark, sf):
+    """BM25 retrieval ranking for a 3-term query over the corpus —
+    per-term double scores are exact expressions over integer counts,
+    the per-doc sum accumulates in decimal (order-free)."""
+    from asakusafw_spark_spark.functions import bm25_rank
+
+    docs = _t(spark, sf, "documents")
+    return bm25_rank(docs, ["table", "spark", "query"], top_n=25)
+
+
 def q_normalize_text(spark, sf):
     """Canonical text normalization with every rule demonstrably firing:
     the text is dirtied deterministically (curly quotes, em-dash, NBSP,
@@ -2787,7 +2797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      every round).
     # Queries past the window ride r04-banked rows (1 round stale).
     # Next round: rotate the tail block back into the window.
-    # The session-2 queries (scrub_spans … q22, 18 so far) push
+    # The session-2 queries (scrub_spans … bm25, 19 so far) push
     # the LAST entries of block 2 (the r02-green master_check/branch/
     # selection record-join block — the lowest-risk members) past the
     # window; they ride their r02 rows one more round.  New queries
@@ -2822,6 +2832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_discounted_revenue": q19_discounted_revenue,
         "q22_global_sales_opportunity": q22_global_sales_opportunity,
         "normalize_text": q_normalize_text,
+        "bm25": q_bm25,
         "streaming_dedup_ingest": q_streaming_dedup_ingest,
         # --- 2. stale-since-r01/r02 block (41) ---
         "similarity_ivf": q_similarity_ivf,
@@ -3205,6 +3216,38 @@ def oracle_sql() -> dict[str, str]:
         # identical survivor set: static index + per-doc decisions make
         # the streamed ingest equal the single-batch dedup
         "streaming_dedup_ingest": _duck_incremental_sql(threshold=0.5),
+        "bm25": """
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL OR trim(text) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(text), '\\s+') END AS t
+              FROM documents
+            ), stats AS (
+              SELECT COUNT(DISTINCT doc_id) AS n,
+                     CAST(SUM(len(t)) AS BIGINT) AS tl
+              FROM toks
+            ), ex AS (
+              SELECT doc_id, len(t) AS dl, u.tok
+              FROM toks, unnest(t) AS u(tok)
+              WHERE u.tok IN ('query', 'spark', 'table')
+            ), tf AS (
+              SELECT doc_id, dl, tok, COUNT(*) AS tf
+              FROM ex GROUP BY doc_id, dl, tok
+            ), dfq AS (
+              SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+            )
+            SELECT doc_id,
+                   round(CAST(SUM(CAST(
+                     ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
+                       / (tf + 1.2 * (0.25 + 0.75 * dl
+                            / (CAST(tl AS DOUBLE) / n)))
+                     AS DECIMAL(27,12))) AS DOUBLE), 6) AS score
+            FROM tf JOIN dfq USING (tok) CROSS JOIN stats
+            GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 25
+        """,
         "normalize_text": """
             SELECT doc_id,
                    trim(regexp_replace(

@@ -15,6 +15,7 @@ from .text import (
     redact,
     extract_json,
     normalize_text,
+    bm25_rank,
     vocab_top_k,
     tfidf,
     token_count,
@@ -94,6 +95,7 @@ __all__ = [
     "redact",
     "extract_json",
     "normalize_text",
+    "bm25_rank",
     "vocab_top_k",
     "tfidf",
     "fingerprint",

@@ -442,3 +442,80 @@ def normalize_text(col: Column | str) -> Column:
     c = F.lower(c)
     c = F.regexp_replace(c, "\\s+", " ")
     return F.trim(c)
+
+
+def bm25_rank(
+    df: DataFrame,
+    query_terms: "list[str]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int | None = None,
+) -> DataFrame:
+    """BM25 document ranking for a bag of query terms →
+    (``id_col``, ``score``), highest first when ``top_n`` is set.
+
+    The classic retrieval scorer (Robertson/Sparck Jones):
+    ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))``
+    with ``idf(t) = ln(1 + (N−df+0.5)/(df+0.5))``.  Every input to the
+    double math is an integer count (tf, df, N, dl) or their exact
+    ratio, composed in one fixed expression per row and rounded to 6
+    decimals — aggregation order cannot perturb it, so the SQL oracle
+    is exact.  Documents matching no term score 0 and are omitted.
+
+    Scale shape: the corpus scan computes (doc, dl) and per-doc tf for
+    ONLY the query terms (an `isin` filter pushed into the token
+    explode — the vocabulary never materializes); df/N/avgdl are a
+    handful of scalars broadcast back; the score is a projection and
+    ``top_n`` ranks via TakeOrderedAndProject.  Per-query cost is one
+    corpus scan regardless of vocabulary size; for interactive query
+    loads, build an inverted index with :func:`tfidf` + a bucketed
+    write instead.
+    """
+    terms = sorted(set(query_terms))
+    base = df.select(
+        F.col(id_col),
+        tokens(text_col).alias("__toks__"),
+    ).select(
+        F.col(id_col),
+        F.size("__toks__").alias("__dl__"),
+        F.explode(
+            F.filter(F.col("__toks__"), lambda t: t.isin(*terms))
+        ).alias("token"),
+    )
+    tf = base.groupBy(id_col, "__dl__", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    stats = df.select(
+        F.countDistinct(F.col(id_col)).alias("__n__"),
+        F.sum(F.size(tokens(text_col))).alias("__tl__"),
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("__tl__").cast("double") / F.col("__n__")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n__") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("__dl__") / avgdl
+    )
+    term_score = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    # per-term scores are exact (fixed expression over ints), but the
+    # per-doc SUM of doubles is reduction-order-dependent — accumulate
+    # in decimal (order-free) and convert once at the end
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(term_score.cast("decimal(27,12)")).cast("double"), 6
+            ).alias("score")
+        )
+    )
+    if top_n is not None:
+        scored = scored.orderBy(
+            F.col("score").desc(), F.col(id_col).asc()
+        ).limit(top_n)
+    return scored
