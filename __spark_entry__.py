@@ -1235,6 +1235,16 @@ def q_bm25(spark, sf):
     return bm25_rank(docs, ["table", "spark", "query"], top_n=25)
 
 
+def q_text_index_search(spark, sf):
+    """BM25 search through the inverted-index path (build_text_index →
+    search_text_index) — same scoring contract as bm25_rank, but per
+    query only the terms' posting rows are touched."""
+    from asakusafw_spark_spark.functions import build_text_index, search_text_index
+
+    postings, stats = build_text_index(_t(spark, sf, "documents"))
+    return search_text_index(postings, stats, ["customer", "join", "filter"], top_n=25)
+
+
 def q_normalize_text(spark, sf):
     """Canonical text normalization with every rule demonstrably firing:
     the text is dirtied deterministically (curly quotes, em-dash, NBSP,
@@ -2797,7 +2807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      every round).
     # Queries past the window ride r04-banked rows (1 round stale).
     # Next round: rotate the tail block back into the window.
-    # The session-2 queries (scrub_spans … bm25, 19 so far) push
+    # The session-2 queries (scrub_spans … text_index_search, 20 so far) push
     # the LAST entries of block 2 (the r02-green master_check/branch/
     # selection record-join block — the lowest-risk members) past the
     # window; they ride their r02 rows one more round.  New queries
@@ -2833,6 +2843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_global_sales_opportunity": q22_global_sales_opportunity,
         "normalize_text": q_normalize_text,
         "bm25": q_bm25,
+        "text_index_search": q_text_index_search,
         "streaming_dedup_ingest": q_streaming_dedup_ingest,
         # --- 2. stale-since-r01/r02 block (41) ---
         "similarity_ivf": q_similarity_ivf,
@@ -3231,6 +3242,38 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, len(t) AS dl, u.tok
               FROM toks, unnest(t) AS u(tok)
               WHERE u.tok IN ('query', 'spark', 'table')
+            ), tf AS (
+              SELECT doc_id, dl, tok, COUNT(*) AS tf
+              FROM ex GROUP BY doc_id, dl, tok
+            ), dfq AS (
+              SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+            )
+            SELECT doc_id,
+                   round(CAST(SUM(CAST(
+                     ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
+                       / (tf + 1.2 * (0.25 + 0.75 * dl
+                            / (CAST(tl AS DOUBLE) / n)))
+                     AS DECIMAL(27,12))) AS DOUBLE), 6) AS score
+            FROM tf JOIN dfq USING (tok) CROSS JOIN stats
+            GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 25
+        """,
+        "text_index_search": """
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL OR trim(text) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(text), '\\s+') END AS t
+              FROM documents
+            ), stats AS (
+              SELECT COUNT(DISTINCT doc_id) AS n,
+                     CAST(SUM(len(t)) AS BIGINT) AS tl
+              FROM toks
+            ), ex AS (
+              SELECT doc_id, len(t) AS dl, u.tok
+              FROM toks, unnest(t) AS u(tok)
+              WHERE u.tok IN ('customer', 'filter', 'join')
             ), tf AS (
               SELECT doc_id, dl, tok, COUNT(*) AS tf
               FROM ex GROUP BY doc_id, dl, tok

@@ -16,6 +16,8 @@ from .text import (
     extract_json,
     normalize_text,
     bm25_rank,
+    build_text_index,
+    search_text_index,
     vocab_top_k,
     tfidf,
     token_count,
@@ -96,6 +98,8 @@ __all__ = [
     "extract_json",
     "normalize_text",
     "bm25_rank",
+    "build_text_index",
+    "search_text_index",
     "vocab_top_k",
     "tfidf",
     "fingerprint",

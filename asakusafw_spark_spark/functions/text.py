@@ -519,3 +519,89 @@ def bm25_rank(
             F.col("score").desc(), F.col(id_col).asc()
         ).limit(top_n)
     return scored
+
+
+def build_text_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> "tuple[DataFrame, DataFrame]":
+    """Build a BM25-ready inverted index: returns ``(postings, stats)``.
+
+    ``postings`` — one row per (token, doc): (``token``, ``id_col``,
+    ``tf``, ``dl``, ``df``); ``stats`` — one row: (``n_docs``,
+    ``total_len``).  Persist both (postings bucketed BY TOKEN via
+    ``write_bucketed`` — then a query's term filter prunes straight to
+    its buckets) and answer queries with :func:`search_text_index`
+    without ever rescanning the corpus — the indexed complement of the
+    scan-per-query :func:`bm25_rank`.
+
+    ``min_df`` drops hapax tokens from the postings (noise + the long
+    tail of the vocabulary); scoring semantics for surviving terms are
+    IDENTICAL to :func:`bm25_rank` over the same corpus.
+    """
+    ex = df.select(
+        F.col(id_col), tokens(text_col).alias("__toks__")
+    ).select(
+        F.col(id_col),
+        F.size("__toks__").alias("dl"),
+        F.explode("__toks__").alias("token"),
+    )
+    tf = ex.groupBy("token", id_col, "dl").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    postings = tf.join(dfreq, "token").select("token", id_col, "tf", "dl", "df")
+    stats = df.select(
+        F.countDistinct(F.col(id_col)).alias("n_docs"),
+        F.sum(F.size(tokens(text_col))).alias("total_len"),
+    )
+    return postings, stats
+
+
+def search_text_index(
+    postings: DataFrame,
+    stats: DataFrame,
+    query_terms: "list[str]",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int | None = None,
+) -> DataFrame:
+    """BM25 search against a prebuilt :func:`build_text_index` —
+    (``id_col``, ``score``), same scoring contract as :func:`bm25_rank`.
+
+    Per query this touches ONLY the query terms' posting rows (with a
+    token-bucketed stored index the filter prunes to those buckets; no
+    corpus scan, no vocabulary-wide work) plus a 1-row stats broadcast —
+    the right cost model for interactive/high-QPS retrieval at corpus
+    scale.
+    """
+    terms = sorted(set(query_terms))
+    hit = postings.filter(F.col("token").isin(terms))
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl
+    )
+    term_score = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    scored = (
+        hit.crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(term_score.cast("decimal(27,12)")).cast("double"), 6
+            ).alias("score")
+        )
+    )
+    if top_n is not None:
+        scored = scored.orderBy(
+            F.col("score").desc(), F.col(id_col).asc()
+        ).limit(top_n)
+    return scored

@@ -963,3 +963,37 @@ def test_bm25_rank_semantics(spark):
     ranked = bm25_rank(docs, ["spark", "table"], top_n=2).collect()
     assert len(ranked) == 2
     assert ranked[0]["score"] >= ranked[1]["score"]
+
+
+def test_text_index_search_equals_scan_path_and_prunes(spark, sf_dir, tmp_path):
+    """Index-path BM25 == scan-path BM25 on the same corpus, including
+    through a persisted token-bucketed index (the interactive-QPS
+    layout); the search plan reads postings only, never the corpus."""
+    from asakusafw_spark_spark.functions import (
+        bm25_rank,
+        build_text_index,
+        search_text_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = ["table", "spark", "query"]
+
+    postings, stats = build_text_index(docs)
+    via_index = {
+        r["doc_id"]: r["score"]
+        for r in search_text_index(postings, stats, terms).collect()
+    }
+    via_scan = {r["doc_id"]: r["score"] for r in bm25_rank(docs, terms).collect()}
+    assert via_index == via_scan and via_index
+
+    # persisted roundtrip: write postings+stats, search from storage only
+    p_path, s_path = str(tmp_path / "postings"), str(tmp_path / "stats")
+    postings.write.parquet(p_path)
+    stats.write.parquet(s_path)
+    stored = {
+        r["doc_id"]: r["score"]
+        for r in search_text_index(
+            spark.read.parquet(p_path), spark.read.parquet(s_path), terms
+        ).collect()
+    }
+    assert stored == via_scan
