@@ -6,6 +6,12 @@ DuckDB over the same parquet tables, then compares row count, schema
 (column names), and an order-insensitive value hash.
 
 Usage: python tools/verify_local.py [sf_dir] [query ...]
+       python tools/verify_local.py --json OUT.json [sf_dir] [query ...]
+
+``--json`` additionally writes a driver-CORRECTNESS-shaped report for
+EVERY query (rows_match / schema_match / hash_match / row counts) — the
+committed artifact that covers the full registry when the driver's own
+report window truncates.
 """
 
 from __future__ import annotations
@@ -56,8 +62,13 @@ def value_hash(pdf: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entry_mod
     from asakusafw_spark_spark.session import engine_builder
@@ -74,6 +85,7 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    report: dict = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -82,15 +94,20 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append(name)
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "err": str(e)[:200]}
             print(f"FAIL {name}: spark error: {e}")
             continue
         if name not in oracles:
+            report[name] = {"rows_only": True, "spark_rows": len(sdf), "err": None}
             print(f"SKIP {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as e:
             failures.append(name)
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "err": f"duckdb: {str(e)[:200]}"}
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         problems = []
@@ -108,6 +125,16 @@ def main() -> int:
                 if neq.any():
                     i = neq.idxmax()
                     print(f"  first diff row {i}:\n   spark: {a.loc[i].to_dict()}\n   duck : {b.loc[i].to_dict()}")
+        rows_ok = len(sdf) == len(odf)
+        schema_ok = sorted(sdf.columns) == sorted(odf.columns)
+        report[name] = {
+            "rows_match": rows_ok,
+            "schema_match": schema_ok,
+            "hash_match": not problems,
+            "spark_rows": len(sdf),
+            "oracle_rows": len(odf),
+            "err": None,
+        }
         if problems:
             failures.append(name)
             print(f"FAIL {name}: {'; '.join(problems)}")
@@ -115,6 +142,16 @@ def main() -> int:
             print(f"OK   {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
 
     print(f"\n{len(qs) - len(failures)}/{len(qs)} green")
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump(
+                {"sf_dir": sf_dir, "n_queries": len(qs),
+                 "n_green": len(qs) - len(failures), "queries": report},
+                f, indent=1,
+            )
+        print(f"report written: {json_out}")
     return 1 if failures else 0
 
 
