@@ -208,6 +208,33 @@ def main():
     print(f"dedup_incremental growth: {t10 / t1:.1f}x for 10x history, fixed batch")
     idx1.unpersist(); idx10.unpersist(); docs10d.unpersist()
 
+    # event analytics + retrieval -------------------------------------
+    from asakusafw_spark_spark.functions import bm25_rank, funnel, retention
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").persist()
+    ev.count()
+    ev10 = inflate(ev, ["event_id", "user_id"]).persist()
+    ev10.count()
+    t1 = timed("funnel 1x", lambda: funnel(ev, ["view", "click", "purchase"]).count())
+    t10 = timed(
+        "funnel 10x (10x events+users)",
+        lambda: funnel(ev10, ["view", "click", "purchase"]).count(),
+    )
+    print(f"funnel growth: {t10 / t1:.1f}x for 10x events+users")
+    t1 = timed("retention 1x", lambda: retention(ev, periods=14, period="day").count())
+    t10 = timed(
+        "retention 10x", lambda: retention(ev10, periods=14, period="day").count()
+    )
+    print(f"retention growth: {t10 / t1:.1f}x for 10x events+users")
+    docs10e = inflate(docs, ["doc_id"]).persist()
+    docs10e.count()
+    t1 = timed("bm25 1x", lambda: bm25_rank(docs, ["table", "spark", "query"]).count())
+    t10 = timed(
+        "bm25 10x", lambda: bm25_rank(docs10e, ["table", "spark", "query"]).count()
+    )
+    print(f"bm25 growth: {t10 / t1:.1f}x for 10x docs")
+    ev10.unpersist(); ev.unpersist(); docs10e.unpersist()
+
 
 if __name__ == "__main__":
     main()
