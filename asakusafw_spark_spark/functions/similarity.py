@@ -418,6 +418,7 @@ def ivf_topk(
     n_centroids: int = 8,
     nprobe: int = 2,
     quantizer: str = "ids",
+    quantized: bool = False,
 ) -> DataFrame:
     """IVF-style approximate top-k: the corpus is coarse-quantized into
     ``n_centroids`` inverted lists (each vector assigned to its nearest
@@ -437,6 +438,14 @@ def ivf_topk(
     literals (no shuffle of the corpus); the probe join shuffles on the
     centroid id — ``n_centroids`` partition-able lists, the classic IVF
     shape.  At 100 TB raise ``n_centroids`` so each list fits a task.
+
+    ``quantized=True`` composes the two ANN cost levers: list probing
+    prunes CANDIDATES while int8 codes shrink the BYTES each candidate
+    costs — assignment still uses the float vectors (centroid-routing
+    quality unchanged), but the rows that ride the probe shuffle carry
+    4×-smaller codes and score with exact int64 dot products (the
+    recall delta of the int8 scoring alone is ~0.98 vs float, see
+    tools/ann_recall.py).
     """
     if quantizer == "kmeans":
         cents = _kmeans_centroids(corpus, n_centroids, id_col, vec_col)
@@ -444,20 +453,31 @@ def ivf_topk(
         cents = _centroids(corpus, n_centroids, id_col, vec_col)
     else:
         raise ValueError(f"ivf_topk: unknown quantizer {quantizer!r}")
+    payload = (
+        (lambda v: _int8_codes(v)) if quantized else (lambda v: v)
+    )
     cb = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
+        payload(F.col(vec_col)).alias("c_vec"),
         F.element_at(_nearest_centroids(vec_col, cents, 1), 1).alias("cid"),
     )
     qb = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
+        payload(F.col(vec_col)).alias("q_vec"),
         F.explode(_nearest_centroids(vec_col, cents, nprobe)).alias("cid"),
     )
+    if quantized:
+        qn, cn = _int_norm(F.col("q_vec")), _int_norm(F.col("c_vec"))
+        sim = F.when(
+            (qn > 0.0) & (cn > 0.0),
+            F.round(_int_dot(F.col("q_vec"), F.col("c_vec")).cast("double") / (qn * cn), 6),
+        ).otherwise(F.lit(0.0))
+    else:
+        sim = cosine_similarity(F.col("q_vec"), F.col("c_vec"))
     scored = (
         cb.join(F.broadcast(qb), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("sim", sim)
         .select("query_id", "neighbor_id", "sim")
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
@@ -465,6 +485,39 @@ def ivf_topk(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .drop("rn")
+    )
+
+
+def _int8_codes(vec: Column) -> Column:
+    """Symmetric per-vector int8 codes (see :func:`quantize_embeddings`)."""
+    maxabs = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(maxabs > 0.0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0))
+    return F.transform(
+        vec,
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.floor(x.cast("double") * scale).cast("int")),
+        ).cast("tinyint"),
+    )
+
+
+def _int_norm(c: Column) -> Column:
+    """sqrt of the exact int64 self-dot of a code array."""
+    return F.sqrt(
+        F.aggregate(
+            c,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x.cast("long") * x.cast("long"),
+        ).cast("double")
+    )
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two code arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
     )
 
 

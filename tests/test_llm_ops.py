@@ -997,3 +997,22 @@ def test_text_index_search_equals_scan_path_and_prunes(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert stored == via_scan
+
+
+def test_ivf_quantized_composition(spark, sf_dir):
+    """quantized=True must keep the same probed-list candidates (routing
+    uses float vectors) and agree closely with float IVF ranking."""
+    from asakusafw_spark_spark.functions import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    flt = ivf_topk(emb, queries, k=5, nprobe=4)
+    qnt = ivf_topk(emb, queries, k=5, nprobe=4, quantized=True)
+    f, q = {}, {}
+    for r in flt.collect():
+        f.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in qnt.collect():
+        q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(f) == set(q)
+    overlap = sum(len(f[x] & q[x]) for x in f) / sum(len(f[x]) for x in f)
+    assert overlap >= 0.8, f"quantized IVF diverged too far: {overlap}"
