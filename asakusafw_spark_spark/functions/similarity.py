@@ -545,16 +545,9 @@ def quantize_embeddings(
     """
     vec = F.col(vec_col)
     maxabs = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
-    scale = F.when(maxabs > 0.0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0))
-    codes = F.transform(
-        vec,
-        lambda x: F.greatest(
-            F.lit(-127), F.least(F.lit(127), F.floor(x.cast("double") * scale).cast("int"))
-        ).cast("tinyint"),
-    )
     return df.select(
         F.col(id_col),
-        codes.alias("codes"),
+        _int8_codes(vec).alias("codes"),
         F.when(maxabs > 0.0, maxabs / F.lit(127.0)).otherwise(F.lit(0.0)).alias("inv_scale"),
     )
 
@@ -582,36 +575,19 @@ def quantized_topk(
     corpus side rides 4× fewer bytes — this is the brute-force scan
     you can actually afford at 10⁹ vectors.
     """
-    def inorm(c: Column) -> Column:
-        return F.sqrt(
-            F.aggregate(
-                c,
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x.cast("long") * x.cast("long"),
-            ).cast("double")
-        )
-
     # norms projected BEFORE the join: computed once per row, not once
     # per (query × corpus) candidate pair
     cq = quantize_embeddings(corpus, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("codes").alias("c_codes"),
-        inorm(F.col("codes")).alias("c_norm"),
+        _int_norm(F.col("codes")).alias("c_norm"),
     )
     qq = quantize_embeddings(queries, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col("codes").alias("q_codes"),
-        inorm(F.col("codes")).alias("q_norm"),
+        _int_norm(F.col("codes")).alias("q_norm"),
     )
-    idot = F.aggregate(
-        F.zip_with(
-            F.col("q_codes"),
-            F.col("c_codes"),
-            lambda x, y: x.cast("long") * y.cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    idot = _int_dot(F.col("q_codes"), F.col("c_codes"))
     scored = (
         ensure_parallelism(cq)
         .join(F.broadcast(qq), F.col("query_id") != F.col("neighbor_id"))
