@@ -63,6 +63,8 @@ HEADLINE = [
     "funnel",
     "retention",
     "normalize_text",
+    "bm25",
+    "text_index_search",
 ]
 
 
