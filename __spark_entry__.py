@@ -1245,6 +1245,37 @@ def q_text_index_search(spark, sf):
     return search_text_index(postings, stats, ["customer", "join", "filter"], top_n=25)
 
 
+def q_snapshot_diff(spark, sf):
+    """Snapshot→CDC derivation: a deterministically modified orders
+    snapshot (10% deleted, 10% price-bumped in exact decimal, 10%
+    cloned as inserts) diffed against the original — one full-outer
+    join, null-safe compares; unchanged keys never appear.  The
+    inverse of merge_upsert: diff-then-apply reproduces the new
+    snapshot (property-tested in test_core_ops)."""
+    from asakusafw_spark_spark.operators import snapshot_diff
+
+    old = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    bump = F.round(
+        F.col("o_totalprice").cast("decimal(27,2)") * F.lit("1.1").cast("decimal(3,1)"),
+        2,
+    ).cast("double")
+    new = (
+        old.filter(F.col("o_orderkey") % 10 != 1)
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 10 == 0, bump).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            old.filter(F.col("o_orderkey") % 10 == 2).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+            )
+        )
+    )
+    return snapshot_diff(old, new, "o_orderkey")
+
+
 def q_normalize_text(spark, sf):
     """Canonical text normalization with every rule demonstrably firing:
     the text is dirtied deterministically (curly quotes, em-dash, NBSP,
@@ -2807,7 +2838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      every round).
     # Queries past the window ride r04-banked rows (1 round stale).
     # Next round: rotate the tail block back into the window.
-    # The session-2 queries (scrub_spans … text_index_search, 20 so far) push
+    # The session-2 queries (scrub_spans … snapshot_diff, 21 so far) push
     # the LAST entries of block 2 (the r02-green master_check/branch/
     # selection record-join block — the lowest-risk members) past the
     # window; they ride their r02 rows one more round.  New queries
@@ -2844,6 +2875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "bm25": q_bm25,
         "text_index_search": q_text_index_search,
+        "snapshot_diff": q_snapshot_diff,
         "streaming_dedup_ingest": q_streaming_dedup_ingest,
         # --- 2. stale-since-r01/r02 block (41) ---
         "similarity_ivf": q_similarity_ivf,
@@ -3290,6 +3322,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
             ORDER BY score DESC, doc_id ASC
             LIMIT 25
+        """,
+        "snapshot_diff": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(round(CAST(o_totalprice AS DECIMAL(27,2)) * 1.1, 2)
+                        AS DOUBLE) AS o_totalprice,
+                   'U' AS __op
+            FROM orders
+            WHERE o_orderkey % 10 = 0
+              AND CAST(round(CAST(o_totalprice AS DECIMAL(27,2)) * 1.1, 2)
+                       AS DOUBLE) <> o_totalprice
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_totalprice, 'D'
+            FROM orders WHERE o_orderkey % 10 = 1
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_custkey, o_totalprice, 'I'
+            FROM orders WHERE o_orderkey % 10 = 2
         """,
         "normalize_text": """
             SELECT doc_id,

@@ -5,7 +5,7 @@ plus Spark-native extensions (windows / top-k / distinct / set ops) the
 reference lacks (SURVEY.md §2.8).
 """
 
-from .core import project, extend, restructure, checkpoint, confluent
+from .core import project, extend, restructure, checkpoint, confluent, snapshot_diff
 from .record import extract, update, convert, branch, split, logging_op
 from .joins import (
     master_join,
@@ -28,6 +28,7 @@ from .window import (
 
 __all__ = [
     "project",
+    "snapshot_diff",
     "extend",
     "restructure",
     "checkpoint",

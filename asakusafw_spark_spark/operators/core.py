@@ -96,3 +96,82 @@ def confluent(frames, ordering=()):
         cols = [F.col(c).asc() if d == "asc" else F.col(c).desc() for c, d in ordering]
         out = out.sortWithinPartitions(*cols)
     return out
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: "str | list[str]",
+    op_col: str = "__op",
+) -> DataFrame:
+    """Derive a CDC change set from two snapshots of the same dataset —
+    the INVERSE of the ``merge_upsert`` sink: one row per changed key
+    with ``op_col`` ∈ {'I','U','D'} and the NEW payload ('D' rows carry
+    the old payload; unchanged keys are omitted entirely).
+
+    The missing half of the CDC loop: systems that only publish full
+    snapshots (nightly dumps, upstream tables without change feeds)
+    diff here, then apply downstream with
+    ``merge_upsert(..., delete_col=)`` — `diff ∘ apply` reproduces the
+    new snapshot exactly (property-tested).
+
+    Column contract: both frames must share the (key + payload) schema;
+    comparison is null-safe per column (NULL == NULL is "unchanged").
+
+    Scale shape: one full-outer sort-merge join on the key — the
+    textbook snapshot-diff cost (both sides shuffle once on the key;
+    with both snapshots stored via ``write_bucketed`` on the key the
+    Exchanges vanish entirely).  The change classification is a
+    projection; output size is the churn, not the table.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    payload = [c for c in new.columns if c not in keys]
+    if sorted(old.columns) != sorted(new.columns):
+        raise ValueError(
+            f"snapshot_diff: schema mismatch {sorted(old.columns)} vs "
+            f"{sorted(new.columns)}"
+        )
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        *[F.col(c).alias(f"__o_{c}") for c in payload],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in keys],
+        *[F.col(c).alias(f"__n_{c}") for c in payload],
+        F.lit(True).alias("__in_new"),
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = o.join(n, cond, "full_outer")
+    # presence via explicit markers, NOT key-null probes — a key column
+    # may legitimately hold NULL (the eqNullSafe join matches it)
+    in_old = F.coalesce(F.col("__in_old"), F.lit(False))
+    in_new = F.coalesce(F.col("__in_new"), F.lit(False))
+    same = None
+    for c in payload:
+        eq = F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        same = eq if same is None else (same & eq)
+    if same is None:
+        same = F.lit(True)  # key-only dataset: presence IS the payload
+    op = (
+        F.when(in_old & in_new & same, F.lit(None))
+        .when(in_old & in_new, F.lit("U"))
+        .when(in_new, F.lit("I"))
+        .otherwise(F.lit("D"))
+    )
+    out_cols = [
+        F.coalesce(F.col(f"__nk_{k}"), F.col(f"__ok_{k}")).alias(k) for k in keys
+    ] + [
+        F.when(F.col(op_col) == "D", F.col(f"__o_{c}"))
+        .otherwise(F.col(f"__n_{c}"))
+        .alias(c)
+        for c in payload
+    ]
+    return (
+        joined.withColumn(op_col, op)
+        .filter(F.col(op_col).isNotNull())
+        .select(*out_cols, F.col(op_col))
+    )

@@ -136,3 +136,44 @@ def test_logging_op_default_is_pure_passthrough(spark):
 
     df = spark.createDataFrame([Row(k=1)])
     assert logging_op(df) is df
+
+
+def test_snapshot_diff_classifies_and_roundtrips(spark, tmp_path):
+    """diff ∘ merge_upsert == identity: applying the derived change set
+    to the old snapshot reproduces the new snapshot exactly."""
+    from asakusafw_spark_spark.operators import snapshot_diff
+    from asakusafw_spark_spark.sources.write import merge_upsert
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, None, 40.0)],
+        "k long, name string, v double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10.0),     # unchanged → omitted
+            (2, "b2", 20.0),    # update (name)
+            (3, "c", None),     # unchanged incl. NULL payload → omitted
+            (5, "e", 50.0),     # insert
+        ],                       # 4 deleted
+        "k long, name string, v double",
+    )
+    diff = {r["k"]: r for r in snapshot_diff(old, new, "k").collect()}
+    assert {k: r["__op"] for k, r in diff.items()} == {2: "U", 4: "D", 5: "I"}
+    assert diff[2]["name"] == "b2"          # U carries NEW payload
+    assert diff[4]["v"] == 40.0             # D carries OLD payload
+
+    # roundtrip: old + diff == new
+    target = str(tmp_path / "snap")
+    old.write.parquet(target)
+    changes = snapshot_diff(old, new, "k").withColumn(
+        "__del", F.col("__op") == "D"
+    ).drop("__op")
+    merge_upsert(target, changes, "k", delete_col="__del")
+    got = sorted(map(tuple, spark.read.parquet(target).collect()))
+    want = sorted(map(tuple, new.collect()))
+    assert got == want
+
+    # schema mismatch is rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="schema"):
+        snapshot_diff(old, new.drop("v"), "k")
