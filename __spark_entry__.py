@@ -1276,6 +1276,24 @@ def q_snapshot_diff(spark, sf):
     return snapshot_diff(old, new, "o_orderkey")
 
 
+def q_compaction_roundtrip(spark, sf):
+    """Small-file compaction is content-lossless: fragment the
+    documents table into many tiny appended files, compact to one,
+    read back — must equal the pristine table (oracle: plain SELECT)."""
+    import tempfile
+
+    from asakusafw_spark_spark.sources import compact_files
+
+    docs = _t(spark, sf, "documents")
+    target = tempfile.mkdtemp(prefix="compact_") + "/docs"
+    for i in range(5):
+        docs.filter(F.col("doc_id") % 5 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(target)
+    compact_files(spark, target, target_file_bytes=1 << 30)
+    return spark.read.parquet(target).select("doc_id", "lang", "source", "n_chars")
+
+
 def q_normalize_text(spark, sf):
     """Canonical text normalization with every rule demonstrably firing:
     the text is dirtied deterministically (curly quotes, em-dash, NBSP,
@@ -2838,7 +2856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      every round).
     # Queries past the window ride r04-banked rows (1 round stale).
     # Next round: rotate the tail block back into the window.
-    # The session-2 queries (scrub_spans … snapshot_diff, 21 so far) push
+    # The session-2 queries (scrub_spans … compaction_roundtrip, 22 so far) push
     # the LAST entries of block 2 (the r02-green master_check/branch/
     # selection record-join block — the lowest-risk members) past the
     # window; they ride their r02 rows one more round.  New queries
@@ -2876,6 +2894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "text_index_search": q_text_index_search,
         "snapshot_diff": q_snapshot_diff,
+        "compaction_roundtrip": q_compaction_roundtrip,
         "streaming_dedup_ingest": q_streaming_dedup_ingest,
         # --- 2. stale-since-r01/r02 block (41) ---
         "similarity_ivf": q_similarity_ivf,
@@ -3323,6 +3342,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score DESC, doc_id ASC
             LIMIT 25
         """,
+        "compaction_roundtrip": (
+            "SELECT doc_id, lang, source, n_chars FROM documents"
+        ),
         "snapshot_diff": """
             SELECT o_orderkey, o_custkey,
                    CAST(round(CAST(o_totalprice AS DECIMAL(27,2)) * 1.1, 2)

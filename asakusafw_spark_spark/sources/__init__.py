@@ -3,7 +3,15 @@ grouped outputs, and a multi-dataset two-phase commit."""
 
 from .read import hadoop_input, direct_input, read_parquet
 from .pattern import OutputPattern
-from .write import write_flat, write_grouped, write_bucketed, TransactionalOutput
+from .write import (
+    write_flat,
+    write_grouped,
+    write_bucketed,
+    TransactionalOutput,
+    merge_upsert,
+    recover_merge,
+    compact_files,
+)
 
 __all__ = [
     "direct_input",
@@ -14,4 +22,7 @@ __all__ = [
     "write_bucketed",
     "write_grouped",
     "TransactionalOutput",
+    "merge_upsert",
+    "recover_merge",
+    "compact_files",
 ]

@@ -86,6 +86,11 @@ class HadoopFs:
             return []
         return sorted(str(st.getPath()) for st in statuses)
 
+    def filesize(self, p: str) -> "int | None":
+        """File length in bytes; None for directories."""
+        st = self._fs.getFileStatus(self._jpath(p))
+        return int(st.getLen()) if st.isFile() else None
+
 
 def write_flat(
     df: DataFrame,
@@ -619,3 +624,55 @@ def recover_merge(
         fs.delete(parked_root)
         actions.append("removed empty parked root")
     return actions
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    format: str = "parquet",
+) -> int:
+    """Small-file compaction: rewrite the dataset at ``path`` into
+    ``ceil(total_bytes / target_file_bytes)`` files (≥1) and atomically
+    swap it in.  Returns the new file count.
+
+    The operational companion of the streaming sinks: per-micro-batch
+    appends (``stream_dedup_ingest``, foreachBatch writers) and
+    incremental merges accrete files far smaller than a scan-efficient
+    split, and at 100 TB the file COUNT — driver listing time, footer
+    reads, task scheduling — becomes its own bottleneck.  Run this on a
+    maintenance cadence.
+
+    Crash contract mirrors ``merge_upsert``'s whole-dataset path: the
+    compacted copy is staged beside the dataset, the live dir moves to
+    an ``__old_*`` sibling, and only after the staging rename succeeds
+    is the old data deleted — a failure mid-swap restores the original
+    and leaves staging for retry.  Readers racing the swap see the old
+    or the new dataset, never a mix.  No snapshot isolation vs
+    concurrent WRITERS (same caveat as merge_upsert).
+    """
+    import math
+    import time
+
+    fs = HadoopFs(spark, path)
+    base = path.rstrip("/")
+    sizes = [
+        s
+        for p in fs.glob(f"{base}/*")
+        for s in [fs.filesize(p)]
+        if s is not None
+    ]
+    total = sum(sizes)
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.format(format).load(base)
+    staging = f"{base}__compact_{int(time.time() * 1000)}"
+    df.repartition(n_files).write.format(format).mode("overwrite").save(staging)
+    old = f"{base}__old_{int(time.time() * 1000)}"
+    fs.rename(base, old)
+    try:
+        fs.rename(staging, base)
+    except Exception:
+        fs.rename(old, base)  # restore — staging left for retry
+        raise
+    fs.delete(old)
+    return n_files

@@ -413,3 +413,27 @@ def test_write_flat_delete_patterns(spark, tmp_path):
 
     with pytest.raises(ValueError, match="escapes"):
         write_flat(b, out, delete_patterns=["../evil*"])
+
+
+def test_compact_files_reduces_count_and_preserves_content(spark, sf_dir, tmp_path):
+    from asakusafw_spark_spark.sources import compact_files
+
+    target = str(tmp_path / "frag")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # fragment: many tiny appends, like a micro-batch sink would leave
+    for i in range(6):
+        docs.filter(F.col("doc_id") % 6 == i).coalesce(2).write.mode(
+            "append"
+        ).parquet(target)
+    import glob as g
+
+    before = len(g.glob(f"{target}/part-*.parquet"))
+    want = sorted(r["doc_id"] for r in spark.read.parquet(target).collect())
+
+    n = compact_files(spark, target, target_file_bytes=1 << 30)
+    after = len(g.glob(f"{target}/part-*.parquet"))
+    assert n == 1 and after == 1 and before > after
+    got = sorted(r["doc_id"] for r in spark.read.parquet(target).collect())
+    assert got == want
+    # no debris left behind
+    assert not g.glob(f"{target}__old_*") and not g.glob(f"{target}__compact_*")
