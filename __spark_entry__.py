@@ -1417,6 +1417,292 @@ def q22_global_sales_opportunity(spark, sf):
     )
 
 
+def q6_forecast_revenue(spark, sf):
+    """TPC-H Q6-style: scan-only revenue forecast — one tight conjunctive
+    filter over lineitem, no join at all.  The whole predicate (shipdate
+    window, discount band, quantity cap) must reach the parquet scan as
+    PushedFilters; at 100 TB this query is pure IO and the only thing
+    that matters is that zero rows survive past the scan stage
+    unnecessarily.  Revenue accumulates in exact decimal (order-
+    insensitive) and casts to double at the end."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.coalesce(
+            _dsum(F.col("l_extendedprice") * F.col("l_discount")),
+            F.lit(0.0),
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q8_market_share(spark, sf):
+    """TPC-H Q8-style: NATION_3's share of ECONOMY-part volume sold to
+    ASIA customers, per order year.
+
+    Two independent dimension chains (region→nation→customer→orders and
+    nation→supplier) broadcast into the fact from opposite sides — the
+    fact joins each pre-pruned chain once and never shuffles.  The share
+    is a conditional decimal sum over the same rows as the total, so one
+    aggregate produces both; the division happens in double on exact
+    inputs (cross-engine decimal-division typing differs; double of
+    exact operands does not)."""
+    asia_nations = master_join(
+        _t(spark, sf, "region").filter(F.col("r_name") == "ASIA"),
+        _t(spark, sf, "nation").select("n_nationkey", "n_regionkey"),
+        [("r_regionkey", "n_regionkey")],
+        strategy="broadcast",
+        unique_master=True,
+    )["joined"].select("n_nationkey")
+    cust = master_join(
+        asia_nations,
+        _t(spark, sf, "customer").select("c_custkey", "c_nationkey"),
+        [("n_nationkey", "c_nationkey")],
+        strategy="broadcast",
+        unique_master=True,
+    )["joined"].select("c_custkey")
+    orders = master_join(
+        cust,
+        _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate"),
+        [("c_custkey", "o_custkey")],
+        strategy="broadcast",
+        unique_master=True,
+    )["joined"].select("o_orderkey", F.year("o_orderdate").cast("long").alias("o_year"))
+    supp = master_join(
+        _t(spark, sf, "nation").select("n_nationkey", "n_name"),
+        _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey"),
+        [("n_nationkey", "s_nationkey")],
+        strategy="broadcast",
+        unique_master=True,
+    )["joined"].select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    econ_parts = _t(spark, sf, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    li = master_join(
+        econ_parts, li, [("p_partkey", "l_partkey")], strategy="broadcast",
+        unique_master=True,
+    )["joined"]
+    li = master_join(
+        supp, li, [("s_suppkey", "l_suppkey")], strategy="broadcast",
+        unique_master=True,
+    )["joined"]
+    both = master_join(
+        orders, li, [("o_orderkey", "l_orderkey")], strategy="auto",
+        unique_master=True,
+    )["joined"]
+    vol = update(
+        both,
+        volume=(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(27,6)"
+        ),
+    )
+    return vol.groupBy("o_year").agg(
+        (
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+                ).cast("double"),
+                F.lit(0.0),
+            )
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share"),
+        F.sum("volume").cast("double").alias("total_volume"),
+    )
+
+
+def q12_late_priority_lines(spark, sf):
+    """TPC-H Q12-style (adapted: the slim schema has no l_shipmode /
+    l_commitdate, so "late" = shipped ≥30 days after the order date and
+    the group key is l_linestatus): count high- vs low-priority late
+    lines per line status.
+
+    Shape: orders joins the date-windowed fact on its key under "auto"
+    (shuffled equi-join at scale, AQE-skew eligible), the lateness
+    predicate is a post-join column comparison, and the two counts are
+    conditional sums in ONE map-side-combinable aggregate."""
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus", "l_shipdate")
+    joined = master_join(
+        orders, li, [("o_orderkey", "l_orderkey")], strategy="auto",
+        unique_master=True,
+    )["joined"]
+    late = joined.filter(
+        F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return late.groupBy("l_linestatus").agg(
+        F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+def q13_customer_distribution(spark, sf):
+    """TPC-H Q13-style: distribution of customers by order count,
+    excluding low-priority orders — the LEFT-join-with-join-predicate +
+    double-aggregation shape.
+
+    Scale shape: orders aggregates to one (custkey, count) row per
+    customer BEFORE the join (the classic agg-below-outer-join
+    rewrite), so the left join carries one row per customer per side
+    instead of one per order; zero-order customers come back via
+    coalesce(cnt, 0).  The second aggregate groups on the tiny count
+    domain."""
+    per_cust = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") != "5-LOW")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("__cnt__"))
+    )
+    cust = _t(spark, sf, "customer").select("c_custkey")
+    counted = (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("__cnt__"), F.lit(0).cast("long")).alias("c_count"))
+    )
+    return counted.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q15_top_supplier(spark, sf):
+    """TPC-H Q15-style: the supplier(s) with maximum quarterly revenue —
+    the scalar-subquery-on-an-aggregated-view shape.
+
+    The per-supplier revenue view is one keyed aggregate over the date-
+    windowed fact; its max is a 1-row broadcast; the equality filter is
+    exact because revenue is an exact decimal sum cast to double on both
+    engines (same bits ⇒ same max ⇒ same survivors).  Supplier names
+    arrive by broadcast join after the filter, when only the winners
+    remain."""
+    rev = (
+        _t(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx__"))
+    winners = rev.join(F.broadcast(mx)).filter(
+        F.col("total_revenue") == F.col("__mx__")
+    )
+    supp = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return master_join(
+        supp, winners, [("s_suppkey", "l_suppkey")], strategy="broadcast",
+        unique_master=True,
+    )["joined"].select("s_suppkey", "s_name", "total_revenue")
+
+
+def q17_small_quantity_revenue(spark, sf):
+    """TPC-H Q17-style: revenue lost to small orders — lines of
+    Brand#1 small parts whose quantity is under 20% of that part's
+    average order quantity.
+
+    The correlated AVG subquery decorrelates into one per-part aggregate
+    over the SAME pre-filtered fact rows (the filter is on part columns
+    only, so per-part stats over the filtered subset equal stats over
+    the full table), broadcast-joined back by part key — one fact scan
+    total.  The threshold is 0.2 × (exact-decimal sum ÷ count) with the
+    arithmetic spelled identically on both engines."""
+    parts = _t(spark, sf, "part").filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") < 10)
+    ).select("p_partkey")
+    li = master_join(
+        parts,
+        _t(spark, sf, "lineitem").select(
+            "l_partkey", "l_quantity", "l_extendedprice"
+        ),
+        [("p_partkey", "l_partkey")],
+        strategy="broadcast",
+        unique_master=True,
+    )["joined"]
+    thr = li.groupBy("p_partkey").agg(
+        (
+            F.lit(0.2)
+            * (_dsum(F.col("l_quantity"), 2) / F.count(F.lit(1)))
+        ).alias("__thr__")
+    )
+    small = li.join(F.broadcast(thr.withColumnRenamed("p_partkey", "__pk__")),
+                    F.col("p_partkey") == F.col("__pk__")).filter(
+        F.col("l_quantity") < F.col("__thr__")
+    )
+    return small.agg(
+        (
+            F.coalesce(_dsum(F.col("l_extendedprice"), 2), F.lit(0.0)) / F.lit(7.0)
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q21_waiting_suppliers(spark, sf):
+    """TPC-H Q21-style (adapted: no commit/receipt dates, so "kept the
+    order waiting" = the supplier's line came back 'R' in a finalized
+    multi-supplier order where NO other supplier's line did): per
+    supplier, how many such sole-blame lines.
+
+    The classic EXISTS + NOT-EXISTS pair over the same fact decorrelates
+    into ONE per-order aggregate — n_suppliers and n_R_suppliers as two
+    distinct-counts — joined back to the R-lines by order key.  At
+    100 TB that is two keyed shuffles over slim columns instead of two
+    correlated self-joins of lineitem against itself; the oracle states
+    the EXISTS form and DuckDB decorrelates it its own way, so agreement
+    checks semantics, not plan."""
+    f_orders = _t(spark, sf, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    li = master_join(
+        f_orders,
+        _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag"),
+        [("o_orderkey", "l_orderkey")],
+        strategy="auto",
+        unique_master=True,
+    )["joined"].select("l_orderkey", "l_suppkey", "l_returnflag")
+    ostats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__n_supp__"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("__n_r_supp__"),
+    )
+    r_lines = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    blamed = (
+        r_lines.join(
+            ostats.withColumnRenamed("l_orderkey", "__ok__"),
+            F.col("l_orderkey") == F.col("__ok__"),
+        )
+        .filter((F.col("__n_supp__") > 1) & (F.col("__n_r_supp__") == 1))
+        .select("l_orderkey", "l_suppkey")
+    )
+    supp = master_join(
+        _t(spark, sf, "nation").filter(
+            F.col("n_name").isin("NATION_1", "NATION_2")
+        ).select("n_nationkey"),
+        _t(spark, sf, "supplier").select("s_suppkey", "s_name", "s_nationkey"),
+        [("n_nationkey", "s_nationkey")],
+        strategy="broadcast",
+        unique_master=True,
+    )["joined"].select("s_suppkey", "s_name")
+    return master_join(
+        supp, blamed, [("s_suppkey", "l_suppkey")], strategy="broadcast",
+        unique_master=True,
+    )["joined"].groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+
+
 def q_cap_per_group(spark, sf):
     """Anti-dominance cap: at most 10 documents per source, selected by
     seed-stable hash order (deterministic reservoir)."""
@@ -2896,6 +3182,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "compaction_roundtrip": q_compaction_roundtrip,
         "streaming_dedup_ingest": q_streaming_dedup_ingest,
+        # round-5 session-3 additions: the remaining TPC-H composites
+        # expressible over the slim schema (q2/q9/q11/q16/q20 need the
+        # absent partsupp table).  New queries have no banked rows, so
+        # they take window slots ahead of the stale block.
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q8_market_share": q8_market_share,
+        "q12_late_priority_lines": q12_late_priority_lines,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
         # --- 2. stale-since-r01/r02 block (41) ---
         "similarity_ivf": q_similarity_ivf,
         "embedding_dup_clusters": q_embedding_dup_clusters,
@@ -3463,6 +3760,119 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= TIMESTAMP '2000-01-01')
             GROUP BY c_nationkey
+        """,
+        "q6_forecast_revenue": """
+            SELECT CAST(COALESCE(SUM(CAST(l_extendedprice * l_discount
+                                          AS DECIMAL(27,6))), 0) AS DOUBLE)
+                     AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "q8_market_share": """
+            SELECT o_year,
+                   COALESCE(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                                          THEN volume END) AS DOUBLE), 0)
+                     / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+                   CAST(SUM(volume) AS DOUBLE) AS total_volume
+            FROM (
+              SELECT year(o_orderdate) AS o_year,
+                     n2.n_name AS supp_nation,
+                     CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(27,6)) AS volume
+              FROM lineitem
+              JOIN part     ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation n2 ON n2.n_nationkey = s_nationkey
+              JOIN orders   ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation n1 ON n1.n_nationkey = c_nationkey
+              JOIN region   ON r_regionkey = n1.n_regionkey
+                           AND r_name = 'ASIA'
+            ) t
+            GROUP BY o_year
+        """,
+        "q12_late_priority_lines": """
+            SELECT l_linestatus,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+                     AS low_line_count
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_shipdate >= o_orderdate + INTERVAL 30 DAY
+            GROUP BY l_linestatus
+        """,
+        "q13_customer_distribution": """
+            SELECT c_count, COUNT(*) AS custdist
+            FROM (
+              SELECT c_custkey,
+                     COALESCE(cnt, 0) AS c_count
+              FROM customer
+              LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt
+                         FROM orders
+                         WHERE o_orderpriority <> '5-LOW'
+                         GROUP BY o_custkey) o
+                ON c_custkey = o_custkey
+            ) t
+            GROUP BY c_count
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(27,6))) AS DOUBLE)
+                       AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM supplier JOIN rev ON s_suppkey = l_suppkey
+            WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        """,
+        "q17_small_quantity_revenue": """
+            WITH li AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE p_brand = 'Brand#1' AND p_size < 10
+            ),
+            thr AS (
+              SELECT l_partkey,
+                     0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(27,2)))
+                                 AS DOUBLE) / COUNT(*)) AS t
+              FROM li GROUP BY l_partkey
+            )
+            SELECT CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(27,2))), 0)
+                        AS DOUBLE) / 7.0 AS avg_yearly,
+                   COUNT(*) AS n_lines
+            FROM li JOIN thr ON li.l_partkey = thr.l_partkey
+            WHERE l_quantity < thr.t
+        """,
+        "q21_waiting_suppliers": """
+            SELECT s_name, COUNT(*) AS numwait
+            FROM supplier
+            JOIN nation ON n_nationkey = s_nationkey
+                       AND n_name IN ('NATION_1', 'NATION_2')
+            JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+                            AND l1.l_returnflag = 'R'
+            JOIN orders ON o_orderkey = l1.l_orderkey
+                       AND o_orderstatus = 'F'
+            WHERE EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_returnflag = 'R')
+            GROUP BY s_name
         """,
         "q4_order_priority": """
             SELECT o_orderpriority, COUNT(*) AS order_count

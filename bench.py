@@ -65,6 +65,15 @@ HEADLINE = [
     "normalize_text",
     "bm25",
     "text_index_search",
+    # round-5 session-3 additions (appended): the remaining TPC-H
+    # composites expressible over the slim schema
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q12_late_priority_lines",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q21_waiting_suppliers",
 ]
 
 

