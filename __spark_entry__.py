@@ -1604,7 +1604,9 @@ def q15_top_supplier(spark, sf):
     return master_join(
         supp, winners, [("s_suppkey", "l_suppkey")], strategy="broadcast",
         unique_master=True,
-    )["joined"].select("s_suppkey", "s_name", "total_revenue")
+    )["joined"].select(
+        F.col("l_suppkey").alias("s_suppkey"), "s_name", "total_revenue"
+    )
 
 
 def q17_small_quantity_revenue(spark, sf):
@@ -1630,14 +1632,14 @@ def q17_small_quantity_revenue(spark, sf):
         strategy="broadcast",
         unique_master=True,
     )["joined"]
-    thr = li.groupBy("p_partkey").agg(
+    thr = li.groupBy("l_partkey").agg(
         (
             F.lit(0.2)
             * (_dsum(F.col("l_quantity"), 2) / F.count(F.lit(1)))
         ).alias("__thr__")
     )
-    small = li.join(F.broadcast(thr.withColumnRenamed("p_partkey", "__pk__")),
-                    F.col("p_partkey") == F.col("__pk__")).filter(
+    small = li.join(F.broadcast(thr.withColumnRenamed("l_partkey", "__pk__")),
+                    F.col("l_partkey") == F.col("__pk__")).filter(
         F.col("l_quantity") < F.col("__thr__")
     )
     return small.agg(
@@ -1701,6 +1703,192 @@ def q21_waiting_suppliers(spark, sf):
         supp, blamed, [("s_suppkey", "l_suppkey")], strategy="broadcast",
         unique_master=True,
     )["joined"].groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+
+
+def q_bloom_join(spark, sf):
+    """Bloom-prefiltered selective join: high-value orders (too big to
+    pretend-broadcast, selective vs the fact) pre-filter lineitem
+    through a broadcast hashed-bucket set BEFORE the shuffled exact
+    join.  The pre-filter admits false positives only, so the joined
+    port is byte-identical to the plain join — which is exactly what
+    the oracle states (DuckDB runs the straightforward join; agreement
+    proves the bloom path drops no true match)."""
+    from asakusafw_spark_spark.operators import bloom_prefilter
+
+    orders = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 250000).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    pre = bloom_prefilter(orders, li, [("o_orderkey", "l_orderkey")], buckets=1 << 16)
+    return master_join(
+        orders,
+        pre,
+        [("o_orderkey", "l_orderkey")],
+        strategy="shuffled",
+        unique_master=True,
+    )["joined"].select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "o_orderstatus",
+        "o_totalprice",
+    )
+
+
+def q_scd2_apply(spark, sf):
+    """SCD type-2 dimension build: each customer's orders (deduped to
+    one per order date) are successive versions of a customer-state
+    dimension — the earliest version is the open history, the rest
+    arrive as 'U' changes, and scd2_apply chains valid_from/valid_to
+    with one lead() window per key.  The oracle states the flattened
+    equivalent: lead(date) over (partition by customer order by date)
+    on the same deduped version set."""
+    from asakusafw_spark_spark.operators import scd2_apply
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf, "orders").select("o_custkey", "o_orderdate", "o_totalprice",
+                                       "o_orderkey")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy("o_orderkey")
+    versions = (
+        o.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderdate").alias("eff"),
+        )
+    )
+    wk = Window.partitionBy("k").orderBy("eff")
+    first = (
+        versions.withColumn("__vn__", F.row_number().over(wk))
+        .filter(F.col("__vn__") == 1)
+        .select(
+            "k",
+            "price",
+            F.col("eff").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    changes = (
+        versions.withColumn("__vn__", F.row_number().over(wk))
+        .filter(F.col("__vn__") > 1)
+        .select("k", "price", "eff", F.lit("U").alias("__op"))
+    )
+    out = scd2_apply(first, changes, "k", "eff")
+    return out.select("k", "price", "valid_from", "valid_to", "is_current")
+
+
+def q_incremental_agg(spark, sf):
+    """Incremental aggregate maintenance ≡ full recompute, cross-engine:
+    a deterministic churn (decimal-exact price bump on keys ≡0 mod 7,
+    deletes ≡0 mod 13, inserts cloned from keys ≡0 mod 17) produces a
+    change set via snapshot_diff(include_old=True); apply_agg_delta
+    folds it into the OLD per-status aggregate without touching the
+    base rows.  The oracle aggregates the NEW snapshot from scratch —
+    agreement proves maintained state is bit-identical to recompute."""
+    from asakusafw_spark_spark.operators import apply_agg_delta, snapshot_diff
+
+    old = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    bumped = F.round(
+        F.col("o_totalprice").cast("decimal(27,2)")
+        * F.lit("1.1").cast("decimal(3,1)"),
+        2,
+    ).cast("double")
+    new = (
+        old.filter(F.col("o_orderkey") % 13 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 7 == 0, bumped).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            old.filter(F.col("o_orderkey") % 17 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+    base = old.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,6)")).alias("sum_price"),
+    )
+    changes = snapshot_diff(old, new, "o_orderkey", include_old=True)
+    out = apply_agg_delta(base, changes, "o_orderstatus", {"sum_price": "o_totalprice"})
+    return out.select(
+        "o_orderstatus", "n", F.col("sum_price").cast("double").alias("sum_price")
+    )
+
+
+def q_streaming_incremental_agg(spark, sf):
+    """Materialized aggregate maintained THROUGH the streaming engine:
+    orders arrive as two micro-batches (availableNow file stream), each
+    folded into a per-status (count, decimal sum) state table by
+    apply_agg_delta — never rescanning prior batches.  Decimal addition
+    commutes and associates exactly, so the final state is batch-
+    -partition-independent and equals the one-shot full aggregate the
+    oracle computes."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from asakusafw_spark_spark.streaming import stream_agg_maintain
+
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    feed = tempfile.mkdtemp(prefix="aggfeed_")
+    for i, half in enumerate(
+        [orders.filter(F.col("o_orderkey") % 2 == 0),
+         orders.filter(F.col("o_orderkey") % 2 == 1)]
+    ):
+        stage = tempfile.mkdtemp(prefix="aggb_") + "/out"
+        half.coalesce(1).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dest = f"{feed}/{i:04d}.parquet"
+        shutil.copy(part, dest)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(
+            "o_orderkey long, o_orderstatus string, o_totalprice double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    target = tempfile.mkdtemp(prefix="aggstate_") + "/state"
+    stream_agg_maintain(
+        stream, target, "o_orderstatus", {"sum_price": "o_totalprice"},
+        tempfile.mkdtemp(prefix="ck_agg_"),
+        query_name="q_agg_" + os.path.basename(feed),
+    )
+    back = spark.read.parquet(target)
+    return back.select(
+        "o_orderstatus", "n", F.col("sum_price").cast("double").alias("sum_price")
+    )
+
+
+def q_zorder_roundtrip(spark, sf):
+    """Z-order clustering is content-lossless: lineitem re-written on a
+    Morton curve over (l_orderkey, l_extendedprice) reads back equal to
+    the pristine table (oracle: plain SELECT).  Layout — tight per-file
+    min/max on BOTH clustered columns — is asserted by the footer-stats
+    test; this query pins that re-clustering never perturbs data."""
+    import tempfile
+
+    from asakusafw_spark_spark.sources import write_zordered
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    target = tempfile.mkdtemp(prefix="zorder_") + "/li"
+    write_zordered(li, target, ["l_orderkey", "l_extendedprice"], bits=4,
+                   num_files=8)
+    return spark.read.parquet(target)
 
 
 def q_cap_per_group(spark, sf):
@@ -3187,6 +3375,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # absent partsupp table).  New queries have no banked rows, so
         # they take window slots ahead of the stale block.
         "q6_forecast_revenue": q6_forecast_revenue,
+        "bloom_join": q_bloom_join,
+        "scd2_apply": q_scd2_apply,
+        "incremental_agg": q_incremental_agg,
+        "streaming_incremental_agg": q_streaming_incremental_agg,
+        "zorder_roundtrip": q_zorder_roundtrip,
         "q8_market_share": q8_market_share,
         "q12_late_priority_lines": q12_late_priority_lines,
         "q13_customer_distribution": q13_customer_distribution,
@@ -3771,6 +3964,56 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate <  TIMESTAMP '1997-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24
+        """,
+        "bloom_join": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice,
+                   o_orderstatus, o_totalprice
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE o_totalprice > 250000
+        """,
+        "scd2_apply": """
+            WITH versions AS (
+              SELECT o_custkey AS k, o_totalprice AS price,
+                     o_orderdate AS eff
+              FROM (
+                SELECT o_custkey, o_orderdate, o_totalprice,
+                       row_number() OVER (
+                         PARTITION BY o_custkey, o_orderdate
+                         ORDER BY o_orderkey) AS rn
+                FROM orders
+              ) d WHERE rn = 1
+            )
+            SELECT k, price,
+                   eff AS valid_from,
+                   lead(eff) OVER (PARTITION BY k ORDER BY eff) AS valid_to,
+                   lead(eff) OVER (PARTITION BY k ORDER BY eff) IS NULL
+                     AS is_current
+            FROM versions
+        """,
+        "incremental_agg": """
+            WITH newsnap AS (
+              SELECT o_orderkey, o_orderstatus,
+                     CASE WHEN o_orderkey % 7 = 0
+                          THEN CAST(round(CAST(o_totalprice AS DECIMAL(27,2))
+                                          * 1.1, 2) AS DOUBLE)
+                          ELSE o_totalprice END AS p
+              FROM orders WHERE o_orderkey % 13 <> 0
+              UNION ALL
+              SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+              FROM orders WHERE o_orderkey % 17 = 0
+            )
+            SELECT o_orderstatus, COUNT(*) AS n,
+                   CAST(SUM(CAST(p AS DECIMAL(27,6))) AS DOUBLE) AS sum_price
+            FROM newsnap GROUP BY o_orderstatus
+        """,
+        "streaming_incremental_agg": """
+            SELECT o_orderstatus, COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                     AS sum_price
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "zorder_roundtrip": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         """,
         "q8_market_share": """
             SELECT o_year,

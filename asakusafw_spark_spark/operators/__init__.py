@@ -5,7 +5,16 @@ plus Spark-native extensions (windows / top-k / distinct / set ops) the
 reference lacks (SURVEY.md §2.8).
 """
 
-from .core import project, extend, restructure, checkpoint, confluent, snapshot_diff
+from .core import (
+    project,
+    extend,
+    restructure,
+    checkpoint,
+    confluent,
+    snapshot_diff,
+    scd2_apply,
+    apply_agg_delta,
+)
 from .record import extract, update, convert, branch, split, logging_op
 from .joins import (
     master_join,
@@ -13,6 +22,7 @@ from .joins import (
     master_branch,
     master_join_update,
     asof_join,
+    bloom_prefilter,
     range_join,
     MasterSelection,
 )
@@ -29,6 +39,10 @@ from .window import (
 __all__ = [
     "project",
     "snapshot_diff",
+    "scd2_apply",
+    "apply_agg_delta",
+    "scd2_apply",
+    "apply_agg_delta",
     "extend",
     "restructure",
     "checkpoint",
@@ -43,6 +57,7 @@ __all__ = [
     "master_branch",
     "master_join_update",
     "asof_join",
+    "bloom_prefilter",
     "range_join",
     "MasterSelection",
     "summarize",

@@ -103,6 +103,7 @@ def snapshot_diff(
     new: DataFrame,
     key: "str | list[str]",
     op_col: str = "__op",
+    include_old: bool = False,
 ) -> DataFrame:
     """Derive a CDC change set from two snapshots of the same dataset —
     the INVERSE of the ``merge_upsert`` sink: one row per changed key
@@ -117,6 +118,11 @@ def snapshot_diff(
 
     Column contract: both frames must share the (key + payload) schema;
     comparison is null-safe per column (NULL == NULL is "unchanged").
+
+    ``include_old=True`` additionally emits the BEFORE-image of every
+    payload column as ``__old_<c>`` (null on 'I' rows) — the input
+    contract of :func:`apply_agg_delta`, which needs old values to
+    subtract a changed row's prior contribution.
 
     Scale shape: one full-outer sort-merge join on the key — the
     textbook snapshot-diff cost (both sides shuffle once on the key;
@@ -170,8 +176,172 @@ def snapshot_diff(
         .alias(c)
         for c in payload
     ]
+    if include_old:
+        out_cols += [
+            F.when(F.col(op_col) == "I", F.lit(None))
+            .otherwise(F.col(f"__o_{c}"))
+            .alias(f"__old_{c}")
+            for c in payload
+        ]
     return (
         joined.withColumn(op_col, op)
         .filter(F.col(op_col).isNotNull())
         .select(*out_cols, F.col(op_col))
     )
+
+
+def scd2_apply(
+    history: DataFrame,
+    changes: DataFrame,
+    key: "str | list[str]",
+    effective_col: str,
+    op_col: str = "__op",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Apply a CDC change set to a slowly-changing-dimension TYPE-2
+    history: each change closes the key's open version at its effective
+    time and (for I/U) opens a new version — the standard
+    valid_from/valid_to/is_current dimension layout that lets fact
+    queries join "the dimension row as of the fact's timestamp" via
+    :func:`asof_join`.
+
+    ``history`` holds (key, payload, valid_from, valid_to,
+    is_current) rows — closed rows have a non-null ``valid_to`` and are
+    immutable.  ``changes`` holds (key, payload, effective, op) rows
+    with op ∈ {'I','U','D'} (``snapshot_diff`` output + a timestamp
+    works directly).  Multiple changes per key per batch are applied in
+    ``effective_col`` order; (key, effective) pairs must be unique.
+
+    Scale shape: closed history rows pass through UNTOUCHED (no
+    shuffle, no rewrite — at 100 TB the closed majority of a dimension
+    is never re-processed); only open rows ∪ changes take one key
+    shuffle, where a single ``lead()`` window per key chains the
+    versions: each version's ``valid_to`` is the next version's
+    ``valid_from``; 'D' changes participate as boundaries (they close
+    their predecessor) and are then dropped.  Output size = closed rows
+    + open rows + net new versions.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    payload = [
+        c
+        for c in history.columns
+        if c not in keys + [valid_from, valid_to, current_col]
+    ]
+    missing = [c for c in keys + payload + [effective_col, op_col]
+               if c not in changes.columns]
+    if missing:
+        raise ValueError(f"scd2_apply: changes missing columns {missing}")
+
+    closed = history.filter(F.col(valid_to).isNotNull())
+    open_rows = history.filter(F.col(valid_to).isNull()).select(
+        *keys,
+        *payload,
+        F.col(valid_from),
+        F.lit(False).alias("__tombstone__"),
+    )
+    chg = changes.select(
+        *keys,
+        *payload,
+        F.col(effective_col).alias(valid_from),
+        (F.col(op_col) == "D").alias("__tombstone__"),
+    )
+    seg = open_rows.unionByName(chg)
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(valid_from).asc())
+    chained = seg.withColumn(valid_to, F.lead(valid_from).over(w))
+    kept = chained.filter(~F.col("__tombstone__")).drop("__tombstone__")
+    versioned = kept.withColumn(current_col, F.col(valid_to).isNull())
+    return closed.select(
+        *keys, *payload, valid_from, valid_to, current_col
+    ).unionByName(
+        versioned.select(*keys, *payload, valid_from, valid_to, current_col)
+    )
+
+
+def apply_agg_delta(
+    base: DataFrame,
+    changes: DataFrame,
+    group_key: "str | list[str]",
+    sums: "dict[str, str]",
+    count_col: str = "n",
+    op_col: str = "__op",
+    old_prefix: str = "__old_",
+) -> DataFrame:
+    """Incremental aggregate maintenance: update a materialized
+    per-key (COUNT + decimal SUMs) aggregate from a CDC change set
+    WITHOUT rescanning the base table — cost ∝ churn, not table size.
+
+    ``base`` holds one row per group key with ``count_col`` and the
+    ``sums`` output columns (as produced by a previous full aggregate
+    or a previous delta application).  ``changes`` rows carry op ∈
+    {'I','U','D'}, the NEW payload, and for U/D the before-image in
+    ``old_prefix``-prefixed columns (``snapshot_diff(...,
+    include_old=True)`` emits exactly this).  ``sums`` maps output
+    column → source payload column.
+
+    Per group the delta is one map-side-combinable aggregate:
+    Δcount = ΣI − ΣD;  Δsum = Σ(I: +new, D: −old, U: new − old),
+    accumulated in exact decimal so delta-application is bit-identical
+    to a full recompute (the correctness contract: maintained ≡
+    recomputed, which the oracle checks).  Groups whose count reaches 0
+    vanish, new groups appear — a full-outer null-safe merge on the
+    slim (key → aggregates) frames, never touching base facts.
+
+    A change that MOVES a row across group keys must be expressed as
+    D(old group) + I(new group) — the snapshot_diff contract already
+    does this when the group key is part of the diff key.
+    """
+    keys = [group_key] if isinstance(group_key, str) else list(group_key)
+    # insert-only change feeds (append streams) carry no before-images;
+    # materialize the old columns as typed NULLs so the U/D branches
+    # resolve (they are never taken on 'I' rows)
+    for src in sums.values():
+        if old_prefix + src not in changes.columns:
+            changes = changes.withColumn(
+                old_prefix + src,
+                F.lit(None).cast(changes.schema[src].dataType),
+            )
+    is_i = F.col(op_col) == "I"
+    is_d = F.col(op_col) == "D"
+    dec = "decimal(27,6)"
+    aggs = [
+        F.sum(F.when(is_i, 1).when(is_d, -1).otherwise(0)).alias("__dn__")
+    ]
+    for out, src in sums.items():
+        new_v = F.col(src).cast(dec)
+        old_v = F.col(old_prefix + src).cast(dec)
+        aggs.append(
+            F.sum(
+                F.when(is_i, new_v)
+                .when(is_d, -old_v)
+                .otherwise(new_v - old_v)
+            ).alias(f"__ds_{out}__")
+        )
+    delta = changes.groupBy(*keys).agg(*aggs)
+
+    b = base.select(
+        *[F.col(k).alias(f"__bk_{k}") for k in keys],
+        F.col(count_col).alias("__bn__"),
+        *[F.col(out).cast(dec).alias(f"__bs_{out}__") for out in sums],
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"__bk_{k}").eqNullSafe(F.col(k))
+        cond = c if cond is None else (cond & c)
+    merged = b.join(delta, cond, "full_outer")
+    zero = F.lit(0)
+    n_new = F.coalesce(F.col("__bn__"), zero) + F.coalesce(F.col("__dn__"), zero)
+    out_cols = [
+        F.coalesce(F.col(k), F.col(f"__bk_{k}")).alias(k) for k in keys
+    ] + [n_new.cast("long").alias(count_col)] + [
+        (
+            F.coalesce(F.col(f"__bs_{out}__"), F.lit(0).cast(dec))
+            + F.coalesce(F.col(f"__ds_{out}__"), F.lit(0).cast(dec))
+        ).alias(out)
+        for out in sums
+    ]
+    return merged.select(*out_cols).filter(F.col(count_col) > 0)

@@ -607,3 +607,56 @@ def range_join(
         where=bounds[inclusive],
     )
     return master_join(master, tx, key, selection=sel, strategy=strategy)
+
+
+def bloom_prefilter(
+    master: DataFrame,
+    tx: DataFrame,
+    key: Sequence[str] | Sequence[tuple[str, str]],
+    buckets: int = 1 << 22,
+) -> DataFrame:
+    """Approximate membership pre-filter for a selective join: drop tx
+    rows whose key hash-bucket contains NO master key, BEFORE the
+    exact join shuffles the fact.
+
+    The middle ground the strategy picker lacks: a master too big to
+    broadcast as ROWS but whose key fingerprint fits — e.g. 50M keys at
+    100 TB don't broadcast, but their 4M-bucket hash bitmap does.  The
+    filter is a k=1 Bloom filter built from Spark native pieces: hash
+    master keys into ``pmod(xxhash64(keys), buckets)``, ``distinct``
+    the bucket ids (≤ ``buckets`` rows ≈ 8 bytes each), broadcast that
+    slim set, and LEFT-SEMI join the fact on its hashed key — whole-
+    stage-codegen end to end, no Python, no UDF, and the fact is
+    filtered at SCAN altitude so the expensive key shuffle moves only
+    probable matches.
+
+    EXACTNESS: false POSITIVES only (rate ≈ n_master_keys / buckets for
+    distinct keys; size ``buckets`` ≥ ~8× expected keys).  The filtered
+    tx is a superset of the join's hit set, so a subsequent
+    ``master_join(...)["joined"]`` is byte-identical with or without
+    the pre-filter.  The "missed" port is NOT preserved — rows dropped
+    here are exactly (a superset of) the missed rows; compute misses
+    against the unfiltered tx.
+
+    Reference parity: the reference's broadcast decision is static
+    (TINY ≤ 20 MiB, compiler/.../graph/BroadcastKind); this node covers
+    the dimension-too-big-for-TINY case its shuffled path pays full
+    price for.
+    """
+    pairs = [(k, k) if isinstance(k, str) else tuple(k) for k in key]
+    if not pairs:
+        raise ValueError("bloom_prefilter: key must be non-empty")
+    mkeys = [p[0] for p in pairs]
+    tkeys = [p[1] for p in pairs]
+    mbucket = F.pmod(F.xxhash64(*[F.col(c) for c in mkeys]), F.lit(buckets))
+    tbucket = F.pmod(F.xxhash64(*[F.col(c) for c in tkeys]), F.lit(buckets))
+    bucket_set = master.select(mbucket.alias("__bloom_bucket__")).distinct()
+    return (
+        tx.withColumn("__tb__", tbucket)
+        .join(
+            F.broadcast(bucket_set),
+            F.col("__tb__") == F.col("__bloom_bucket__"),
+            "left_semi",
+        )
+        .drop("__tb__")
+    )

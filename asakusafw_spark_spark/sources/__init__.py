@@ -11,6 +11,7 @@ from .write import (
     merge_upsert,
     recover_merge,
     compact_files,
+    write_zordered,
 )
 
 __all__ = [
@@ -25,4 +26,5 @@ __all__ = [
     "merge_upsert",
     "recover_merge",
     "compact_files",
+    "write_zordered",
 ]

@@ -78,6 +78,22 @@ class HadoopFs:
         finally:
             out.close()
 
+    def read_text(self, p: str, max_bytes: int = 1 << 16) -> str:
+        """Read a small control file.  Needed for ``_``-prefixed markers,
+        which Hadoop's FileInputFormat (and so ``wholeTextFiles``)
+        silently filters as hidden."""
+        inp = self._fs.open(self._jpath(p))
+        try:
+            buf = bytearray()
+            while len(buf) < max_bytes:
+                b = inp.read()
+                if b < 0:
+                    break
+                buf.append(b)
+            return buf.decode("utf-8")
+        finally:
+            inp.close()
+
     def glob(self, pattern: str) -> list[str]:
         """Paths matching a Hadoop glob (``*``, ``?``, ``[abc]``,
         ``{a,b}`` — FileSystem.globStatus semantics)."""
@@ -667,6 +683,17 @@ def compact_files(
     df = spark.read.format(format).load(base)
     staging = f"{base}__compact_{int(time.time() * 1000)}"
     df.repartition(n_files).write.format(format).mode("overwrite").save(staging)
+    _atomic_swap(fs, base, staging)
+    return n_files
+
+
+def _atomic_swap(fs: HadoopFs, base: str, staging: str) -> None:
+    """Swap ``staging`` over ``base`` with the park-restore crash
+    contract shared by compact_files/merge_upsert: the live dir parks
+    to an ``__old_*`` sibling first; a failed swap restores it and
+    leaves staging for retry; only success deletes the parked copy."""
+    import time
+
     old = f"{base}__old_{int(time.time() * 1000)}"
     fs.rename(base, old)
     try:
@@ -675,4 +702,93 @@ def compact_files(
         fs.rename(old, base)  # restore — staging left for retry
         raise
     fs.delete(old)
-    return n_files
+
+
+def _quantile_bucket_expr(v, cuts: "list[float]", base: int = 0):
+    """Branchless-depth bucket lookup: a binary-search CASE tree over
+    sorted cut points — log2(len(cuts)) comparisons per row, all
+    whole-stage-codegen (vs a linear 2^bits-arm when-chain).  NULL
+    values fall through every comparison into bucket 0."""
+    if not cuts:
+        return F.lit(base)
+    mid = len(cuts) // 2
+    return (
+        F.when(
+            v > F.lit(cuts[mid]),
+            _quantile_bucket_expr(v, cuts[mid + 1:], base + mid + 1),
+        ).otherwise(_quantile_bucket_expr(v, cuts[:mid], base))
+    )
+
+
+def write_zordered(
+    df,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 6,
+    num_files: int = 32,
+    format: str = "parquet",
+) -> None:
+    """Write ``df`` clustered on a Z-ORDER (Morton) curve over ``cols``
+    so parquet min/max statistics prune files for predicates on ANY of
+    the clustered columns — the multi-dimensional generalization of
+    sort-by-one-column layout.
+
+    Why it matters at 100 TB: a dataset sorted on ``col_a`` skips
+    nothing for a ``col_b`` filter; linearizing the (a, b, …) space on
+    an interleaved-bit curve gives every clustered column locality ∝
+    2^-bits per file, so a selective filter on any one of them reads a
+    small fraction of files (verified by the footer-stats test).
+
+    Mechanics — all JVM-side, one pass over the data plus one bounded
+    driver round-trip per column:
+
+    1. per column, 2^bits − 1 approx-quantile cut points (driver
+       receives ≤ 63 doubles/column at the default ``bits=6`` —
+       MapBroadcast-bounded like the IVF quantizer sample); quantile
+       (not linear) bucketing keeps the curve balanced under skew;
+    2. per row, bucket ids via a binary-search CASE tree
+       (log2 comparisons, codegen) interleaved into the Morton key
+       with shift/or arithmetic — no UDF;
+    3. ``repartitionByRange`` on the key (range exchange ⇒ files tile
+       the curve) + ``sortWithinPartitions`` ⇒ tight per-file min/max
+       on every clustered column.
+
+    The write is atomic when ``path`` already exists (staging +
+    park-and-swap, same contract as :func:`compact_files`); content is
+    byte-identical to the input — layout is the ONLY thing that
+    changes (the roundtrip oracle checks exactly this).
+    """
+    spark = df.sparkSession
+    n_buckets = 1 << bits
+    fractions = [i / n_buckets for i in range(1, n_buckets)]
+    zcols = []
+    for c in cols:
+        cuts = df.stat.approxQuantile(c, fractions, 1.0 / (4 * n_buckets))
+        # de-dup plateaus (heavy ties) so the CASE tree stays strict
+        uniq: list[float] = []
+        for x in cuts:
+            if not uniq or x > uniq[-1]:
+                uniq.append(x)
+        zcols.append(_quantile_bucket_expr(F.col(c).cast("double"), uniq))
+    ncols = len(zcols)
+    z = F.lit(0)
+    for j, b in enumerate(zcols):
+        for i in range(bits):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * ncols + j))
+    ordered = (
+        df.withColumn("__z__", z)
+        .repartitionByRange(num_files, F.col("__z__"))
+        .sortWithinPartitions("__z__")
+        .drop("__z__")
+    )
+    base = path.rstrip("/")
+    fs = HadoopFs(spark, base)
+    if fs.exists(base):
+        import time
+
+        staging = f"{base}__zorder_{int(time.time() * 1000)}"
+        ordered.write.format(format).mode("overwrite").save(staging)
+        _atomic_swap(fs, base, staging)
+    else:
+        ordered.write.format(format).mode("overwrite").save(base)

@@ -12,6 +12,7 @@ from .stream import (
     stream_to_direct_output,
     stream_merge_upsert,
     stream_dedup_ingest,
+    stream_agg_maintain,
     run_available_now,
 )
 
@@ -25,5 +26,6 @@ __all__ = [
     "stream_to_direct_output",
     "stream_merge_upsert",
     "stream_dedup_ingest",
+    "stream_agg_maintain",
     "run_available_now",
 ]

@@ -437,3 +437,116 @@ def stream_dedup_ingest(
         q.awaitTermination()
         return q
     return w.start()
+
+
+def stream_agg_maintain(
+    stream_df: DataFrame,
+    target_path: str,
+    group_key: "Sequence[str] | str",
+    sums: "dict[str, str]",
+    checkpoint_dir: str,
+    op_col: "str | None" = None,
+    count_col: str = "n",
+    format: str = "parquet",
+    query_name: str = "agg_maintain",
+    available_now: bool = True,
+):
+    """Streaming MATERIALIZED AGGREGATE: every micro-batch folds into a
+    per-key (COUNT + decimal SUM) state table at ``target_path`` via
+    :func:`~...operators.core.apply_agg_delta` — the streaming face of
+    incremental view maintenance.  Append-only streams need no op
+    column (every row is an 'I'); CDC streams pass ``op_col`` with
+    before-images per the apply_agg_delta contract, letting updates and
+    deletes REVISE the aggregate — something watermark-windowed
+    streaming aggregation fundamentally cannot do.
+
+    Why not ``groupBy().agg()`` on the stream?  Complete-mode streaming
+    aggregation holds every group in executor state and rewrites the
+    whole result each trigger; this sink's state lives in a parquet
+    table of one slim row per group, each batch costs one
+    churn-proportional delta aggregate + one full-outer merge on the
+    (small) state frame, and the state is directly queryable between
+    batches like any other table.
+
+    Exactly-once: delta application is NOT idempotent (unlike
+    merge_upsert), so each state version carries the
+    ``<checkpoint>:<batch id>`` that produced it in a ``_last_batch``
+    marker INSIDE the state dir — data and marker swap atomically
+    together, and a replayed batch (same checkpoint lineage, id ≤
+    marker) is skipped; a NEW query over existing state starts a new
+    lineage and is never skipped.  Batch-order independence holds
+    because decimal addition commutes and associates exactly.
+    """
+    from ..operators.core import apply_agg_delta
+    from ..sources.write import HadoopFs, _atomic_swap
+
+    keys = [group_key] if isinstance(group_key, str) else list(group_key)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        base = target_path.rstrip("/")
+        fs = HadoopFs(spark, base)
+        exists = fs.exists(base)
+        # marker = "<checkpoint lineage>:<batch id>" — batch ids restart
+        # at 0 for every checkpoint, so the skip applies only to replays
+        # WITHIN the same checkpoint lineage, never to a new query
+        # resuming over existing state
+        lineage = checkpoint_dir.rstrip("/")
+        if exists and fs.exists(f"{base}/_last_batch"):
+            try:
+                last_lineage, _, last_id = fs.read_text(
+                    f"{base}/_last_batch"
+                ).strip().rpartition(":")
+                if last_lineage == lineage and batch_id <= int(last_id):
+                    return  # replayed batch — already folded in
+            except Exception:
+                pass  # unreadable marker: fall through and apply
+        changes = (
+            batch_df if op_col is not None
+            else batch_df.withColumn("__op", F.lit("I"))
+        )
+        if exists:
+            state = spark.read.format(format).load(base)
+            data_cols = [c for c in state.columns]
+            new_state = apply_agg_delta(
+                state.select(*data_cols), changes, keys, sums,
+                count_col=count_col,
+                op_col=op_col or "__op",
+            )
+        else:
+            dec = "decimal(27,6)"
+            empty = spark.createDataFrame(
+                [],
+                changes.select(
+                    *keys,
+                    F.lit(0).cast("long").alias(count_col),
+                    *[F.lit(0).cast(dec).alias(o) for o in sums],
+                ).schema,
+            )
+            new_state = apply_agg_delta(
+                empty, changes, keys, sums,
+                count_col=count_col, op_col=op_col or "__op",
+            )
+        import time
+
+        staging = f"{base}__agg_{int(time.time() * 1000)}"
+        new_state.write.format(format).mode("overwrite").save(staging)
+        fs.write_text(f"{staging}/_last_batch", f"{lineage}:{batch_id}")
+        if fs.exists(base):
+            _atomic_swap(fs, base, staging)
+        else:
+            fs.rename(staging, base)
+
+    w = (
+        stream_df.writeStream.outputMode("append")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+    )
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return w.start()

@@ -177,3 +177,109 @@ def test_snapshot_diff_classifies_and_roundtrips(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="schema"):
         snapshot_diff(old, new.drop("v"), "k")
+
+
+def test_scd2_apply_versions_and_closes(spark):
+    """SCD2: changes close the open version at their effective time and
+    open a new one; deletes close without a successor; closed history
+    passes through untouched; multiple same-batch changes chain."""
+    from asakusafw_spark_spark.operators import scd2_apply
+
+    history = spark.createDataFrame(
+        [
+            # k=1: one closed + one open version
+            (1, "v1", "2020-01-01", "2021-01-01", False),
+            (1, "v2", "2021-01-01", None, True),
+            # k=2: open only (will be deleted)
+            (2, "x1", "2020-06-01", None, True),
+            # k=3: untouched open row
+            (3, "y1", "2020-01-01", None, True),
+        ],
+        "k long, val string, valid_from string, valid_to string, is_current boolean",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "v3", "2022-01-01", "U"),
+            (1, "v4", "2022-06-01", "U"),   # same batch, later change
+            (2, None, "2022-01-01", "D"),
+            (4, "z1", "2022-01-01", "I"),
+        ],
+        "k long, val string, eff string, __op string",
+    )
+    out = scd2_apply(history, changes, "k", "eff")
+    rows = {(r["k"], r["valid_from"]): r for r in out.collect()}
+
+    # k=1: closed row untouched; v2 closed at 2022-01-01; v3 closed at
+    # v4's effective time; v4 current
+    assert rows[(1, "2020-01-01")]["valid_to"] == "2021-01-01"
+    assert rows[(1, "2021-01-01")]["valid_to"] == "2022-01-01"
+    assert rows[(1, "2022-01-01")]["valid_to"] == "2022-06-01"
+    assert rows[(1, "2022-06-01")]["valid_to"] is None
+    assert rows[(1, "2022-06-01")]["is_current"]
+    assert not rows[(1, "2022-01-01")]["is_current"]
+    # k=2: closed by the delete, no successor
+    assert rows[(2, "2020-06-01")]["valid_to"] == "2022-01-01"
+    assert (2, "2022-01-01") not in rows
+    # k=3 untouched, k=4 inserted current
+    assert rows[(3, "2020-01-01")]["valid_to"] is None
+    assert rows[(4, "2022-01-01")]["is_current"]
+    assert len(rows) == 7  # 4 versions of k=1 + one each of k=2,3,4
+
+    # asof semantics hold: exactly one version covers any instant
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="missing columns"):
+        scd2_apply(history, changes.drop("val"), "k", "eff")
+
+
+def test_apply_agg_delta_matches_full_recompute(spark):
+    """Incremental aggregate maintenance ≡ full recompute, including
+    group birth (I into a new key), group death (count → 0), NULL group
+    keys, and U deltas needing the before-image."""
+    from asakusafw_spark_spark.operators import apply_agg_delta, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, None, 5.0)],
+        "k long, g string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 15.0), (3, "b", 30.0), (4, None, 6.0), (5, "c", 50.0)],
+        "k long, g string, v double",
+    )
+    base = old.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(27,6)")).alias("sum_v"),
+    )
+    changes = snapshot_diff(old, new, "k", include_old=True)
+    got = apply_agg_delta(base, changes, "g", {"sum_v": "v"})
+    want = new.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(27,6)")).alias("sum_v"),
+    )
+    gt = sorted(map(tuple, got.select("g", "n", F.col("sum_v").cast("double")).collect()),
+                key=lambda t: (t[0] is None, t))
+    wt = sorted(map(tuple, want.select("g", "n", F.col("sum_v").cast("double")).collect()),
+                key=lambda t: (t[0] is None, t))
+    assert gt == wt
+
+    # a group-key change must arrive as D+I (the documented contract):
+    # diffing WITH g in the key expresses the move that way
+    moved = spark.createDataFrame(
+        [(1, "b", 15.0), (3, "b", 30.0), (4, None, 6.0), (5, "c", 50.0)],
+        "k long, g string, v double",
+    )
+    ch2 = snapshot_diff(
+        new.withColumn("kk", F.concat_ws("|", "k", "g")),
+        moved.withColumn("kk", F.concat_ws("|", "k", "g")),
+        "kk",
+        include_old=True,
+    ).drop("kk")
+    got2 = apply_agg_delta(got, ch2, "g", {"sum_v": "v"})
+    want2 = moved.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(27,6)")).alias("sum_v"),
+    )
+    g2 = sorted(map(tuple, got2.select("g", "n", F.col("sum_v").cast("double")).collect()),
+                key=lambda t: (t[0] is None, t))
+    w2 = sorted(map(tuple, want2.select("g", "n", F.col("sum_v").cast("double")).collect()),
+                key=lambda t: (t[0] is None, t))
+    assert g2 == w2

@@ -437,3 +437,59 @@ def test_compact_files_reduces_count_and_preserves_content(spark, sf_dir, tmp_pa
     assert got == want
     # no debris left behind
     assert not g.glob(f"{target}__old_*") and not g.glob(f"{target}__compact_*")
+
+
+def test_write_zordered_preserves_content_and_clusters(spark, sf_dir, tmp_path):
+    """Z-order write is content-lossless, and per-file min/max ranges on
+    EVERY clustered column are tight: the summed fraction of the value
+    domain covered per file is well under 1.0 (a random/unsorted layout
+    covers ~the whole domain in every file), so parquet row-group
+    pruning can skip files for predicates on either column."""
+    import pyarrow.parquet as pq
+
+    from asakusafw_spark_spark.sources import write_zordered
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    out = str(tmp_path / "zli")
+    write_zordered(li, out, ["l_orderkey", "l_extendedprice"], bits=4, num_files=8)
+
+    back = spark.read.parquet(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, li.collect()))
+
+    import glob as _glob
+
+    files = sorted(_glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) > 1
+    lo_k, hi_k = (
+        li.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    )
+    lo_p, hi_p = (
+        li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).first()
+    )
+
+    def coverage(col, lo, hi):
+        total = 0.0
+        for f in files:
+            md = pq.read_metadata(f)
+            fmin, fmax = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        mn, mx = c.statistics.min, c.statistics.max
+                        fmin = mn if fmin is None else min(fmin, mn)
+                        fmax = mx if fmax is None else max(fmax, mx)
+            total += (fmax - fmin) / (hi - lo)
+        return total / len(files)
+
+    # with 4 bits × 2 cols over 8 files, each file should span a small
+    # fraction of each column's domain; unsorted layout would be ~1.0
+    assert coverage("l_orderkey", lo_k, hi_k) < 0.6
+    assert coverage("l_extendedprice", lo_p, hi_p) < 0.6
+
+    # atomic re-cluster over an existing dataset (park-and-swap path)
+    write_zordered(back, out, ["l_partkey"], bits=4, num_files=4)
+    again = spark.read.parquet(out)
+    assert again.count() == li.count()

@@ -375,3 +375,53 @@ def test_where_path_max_candidates_bounds_blowup_documented_approx(spark):
     joined = {r.tts: r.px for r in out["joined"].collect()}
     assert joined == {99: 99.0, 98: 98.0}  # within the kept window: exact
     assert {r.tts for r in out["missed"].collect()} == {0}  # outside: missed
+
+
+def test_bloom_prefilter_exact_hit_set_and_plan(spark, sf_dir):
+    """The pre-filter keeps a superset of matching rows, so the joined
+    port is identical with and without it; the filter itself is one
+    broadcast LEFT-SEMI on a distinct bucket set — no Python, no extra
+    shuffle on the fact side."""
+    from asakusafw_spark_spark.operators import bloom_prefilter, master_join
+    from asakusafw_spark_spark.plans import assert_scale_safe
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_totalprice") > 250000
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    filtered = bloom_prefilter(orders, li, [("o_orderkey", "l_orderkey")])
+    # superset of true matches, subset of the fact
+    n_match = li.join(
+        orders.select("o_orderkey").distinct(),
+        li.l_orderkey == orders.o_orderkey,
+    ).count()
+    assert n_match <= filtered.count() <= li.count()
+
+    with_f = master_join(
+        orders, filtered, [("o_orderkey", "l_orderkey")],
+        strategy="shuffled", unique_master=True,
+    )["joined"]
+    without = master_join(
+        orders, li, [("o_orderkey", "l_orderkey")],
+        strategy="shuffled", unique_master=True,
+    )["joined"]
+    cols = sorted(with_f.columns)
+    assert sorted(map(tuple, with_f.select(*cols).collect())) == sorted(
+        map(tuple, without.select(*cols).collect())
+    )
+
+    s = assert_scale_safe(filtered, max_python_stages=0)
+    assert "BroadcastHashJoin" in s["joins"]
+
+    # tiny bucket space: still exact after the real join
+    tight = bloom_prefilter(orders, li, [("o_orderkey", "l_orderkey")], buckets=64)
+    with_t = master_join(
+        orders, tight, [("o_orderkey", "l_orderkey")],
+        strategy="shuffled", unique_master=True,
+    )["joined"]
+    assert with_t.count() == without.count()
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-empty"):
+        bloom_prefilter(orders, li, [])

@@ -294,3 +294,84 @@ def test_stream_dedup_ingest_appends_only_survivors(spark, sf_dir, tmp_path):
     )
     assert streamed_ids == batch_ids
     assert 0 < len(streamed_ids) < batch.count()  # some docs were dropped
+
+
+def test_stream_agg_maintain_incremental_state(spark, tmp_path):
+    """Micro-batched incremental aggregate: two append batches fold into
+    the state table one at a time; final state equals the full
+    aggregate of all rows; a CDC batch with before-images then REVISES
+    the aggregate (the thing windowed streaming agg cannot do); a
+    replayed batch id is skipped (marker idempotence)."""
+    import glob as g
+    import shutil
+    import time as _t
+
+    from asakusafw_spark_spark.streaming import stream_agg_maintain
+
+    target = str(tmp_path / "agg_state")
+    src = tmp_path / "feed"
+    src.mkdir()
+    b1 = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("b", 5.0)], "g string, v double"
+    )
+    b2 = spark.createDataFrame(
+        [("a", 1.0), ("c", 7.0)], "g string, v double"
+    )
+    for i, b in enumerate([b1, b2]):
+        stage = tmp_path / f"s{i}"
+        b.coalesce(1).write.parquet(str(stage))
+        shutil.copy(
+            g.glob(f"{stage}/part-*.parquet")[0], src / f"{i:04d}.parquet"
+        )
+        _t.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("g string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    stream_agg_maintain(
+        stream, target, "g", {"sum_v": "v"}, str(tmp_path / "ck_agg"),
+        query_name="t_agg_maintain",
+    )
+    state = {
+        r["g"]: (r["n"], float(r["sum_v"]))
+        for r in spark.read.parquet(target).collect()
+    }
+    assert state == {"a": (3, 31.0), "b": (1, 5.0), "c": (1, 7.0)}
+
+    # CDC revision: delete one 'a' row (v=20), update the b row 5→8
+    from asakusafw_spark_spark.streaming.stream import stream_agg_maintain as sam
+    cdc = spark.createDataFrame(
+        [("a", 20.0, 20.0, "D"), ("b", 8.0, 5.0, "U")],
+        "g string, v double, __old_v double, __op string",
+    )
+    src2 = tmp_path / "feed2"
+    src2.mkdir()
+    stage = tmp_path / "s_cdc"
+    cdc.coalesce(1).write.parquet(str(stage))
+    shutil.copy(g.glob(f"{stage}/part-*.parquet")[0], src2 / "0000.parquet")
+    stream2 = (
+        spark.readStream.schema(
+            "g string, v double, __old_v double, __op string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src2))
+    )
+    sam(
+        stream2, target, "g", {"sum_v": "v"}, str(tmp_path / "ck_agg2"),
+        op_col="__op", query_name="t_agg_maintain2",
+    )
+    state2 = {
+        r["g"]: (r["n"], float(r["sum_v"]))
+        for r in spark.read.parquet(target).collect()
+    }
+    assert state2 == {"a": (2, 11.0), "b": (1, 8.0), "c": (1, 7.0)}
+
+    # marker carries the producing checkpoint lineage + batch id, so a
+    # WITHIN-lineage replay is skipped but a new query never is
+    from asakusafw_spark_spark.sources.write import HadoopFs
+    fs = HadoopFs(spark, target)
+    marker = fs.read_text(f"{target}/_last_batch").strip()
+    assert marker.endswith(":0")  # second run's availableNow batch 0
+    assert "ck_agg2" in marker

@@ -68,6 +68,11 @@ def main() -> int:
         json_out = args[1]
         args = args[2:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    if sf_dir.startswith("-"):
+        # a typo'd flag silently becoming the sf dir once made the whole
+        # sweep a 0-query no-op that still printed "N/N green"
+        raise SystemExit(f"verify_local: unknown flag {sf_dir!r} "
+                         "(usage: verify_local.py [--json OUT] [sf_dir] [query ...])")
     only = set(args[1:])
 
     import __spark_entry__ as entry_mod
@@ -84,6 +89,9 @@ def main() -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        raise SystemExit(f"verify_local: unknown queries {sorted(unknown)}")
     failures = []
     report: dict = {}
     for name, fn in qs.items():
@@ -141,7 +149,11 @@ def main() -> int:
         else:
             print(f"OK   {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} green")
+    # count what actually RAN — the old len(qs)-based footer printed
+    # "N/N green" even when a filter matched nothing and zero queries ran
+    ran = len(report)
+    print(f"\n{ran - len(failures)}/{ran} green "
+          f"({len(qs)} registered{'' if ran == len(qs) else ', FILTERED RUN'})")
     if json_out:
         import json as _json
 
