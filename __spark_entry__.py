@@ -1872,6 +1872,28 @@ def q_streaming_incremental_agg(spark, sf):
     )
 
 
+def q_constraint_report(spark, sf):
+    """Data-quality constraint suite over lineitem: every row-local
+    check (not-null, accepted values, range) folds into ONE scan-stage
+    aggregate; key uniqueness is one groupBy; referential integrity to
+    orders is one left-anti equi-join.  The report is (constraint,
+    violations) — the oracle recomputes each count with plain SQL and
+    UNION ALL."""
+    from asakusafw_spark_spark.functions import check_constraints
+
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    return check_constraints(
+        li,
+        not_null=["l_orderkey", "l_linenumber"],
+        unique=[["l_orderkey", "l_linenumber"]],
+        accepted_values={"l_returnflag": ["A", "N"]},  # 'R' rows violate
+        ranges={"l_discount": (0.0, 0.05)},            # > .05 violates
+        where={"qty_cap": F.col("l_quantity") <= 45},
+        foreign_keys=[("l_orderkey", orders, "o_orderkey")],
+    )
+
+
 def q_zorder_roundtrip(spark, sf):
     """Z-order clustering is content-lossless: lineitem re-written on a
     Morton curve over (l_orderkey, l_extendedprice) reads back equal to
@@ -3372,13 +3394,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_ingest": q_streaming_dedup_ingest,
         # round-5 session-3 additions: the remaining TPC-H composites
         # expressible over the slim schema (q2/q9/q11/q16/q20 need the
-        # absent partsupp table).  New queries have no banked rows, so
-        # they take window slots ahead of the stale block.
+        # absent partsupp table), the bloom-prefiltered join, the CDC
+        # warehouse loop (SCD2, incremental agg, its streaming face),
+        # and the z-order layout roundtrip.  New queries have no banked
+        # rows, so they take window slots ahead of the stale block —
+        # with ~43 never-driver-checked entries in block 1 only the
+        # first few stale-since-r02 queries also fit this round; the
+        # committed LOCAL_VERIFY artifacts cover the full registry.
         "q6_forecast_revenue": q6_forecast_revenue,
         "bloom_join": q_bloom_join,
         "scd2_apply": q_scd2_apply,
         "incremental_agg": q_incremental_agg,
         "streaming_incremental_agg": q_streaming_incremental_agg,
+        "constraint_report": q_constraint_report,
         "zorder_roundtrip": q_zorder_roundtrip,
         "q8_market_share": q8_market_share,
         "q12_late_priority_lines": q12_late_priority_lines,
@@ -4011,6 +4039,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
                      AS sum_price
             FROM orders GROUP BY o_orderstatus
+        """,
+        "constraint_report": """
+            SELECT 'not_null(l_orderkey)' AS constraint,
+                   CAST(COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT)
+                     AS violations FROM lineitem
+            UNION ALL
+            SELECT 'not_null(l_linenumber)',
+                   CAST(COUNT(*) FILTER (WHERE l_linenumber IS NULL) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'accepted_values(l_returnflag)',
+                   CAST(COUNT(*) FILTER (WHERE l_returnflag IS NOT NULL
+                        AND l_returnflag NOT IN ('A', 'N')) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'range(l_discount)',
+                   CAST(COUNT(*) FILTER (WHERE l_discount IS NOT NULL
+                        AND l_discount NOT BETWEEN 0.0 AND 0.05) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'where(qty_cap)',
+                   CAST(COUNT(*) FILTER (
+                        WHERE NOT COALESCE(l_quantity <= 45, FALSE)) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'unique(l_orderkey,l_linenumber)',
+                   CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+            FROM (SELECT COUNT(*) AS n FROM lineitem
+                  GROUP BY l_orderkey, l_linenumber) g
+            WHERE n > 1
+            UNION ALL
+            SELECT 'foreign_key(l_orderkey->o_orderkey)',
+                   CAST(COUNT(*) AS BIGINT)
+            FROM lineitem
+            WHERE l_orderkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_orderkey = l_orderkey)
         """,
         "zorder_roundtrip": """
             SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem

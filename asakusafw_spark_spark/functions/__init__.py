@@ -70,6 +70,7 @@ from .sampling import (
 )
 from .stats import winsorize, quantile_bucket
 from .events import funnel, retention
+from .quality import check_constraints, assert_constraints
 from .multimodal import (
     MEDIA_SCHEMA,
     extract_features,
@@ -85,6 +86,8 @@ from .png_codec import (
 )
 
 __all__ = [
+    "check_constraints",
+    "assert_constraints",
     "F",
     "tokens",
     "token_count",

@@ -74,6 +74,10 @@ HEADLINE = [
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q21_waiting_suppliers",
+    "bloom_join",
+    "scd2_apply",
+    "incremental_agg",
+    "constraint_report",
 ]
 
 

@@ -419,3 +419,61 @@ def test_retention_cohort_matrix(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         retention(df, period="fortnight")
+
+
+def test_check_constraints_one_pass_and_all_kinds(spark):
+    """Every constraint kind reports correct violation counts; all
+    row-local checks share ONE scan (a single aggregate, no join); the
+    gate form raises listing only violated constraints."""
+    import pytest as _pytest
+
+    from asakusafw_spark_spark.functions import (
+        assert_constraints,
+        check_constraints,
+    )
+    from asakusafw_spark_spark.plans import assert_scale_safe
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 5.0, 10),
+            (2, "b", -1.0, 20),     # range violation
+            (2, "zz", 3.0, None),   # dup key, bad value, null ref
+            (None, "a", None, 99),  # null key, null v passes range, orphan ref
+        ],
+        "k long, cat string, v double, ref long",
+    )
+    ref = spark.createDataFrame([(10,), (20,)], "r long")
+    rep = {
+        r["constraint"]: r["violations"]
+        for r in check_constraints(
+            df,
+            not_null=["k"],
+            unique=[["k"]],
+            accepted_values={"cat": ["a", "b"]},
+            ranges={"v": (0.0, 100.0)},
+            where={"v_lt_ref": F.col("v") < F.col("ref")},
+            foreign_keys=[("ref", ref, "r")],
+        ).collect()
+    }
+    assert rep == {
+        "not_null(k)": 1,
+        "unique(k)": 1,          # one row beyond the first for k=2
+        "accepted_values(cat)": 1,
+        "range(v)": 1,
+        "where(v_lt_ref)": 2,    # null v and null ref → predicate null → violation
+        "foreign_key(ref->r)": 1,
+    }
+
+    # row-local-only suite: exactly one aggregate over one scan, no join
+    s = assert_scale_safe(
+        check_constraints(
+            df, not_null=["k", "cat"], ranges={"v": (0, 1)},
+            accepted_values={"cat": ["a"]},
+        ),
+        max_python_stages=0,
+    )
+    assert s["joins"] == []
+
+    with _pytest.raises(ValueError, match=r"not_null\(k\)=1"):
+        assert_constraints(df, not_null=["k"])
+    assert_constraints(df, ranges={"ref": (0, 100)})  # holds → no raise

@@ -235,6 +235,91 @@ def main():
     print(f"bm25 growth: {t10 / t1:.1f}x for 10x docs")
     ev10.unpersist(); ev.unpersist(); docs10e.unpersist()
 
+    # round-5 session-3 ops -------------------------------------------
+    # bloom_prefilter: shuffled join against a SELECTIVE master — the
+    # pre-filter should cut the fact-side shuffle to ~the match volume
+    from asakusafw_spark_spark.operators import bloom_prefilter, master_join
+
+    li_full = spark.read.parquet(f"{SF}/lineitem.parquet")
+    sel_orders = spark.read.parquet(f"{SF}/orders.parquet").filter(
+        F.col("o_totalprice") > 450000
+    ).select("o_orderkey", "o_totalprice").persist()
+    nsel = sel_orders.count()
+
+    def join_plain():
+        return master_join(
+            sel_orders, li_full, [("o_orderkey", "l_orderkey")],
+            strategy="shuffled", unique_master=True,
+        )["joined"].count()
+
+    def join_bloom():
+        pre = bloom_prefilter(
+            sel_orders, li_full, [("o_orderkey", "l_orderkey")]
+        )
+        return master_join(
+            sel_orders, pre, [("o_orderkey", "l_orderkey")],
+            strategy="shuffled", unique_master=True,
+        )["joined"].count()
+
+    tp = timed(f"shuffled join, selective master ({nsel} keys), no prefilter",
+               join_plain)
+    tb = timed("same join behind bloom_prefilter", join_bloom)
+    print(f"bloom_prefilter speedup: {tp / tb:.1f}x on the selective shuffled join")
+
+    # apply_agg_delta: FIXED churn against 1x vs 10x base facts — the
+    # maintenance cost must track the churn, never the base table
+    from asakusafw_spark_spark.operators import apply_agg_delta, snapshot_diff
+
+    orders_p = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).persist()
+    orders_p.count()
+    o10 = inflate(orders_p, ["o_orderkey"]).persist()
+    o10.count()
+
+    def maintain(old):
+        new = old.withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 97 == 0,
+                   F.col("o_totalprice") + 1.0).otherwise(F.col("o_totalprice")),
+        )
+        base_agg = old.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)")).alias("s"),
+        )
+        ch = snapshot_diff(old, new, "o_orderkey", include_old=True)
+        return apply_agg_delta(base_agg, ch, "o_orderstatus", {"s": "o_totalprice"}).count()
+
+    t1 = timed("apply_agg_delta 1x facts (~1% churn)", lambda: maintain(orders_p))
+    t10 = timed("apply_agg_delta 10x facts (~1% churn)", lambda: maintain(o10))
+    print(f"apply_agg_delta growth: {t10 / t1:.1f}x for 10x base facts "
+          "(diff scan dominates; the delta fold itself is churn-sized)")
+
+    # scd2_apply: open-row + change volume grows 10x
+    from asakusafw_spark_spark.operators import scd2_apply
+
+    def scd2(o):
+        first = o.groupBy("o_orderkey").agg(
+            F.min("o_totalprice").alias("price")
+        ).select(
+            F.col("o_orderkey").alias("k"), "price",
+            F.lit("2020-01-01").cast("timestamp").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        chg = o.select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("price"),
+            F.lit("2021-01-01").cast("timestamp").alias("eff"),
+            F.lit("U").alias("__op"),
+        )
+        return scd2_apply(first, chg, "k", "eff").count()
+
+    t1 = timed("scd2_apply 1x (150k keys)", lambda: scd2(orders_p))
+    t10 = timed("scd2_apply 10x (1.5M keys)", lambda: scd2(o10))
+    print(f"scd2_apply growth: {t10 / t1:.1f}x for 10x keys+changes")
+    sel_orders.unpersist(); orders_p.unpersist(); o10.unpersist()
+
 
 if __name__ == "__main__":
     main()
