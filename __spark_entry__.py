@@ -1872,6 +1872,18 @@ def q_streaming_incremental_agg(spark, sf):
     )
 
 
+def q_lm_score(spark, sf):
+    """Bigram-LM quality scoring (CCNet-style perplexity signal) over
+    the documents corpus, self-trained with add-0.5 smoothing.
+    Per-bigram log-probs round to 6 decimals BEFORE the exact-decimal
+    sum, so the per-doc mean is reduction-order-independent and the two
+    engines' ln() ulp differences vanish."""
+    from asakusafw_spark_spark.functions import bigram_lm_score
+
+    docs = _t(spark, sf, "documents")
+    return bigram_lm_score(docs)
+
+
 def q_constraint_report(spark, sf):
     """Data-quality constraint suite over lineitem: every row-local
     check (not-null, accepted values, range) folds into ONE scan-stage
@@ -3407,6 +3419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_agg": q_incremental_agg,
         "streaming_incremental_agg": q_streaming_incremental_agg,
         "constraint_report": q_constraint_report,
+        "lm_score": q_lm_score,
         "zorder_roundtrip": q_zorder_roundtrip,
         "q8_market_share": q8_market_share,
         "q12_late_priority_lines": q12_late_priority_lines,
@@ -4039,6 +4052,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
                      AS sum_price
             FROM orders GROUP BY o_orderstatus
+        """,
+        "lm_score": """
+            WITH tok AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents
+              WHERE text IS NOT NULL AND trim(text) <> ''
+            ), bg AS (
+              SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+              FROM tok, unnest(range(1, len(toks))) AS r(i)
+              WHERE len(toks) >= 2
+            ), c12 AS (
+              SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2
+            ), c1 AS (
+              SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1
+            ), v AS (
+              SELECT COUNT(DISTINCT w2) AS v FROM bg
+            ), scored AS (
+              SELECT bg.doc_id,
+                     round(ln((CAST(c12.c12 AS DOUBLE) + 0.5)
+                              / (CAST(c1.c1 AS DOUBLE) + 0.5 * v.v)), 6)
+                       AS logp
+              FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+            ), agg AS (
+              SELECT doc_id, COUNT(*) AS n_bigrams,
+                     CAST(SUM(CAST(logp AS DECIMAL(27,6))) AS DOUBLE)
+                       / COUNT(*) AS lm_score
+              FROM scored GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+                   agg.lm_score
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN agg USING (doc_id)
         """,
         "constraint_report": """
             SELECT 'not_null(l_orderkey)' AS constraint,

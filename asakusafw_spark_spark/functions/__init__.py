@@ -57,6 +57,7 @@ from .similarity import (
     quantized_topk,
 )
 from .text import repetition_signals, word_ngrams
+from .text import bigram_lm_score
 from .sampling import (
     unit_hash,
     hash_sample,
@@ -86,6 +87,7 @@ from .png_codec import (
 )
 
 __all__ = [
+    "bigram_lm_score",
     "check_constraints",
     "assert_constraints",
     "F",

@@ -605,3 +605,98 @@ def search_text_index(
             F.col("score").desc(), F.col(id_col).asc()
         ).limit(top_n)
     return scored
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_df: "DataFrame | None" = None,
+    k: float = 0.5,
+) -> DataFrame:
+    """Statistical-LM quality score (the CCNet / perplexity-filter
+    signal): per document, the mean log-probability of its token
+    bigrams under an add-k-smoothed bigram model trained on
+    ``train_df`` (default: the corpus itself) — low scores mark
+    gibberish, boilerplate, and out-of-domain text that the heuristic
+    :func:`quality_score` cuts miss.
+
+    Model: p(w₂|w₁) = (c(w₁w₂) + k) / (c(w₁) + k·V), V = train bigram-
+    successor vocabulary.  Output: (id, n_bigrams, lm_score) with
+    lm_score = Σ round(ln p, 6) / n_bigrams — per-bigram log-probs are
+    rounded BEFORE the exact-decimal sum so the score is reduction-
+    order-independent and cross-engine stable (ln differs in the last
+    ulp across libms; at 6 decimals both engines agree).
+
+    Scale shape: bigram extraction is a pure projection
+    (slice + arrays_zip + explode — no window, no shuffle); the model
+    is two hash aggregates over slim (w₁, w₂) pairs; scoring is two
+    keyed equi-joins (doc-bigrams → bigram counts → unigram counts)
+    plus a 1-row broadcast for V; the final score is one aggregate per
+    document.  Docs with < 2 tokens score NULL with n_bigrams = 0.
+    """
+    src = train_df if train_df is not None else df
+
+    def bigrams(frame, keep_id):
+        toks = tokens(text_col)
+        t = frame.select(
+            *([F.col(id_col)] if keep_id else []),
+            F.when(
+                F.size(toks) >= 2,
+                F.arrays_zip(
+                    F.slice(toks, 1, F.size(toks) - 1).alias("w1"),
+                    F.slice(toks, 2, F.size(toks) - 1).alias("w2"),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            .alias("__bg__"),
+        )
+        ex = t.select(
+            *([F.col(id_col)] if keep_id else []),
+            F.explode("__bg__").alias("__p__"),
+        )
+        return ex.select(
+            *([F.col(id_col)] if keep_id else []),
+            F.col("__p__.w1").alias("w1"),
+            F.col("__p__.w2").alias("w2"),
+        )
+
+    train_bg = bigrams(src, keep_id=False)
+    c12 = train_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12__"))
+    c1 = train_bg.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1__"))
+    vocab = train_bg.agg(F.countDistinct("w2").alias("__v__"))
+
+    doc_bg = bigrams(df, keep_id=True)
+    scored = (
+        doc_bg.join(c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .join(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("__c12__"), F.lit(0)).cast("double") + F.lit(k))
+                    / (
+                        F.coalesce(F.col("__c1__"), F.lit(0)).cast("double")
+                        + F.lit(k) * F.col("__v__")
+                    )
+                ),
+                6,
+            ).alias("__logp__"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.sum(F.col("__logp__").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("lm_score"),
+    )
+    ids = df.select(id_col).distinct()
+    return (
+        ids.join(agg, [id_col], "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias("n_bigrams"),
+            F.col("lm_score"),
+        )
+    )

@@ -1016,3 +1016,34 @@ def test_ivf_quantized_composition(spark, sf_dir):
     assert set(f) == set(q)
     overlap = sum(len(f[x] & q[x]) for x in f) / sum(len(f[x]) for x in f)
     assert overlap >= 0.8, f"quantized IVF diverged too far: {overlap}"
+
+
+def test_bigram_lm_score_ranks_gibberish_below_natural(spark):
+    """A repeated natural sentence scores higher than a one-off token
+    soup under the self-trained bigram LM; short docs get NULL score
+    with n_bigrams=0; train_df lets held-out docs score under a fixed
+    model (unseen bigrams get the smoothed floor, not an error)."""
+    from asakusafw_spark_spark.functions import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the mat"),
+            (3, "the cat sat on the mat"),
+            (4, "zq xv qq vv zz kj pq wx"),   # gibberish, bigrams unique
+            (5, "one"),                        # < 2 tokens
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_score(docs).collect()}
+    assert out[5]["n_bigrams"] == 0 and out[5]["lm_score"] is None
+    assert out[6]["n_bigrams"] == 0
+    assert out[1]["n_bigrams"] == 5
+    assert out[1]["lm_score"] > out[4]["lm_score"]
+
+    # held-out scoring: model trained ONLY on the natural docs
+    train = docs.filter(F.col("doc_id") <= 3)
+    held = bigram_lm_score(docs.filter(F.col("doc_id") == 4), train_df=train)
+    row = held.collect()[0]
+    assert row["n_bigrams"] == 7 and row["lm_score"] < out[1]["lm_score"]
