@@ -262,3 +262,31 @@ def test_tpch_composite_plan_budgets(spark, sf_dir):
         max_python_stages=0,
     )
     assert s["cartesian"] == 0 or not s["cartesian"]
+
+
+def test_session3_warehouse_ops_plan_budgets(spark, sf_dir):
+    """scd2_apply: closed rows pass through with no join; one window
+    shuffle chain for open∪changes; zero Python.  apply_agg_delta: keyed
+    aggregates + one merge join, zero Python.  lm_score: the only
+    nested-loop is the documented 1-row vocabulary broadcast; zero
+    Python.  constraint_report's row-local block: one scan, no join."""
+    import __spark_entry__ as entry
+
+    from asakusafw_spark_spark.plans import assert_scale_safe
+
+    s = assert_scale_safe(
+        entry.q_scd2_apply(spark, sf_dir), max_python_stages=0
+    )
+    assert "CartesianProduct" not in s["plan"]
+
+    s = assert_scale_safe(
+        entry.q_incremental_agg(spark, sf_dir), max_python_stages=0
+    )
+    assert all(j in ("SortMergeJoin", "BroadcastHashJoin") for j in s["joins"])
+
+    s = assert_scale_safe(
+        entry.q_lm_score(spark, sf_dir), max_python_stages=0
+    )
+    # BNLJ only from the 1-row vocab broadcast (same pattern as the q22
+    # scalar-threshold join); everything else must be hash/merge
+    assert s["joins"].count("BroadcastNestedLoopJoin") <= 1
