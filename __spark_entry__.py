@@ -1673,11 +1673,18 @@ def q21_waiting_suppliers(spark, sf):
         strategy="auto",
         unique_master=True,
     )["joined"].select("l_orderkey", "l_suppkey", "l_returnflag")
-    ostats = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("__n_supp__"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("__n_r_supp__"),
+    # two-level aggregate instead of a double COUNT(DISTINCT): the
+    # (order, supplier) pre-agg is one map-side-combinable shuffle and
+    # avoids Catalyst's Expand (which would double the shuffled rows to
+    # serve two distinct aggregates in one pass)
+    pairs = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("__has_r__")
+    )
+    ostats = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__n_supp__"),
+        F.sum("__has_r__").alias("__n_r_supp__"),
     )
     r_lines = li.filter(F.col("l_returnflag") == "R").select(
         "l_orderkey", "l_suppkey"
