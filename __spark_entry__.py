@@ -1913,6 +1913,67 @@ def q_constraint_report(spark, sf):
     )
 
 
+def q_merge_evolve(spark, sf):
+    """Schema-evolving merge: updates introduce a channel column the
+    base dataset never had; existing rows backfill NULL, update rows
+    carry the value.  The oracle reconstructs the merged state with a
+    CASE over the original table (update keys ≡0 mod 10 replaced with
+    channel='web')."""
+    import tempfile
+
+    from asakusafw_spark_spark.sources.write import merge_upsert
+
+    base = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    target = tempfile.mkdtemp(prefix="evolve_") + "/orders"
+    base.write.parquet(target)
+    upd = base.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_channel", F.lit("web")
+    )
+    merge_upsert(target, upd, "o_orderkey", evolve_schema=True)
+    back = spark.read.parquet(target)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_channel").alias("n_web"),
+        _dsum(F.col("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def q_manifest_stats(spark, sf):
+    """Footer-driven dataset manifest: write a 4-file copy of documents,
+    read every file's footer distributed (mapInPandas over the path
+    list — no data scan), and check the invariants the oracle can state
+    statically: the file count asked for, and footer num_rows summing
+    to the table's row count."""
+    import tempfile
+
+    from asakusafw_spark_spark.sources import dataset_manifest
+
+    docs = _t(spark, sf, "documents")
+    out = tempfile.mkdtemp(prefix="manifest_") + "/docs"
+    docs.repartition(4).write.parquet(out)
+    m = dataset_manifest(spark, out)
+    return m.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("num_rows").alias("total_rows"),
+    )
+
+
+def q_analyze_table(spark, sf):
+    """One-pass ANALYZE over orders: per-column non-null/exact-distinct
+    counts and string-rendered min/max (bigint, string, and timestamp
+    columns render identically on both engines)."""
+    from asakusafw_spark_spark.functions import analyze_table
+
+    orders = _t(spark, sf, "orders")
+    return analyze_table(
+        orders,
+        ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderdate"],
+        exact_distinct=True,
+    )
+
+
 def q_zorder_roundtrip(spark, sf):
     """Z-order clustering is content-lossless: lineitem re-written on a
     Morton curve over (l_orderkey, l_extendedprice) reads back equal to
@@ -3427,6 +3488,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_incremental_agg": q_streaming_incremental_agg,
         "constraint_report": q_constraint_report,
         "lm_score": q_lm_score,
+        "merge_evolve": q_merge_evolve,
+        "manifest_stats": q_manifest_stats,
+        "analyze_table": q_analyze_table,
         "zorder_roundtrip": q_zorder_roundtrip,
         "q8_market_share": q8_market_share,
         "q12_late_priority_lines": q12_late_priority_lines,
@@ -4129,6 +4193,46 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_orderkey IS NOT NULL
               AND NOT EXISTS (SELECT 1 FROM orders
                               WHERE o_orderkey = l_orderkey)
+        """,
+        "merge_evolve": """
+            SELECT o_orderstatus, COUNT(*) AS n,
+                   CAST(COUNT(CASE WHEN o_orderkey % 10 = 0
+                                   THEN 'web' END) AS BIGINT) AS n_web,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+                     AS sum_price
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "manifest_stats": """
+            SELECT CAST(4 AS BIGINT) AS n_files,
+                   CAST(COUNT(*) AS BIGINT) AS total_rows
+            FROM documents
+        """,
+        "analyze_table": """
+            SELECT 'o_orderkey' AS column, COUNT(*) AS n_rows,
+                   CAST(COUNT(o_orderkey) AS BIGINT) AS n_nonnull,
+                   CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+                   CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+                   CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', COUNT(*),
+                   CAST(COUNT(o_orderstatus) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+                   MIN(o_orderstatus), MAX(o_orderstatus)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', COUNT(*),
+                   CAST(COUNT(o_orderpriority) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+                   MIN(o_orderpriority), MAX(o_orderpriority)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderdate', COUNT(*),
+                   CAST(COUNT(o_orderdate) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+                   CAST(MIN(o_orderdate) AS VARCHAR),
+                   CAST(MAX(o_orderdate) AS VARCHAR)
+            FROM orders
         """,
         "zorder_roundtrip": """
             SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem

@@ -69,7 +69,7 @@ from .sampling import (
     materialize_packs,
     cap_per_group,
 )
-from .stats import winsorize, quantile_bucket
+from .stats import winsorize, quantile_bucket, analyze_table
 from .events import funnel, retention
 from .quality import check_constraints, assert_constraints
 from .multimodal import (
@@ -87,6 +87,7 @@ from .png_codec import (
 )
 
 __all__ = [
+    "analyze_table",
     "bigram_lm_score",
     "check_constraints",
     "assert_constraints",

@@ -123,3 +123,56 @@ def quantile_bucket(
     return joined.withColumn(out, assigned).drop(
         *[f"__q{i}__" for i in range(len(qs))]
     )
+
+
+def analyze_table(
+    df: DataFrame,
+    columns: "Sequence[str] | None" = None,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """ANALYZE-style per-column statistics in ONE pass: for each column
+    ``(column, n_rows, n_nonnull, n_distinct, min_value, max_value)``
+    — the inputs broadcast-vs-shuffle decisions, skew triage, and
+    constraint discovery need, as a slim #columns-row frame.
+
+    One aggregate computes every column's stats simultaneously
+    (map-side partial, single scan).  ``n_distinct`` defaults to
+    HyperLogLog ``approx_count_distinct`` (keeps the plan a plain
+    one-pass aggregate at any width); ``exact_distinct=True`` switches
+    to exact COUNT(DISTINCT), which Catalyst serves via an Expand of
+    #columns projections — exact, but the shuffled row volume
+    multiplies by the column count (documented trade-off; fine for
+    slim column lists).  min/max are rendered as strings so mixed
+    column types share one report schema.
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    ndv = (
+        (lambda c: F.countDistinct(F.col(c)))
+        if exact_distinct
+        else (lambda c: F.approx_count_distinct(F.col(c)))
+    )
+    aggs = [F.count(F.lit(1)).alias("__n__")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn{i}__"),
+            ndv(c).alias(f"__nd{i}__"),
+            F.min(F.col(c)).cast("string").alias(f"__mn{i}__"),
+            F.max(F.col(c)).cast("string").alias(f"__mx{i}__"),
+        ]
+    one = df.agg(*aggs)
+    stack = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col("__n__").alias("n_rows"),
+                    F.col(f"__nn{i}__").alias("n_nonnull"),
+                    F.col(f"__nd{i}__").alias("n_distinct"),
+                    F.col(f"__mn{i}__").alias("min_value"),
+                    F.col(f"__mx{i}__").alias("max_value"),
+                )
+                for i, c in enumerate(cols)
+            ]
+        )
+    )
+    return one.select(stack.alias("r")).select("r.*")

@@ -12,6 +12,7 @@ from .write import (
     recover_merge,
     compact_files,
     write_zordered,
+    dataset_manifest,
 )
 
 __all__ = [
@@ -27,4 +28,5 @@ __all__ = [
     "recover_merge",
     "compact_files",
     "write_zordered",
+    "dataset_manifest",
 ]

@@ -107,6 +107,17 @@ class HadoopFs:
         st = self._fs.getFileStatus(self._jpath(p))
         return int(st.getLen()) if st.isFile() else None
 
+    def list_files_recursive(self, p: str) -> "list[tuple[str, int]]":
+        """(path, size) for every FILE under ``p``, any depth — Hadoop
+        globs are single-level, so partitioned layouts need
+        ``FileSystem.listFiles(recursive=true)``."""
+        it = self._fs.listFiles(self._jpath(p), True)
+        out = []
+        while it.hasNext():
+            st = it.next()
+            out.append((str(st.getPath()), int(st.getLen())))
+        return out
+
 
 def write_flat(
     df: DataFrame,
@@ -406,6 +417,7 @@ def merge_upsert(
     partition_by: str | Sequence[str] | None = None,
     delete_col: str | None = None,
     format: str = "parquet",
+    evolve_schema: bool = False,
     **options,
 ) -> None:
     """CDC-style merge (upsert) into a path-based dataset: rows in
@@ -432,6 +444,17 @@ def merge_upsert(
     across partitions as delete-in-old + insert-in-new).  NULL partition
     values are supported: they prune/swap/heal through Hive's
     ``__HIVE_DEFAULT_PARTITION__`` directory like any other value.
+
+    ``evolve_schema=True`` permits ADDITIVE schema changes: update rows
+    may introduce new columns (existing rows read them as NULL) or omit
+    existing ones (inserted rows carry NULL); same-name type conflicts
+    raise.  On the partitioned path untouched partitions keep their old
+    files, so the dataset becomes mixed-schema until every partition is
+    rewritten — this function reads its own state with
+    ``mergeSchema=true``, and other readers of an evolved partitioned
+    dataset must do the same (or run :func:`compact_files` to
+    normalize).  Unpartitioned merges rewrite everything and stay
+    uniform.
 
     Not a concurrent-writer log-structured table (no snapshot isolation
     between concurrent merges — that is Delta/Iceberg territory).  Crash
@@ -504,7 +527,34 @@ def merge_upsert(
                 parked = _parked_path(base, rel)
                 if not fs.exists(dest) and fs.exists(parked):
                     fs.rename(parked, dest)
-        current = spark.read.format(format).load(target_path)
+        reader = spark.read.format(format)
+        if evolve_schema:
+            # touched-partition rewrites leave untouched partitions on
+            # the OLD schema, so the current state must footer-merge
+            reader = reader.option("mergeSchema", "true")
+        current = reader.load(target_path)
+        if evolve_schema:
+            # additive evolution: updates may ADD columns (backfilled as
+            # typed NULL in existing rows) and OMIT columns (carried as
+            # NULL on inserted rows).  Type conflicts are refused — a
+            # silent cast would corrupt history.
+            cur_fields = {f.name: f.dataType for f in current.schema.fields}
+            upd_fields = {f.name: f.dataType for f in inserts.schema.fields}
+            conflicts = {
+                n: (str(cur_fields[n]), str(t))
+                for n, t in upd_fields.items()
+                if n in cur_fields and cur_fields[n] != t
+            }
+            if conflicts:
+                raise ValueError(
+                    f"merge_upsert(evolve_schema): type conflicts {conflicts}"
+                )
+            for n, t in upd_fields.items():
+                if n not in cur_fields:
+                    current = current.withColumn(n, F.lit(None).cast(t))
+            for n, t in cur_fields.items():
+                if n not in upd_fields:
+                    inserts = inserts.withColumn(n, F.lit(None).cast(t))
         if parts:
             # null-safe semi-join: a NULL partition value is a real
             # partition (written as __HIVE_DEFAULT_PARTITION__); plain
@@ -792,3 +842,56 @@ def write_zordered(
         _atomic_swap(fs, base, staging)
     else:
         ordered.write.format(format).mode("overwrite").save(base)
+
+
+def dataset_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """Iceberg-style file manifest for a parquet dataset: one row per
+    data file with ``(file_name, size_bytes, num_rows, num_row_groups)``
+    read from the parquet FOOTERS — the input a maintenance planner
+    needs (compaction targeting, skew detection, skipping diagnostics)
+    without scanning any data.
+
+    Scale shape: the file list comes from one Hadoop listing; footer
+    reads fan out over the cluster via ``mapInPandas`` on the path list
+    (each footer is a few KB read), so a million-file dataset costs a
+    million footer fetches spread across executors — never a data scan,
+    never a driver loop.  ``file_name`` is relative to the dataset root
+    (stable across copies; the oracle joins on it).
+    """
+    base = path.rstrip("/")
+    fs = HadoopFs(spark, base)
+    rels = sorted(
+        p.split(base + "/", 1)[1]
+        for p, _size in fs.list_files_recursive(base)
+        if p.endswith(".parquet")
+    )
+    pdf_schema = (
+        "file_name string, size_bytes long, num_rows long, num_row_groups long"
+    )
+    paths_df = spark.createDataFrame([(r,) for r in rels], "file_name string")
+
+    def read_footers(batches):
+        import os as _os
+
+        import pandas as _pd
+        import pyarrow.parquet as _pq
+
+        local_base = base
+        if local_base.startswith("file:"):
+            local_base = local_base[len("file:"):]
+        for b in batches:
+            out = []
+            for rel in b["file_name"]:
+                full = f"{local_base}/{rel}"
+                md = _pq.read_metadata(full)
+                out.append(
+                    (rel, _os.path.getsize(full), md.num_rows, md.num_row_groups)
+                )
+            yield _pd.DataFrame(
+                out,
+                columns=[
+                    "file_name", "size_bytes", "num_rows", "num_row_groups"
+                ],
+            )
+
+    return paths_df.mapInPandas(read_footers, pdf_schema)

@@ -78,6 +78,8 @@ HEADLINE = [
     "scd2_apply",
     "incremental_agg",
     "constraint_report",
+    "lm_score",
+    "analyze_table",
 ]
 
 

@@ -493,3 +493,69 @@ def test_write_zordered_preserves_content_and_clusters(spark, sf_dir, tmp_path):
     write_zordered(back, out, ["l_partkey"], bits=4, num_files=4)
     again = spark.read.parquet(out)
     assert again.count() == li.count()
+
+
+def test_merge_upsert_evolve_schema(spark, tmp_path):
+    """Additive schema evolution: updates may add columns (existing rows
+    backfill NULL) and omit columns (inserts carry NULL); type conflicts
+    refuse; the partitioned path reads its own mixed-schema state with
+    mergeSchema."""
+    import pytest as _pytest
+
+    from asakusafw_spark_spark.sources.write import merge_upsert
+
+    target = str(tmp_path / "d")
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k long, name string, v double"
+    ).write.parquet(target)
+
+    # add a column + omit one
+    upd = spark.createDataFrame(
+        [(2, "b2", "web"), (3, "c", "app")], "k long, name string, channel string"
+    )
+    merge_upsert(target, upd, "k", evolve_schema=True)
+    rows = {r["k"]: r for r in spark.read.parquet(target).collect()}
+    assert rows[1]["channel"] is None and rows[1]["v"] == 1.0
+    assert rows[2]["channel"] == "web" and rows[2]["v"] is None  # omitted on update
+    assert rows[3]["channel"] == "app"
+
+    # without the flag, mismatched schemas still refuse
+    with _pytest.raises(Exception):
+        merge_upsert(target, upd.withColumn("extra", F.lit(1)), "k")
+
+    # type conflict refuses loudly
+    bad = spark.createDataFrame([(4, 5, "x")], "k long, name int, channel string")
+    with _pytest.raises(ValueError, match="type conflicts"):
+        merge_upsert(target, bad, "k", evolve_schema=True)
+
+    # partitioned: untouched partition keeps old files; evolved read heals
+    t2 = str(tmp_path / "p")
+    spark.createDataFrame(
+        [(1, "x", 0), (2, "y", 1)], "k long, s string, b int"
+    ).write.partitionBy("b").parquet(t2)
+    up2 = spark.createDataFrame([(2, "y2", 1, 9.5)], "k long, s string, b int, score double")
+    merge_upsert(t2, up2, "k", partition_by="b", evolve_schema=True)
+    back = spark.read.option("mergeSchema", "true").parquet(t2)
+    got = {r["k"]: r for r in back.collect()}
+    assert got[2]["score"] == 9.5 and got[1]["score"] is None
+
+
+def test_dataset_manifest_footer_stats(spark, sf_dir, tmp_path):
+    """Manifest rows come from footers: one row per file, num_rows sums
+    to the dataset count, sizes are real, partitioned layouts list
+    relative paths."""
+    from asakusafw_spark_spark.sources import dataset_manifest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "m")
+    docs.repartition(4).write.parquet(out)
+    m = dataset_manifest(spark, out).collect()
+    assert len(m) == 4
+    assert sum(r["num_rows"] for r in m) == docs.count()
+    assert all(r["size_bytes"] > 0 and r["num_row_groups"] >= 1 for r in m)
+
+    out2 = str(tmp_path / "mp")
+    docs.write.partitionBy("lang").parquet(out2)
+    m2 = dataset_manifest(spark, out2).collect()
+    assert sum(r["num_rows"] for r in m2) == docs.count()
+    assert all("lang=" in r["file_name"] for r in m2)

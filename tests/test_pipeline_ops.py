@@ -477,3 +477,23 @@ def test_check_constraints_one_pass_and_all_kinds(spark):
     with _pytest.raises(ValueError, match=r"not_null\(k\)=1"):
         assert_constraints(df, not_null=["k"])
     assert_constraints(df, ranges={"ref": (0, 100)})  # holds → no raise
+
+
+def test_analyze_table_stats(spark):
+    """One-pass column profile: exact and approx distinct modes, string-
+    rendered min/max across types, null accounting."""
+    from asakusafw_spark_spark.functions import analyze_table
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (2, None, 7.5)],
+        "k long, s string, v double",
+    )
+    rep = {r["column"]: r for r in analyze_table(df, exact_distinct=True).collect()}
+    assert rep["k"]["n_rows"] == 3 and rep["k"]["n_nonnull"] == 3
+    assert rep["k"]["n_distinct"] == 2
+    assert rep["k"]["min_value"] == "1" and rep["k"]["max_value"] == "2"
+    assert rep["s"]["n_nonnull"] == 2 and rep["s"]["n_distinct"] == 2
+    assert rep["v"]["min_value"] == "5.0" and rep["v"]["max_value"] == "7.5"
+
+    approx = {r["column"]: r for r in analyze_table(df).collect()}
+    assert approx["k"]["n_distinct"] >= 1  # HLL estimate, small-n exactish
