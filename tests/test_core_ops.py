@@ -283,3 +283,70 @@ def test_apply_agg_delta_matches_full_recompute(spark):
     w2 = sorted(map(tuple, want2.select("g", "n", F.col("sum_v").cast("double")).collect()),
                 key=lambda t: (t[0] is None, t))
     assert g2 == w2
+
+
+def test_cdc_loop_properties(spark):
+    """Properties of the CDC loop over arbitrary snapshots:
+
+    1. diff ∘ merge == identity (snapshot_diff's change set applied via
+       merge semantics reproduces the new snapshot);
+    2. apply_agg_delta ∘ diff ≡ full recompute of the new snapshot's
+       aggregate, bit-for-bit in the decimal sums;
+    3. diff of a snapshot with itself is empty.
+    """
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from asakusafw_spark_spark.operators import apply_agg_delta, snapshot_diff
+
+    snap = st.dictionaries(
+        st.integers(0, 15),                       # key
+        st.tuples(st.integers(0, 3),              # group
+                  st.integers(-1000, 1000)),      # value (int → exact)
+        max_size=12,
+    )
+
+    def to_df(d):
+        rows = [(k, f"g{g}", float(v)) for k, (g, v) in sorted(d.items())]
+        return spark.createDataFrame(
+            rows, "k long, g string, v double"
+        ) if rows else spark.createDataFrame([], "k long, g string, v double")
+
+    def agg(df):
+        return df.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(27,6)")).alias("s"),
+        )
+
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(old=snap, new=snap)
+    def check(old, new):
+        odf, ndf = to_df(old), to_df(new)
+        # (3) self-diff empty
+        assert snapshot_diff(odf, odf, "k").count() == 0
+        ch = snapshot_diff(odf, ndf, "k", include_old=True)
+        # (1) apply the change set by hand: survivors + I/U payloads
+        changed = {r["k"] for r in ch.select("k").collect()}
+        applied = {k: v for k, v in old.items() if k not in changed}
+        for r in ch.filter(F.col("__op") != "D").collect():
+            applied[r["k"]] = (int(r["g"][1:]), int(r["v"]))
+        assert applied == new
+        # (2) incremental ≡ recompute (exact decimal).  Per the
+        # apply_agg_delta contract a row MOVING across group keys must
+        # arrive as D+I, which snapshot_diff produces exactly when the
+        # group key is part of the diff key — so diff on (k, g) here.
+        ch2 = snapshot_diff(odf, ndf, ["k", "g"], include_old=True)
+        got = sorted(
+            map(tuple, apply_agg_delta(agg(odf), ch2, "g", {"s": "v"})
+                .select("g", "n", F.col("s").cast("double")).collect())
+        )
+        want = sorted(
+            map(tuple, agg(ndf)
+                .select("g", "n", F.col("s").cast("double")).collect())
+        )
+        assert got == want
+
+    check()
