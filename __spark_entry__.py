@@ -1974,6 +1974,57 @@ def q_analyze_table(spark, sf):
     )
 
 
+def q_streaming_quality_report(spark, sf):
+    """Streaming data-quality monitoring: lineitem arrives as two
+    micro-batches, each appending its row-local constraint counts to a
+    report table.  Row-local violations are additive across batches, so
+    the report's per-constraint SUM equals the full-table counts the
+    oracle computes — batching cannot change the answer."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from asakusafw_spark_spark.streaming import stream_quality_monitor
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_discount", "l_quantity"
+    )
+    feed = tempfile.mkdtemp(prefix="qfeed_")
+    for i, half in enumerate(
+        [li.filter(F.col("l_orderkey") % 2 == 0),
+         li.filter(F.col("l_orderkey") % 2 == 1)]
+    ):
+        stage = tempfile.mkdtemp(prefix="qb_") + "/out"
+        half.coalesce(1).write.parquet(stage)
+        dest = f"{feed}/{i:04d}.parquet"
+        shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0], dest)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(
+            "l_orderkey long, l_returnflag string, l_discount double, "
+            "l_quantity double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    report = tempfile.mkdtemp(prefix="qrep_") + "/report"
+    stream_quality_monitor(
+        stream, report, tempfile.mkdtemp(prefix="ck_qm_"),
+        query_name="q_qm_" + os.path.basename(feed),
+        not_null=["l_orderkey"],
+        accepted_values={"l_returnflag": ["A", "N"]},
+        ranges={"l_discount": (0.0, 0.05)},
+        where={"qty_cap": F.col("l_quantity") <= 45},
+    )
+    rep = spark.read.parquet(report)
+    return rep.groupBy("constraint").agg(
+        F.sum("violations").alias("violations"),
+        F.count(F.lit(1)).alias("n_batches"),
+    )
+
+
 def q_zorder_roundtrip(spark, sf):
     """Z-order clustering is content-lossless: lineitem re-written on a
     Morton curve over (l_orderkey, l_extendedprice) reads back equal to
@@ -3491,6 +3542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_evolve": q_merge_evolve,
         "manifest_stats": q_manifest_stats,
         "analyze_table": q_analyze_table,
+        "streaming_quality_report": q_streaming_quality_report,
         "zorder_roundtrip": q_zorder_roundtrip,
         "q8_market_share": q8_market_share,
         "q12_late_priority_lines": q12_late_priority_lines,
@@ -4193,6 +4245,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_orderkey IS NOT NULL
               AND NOT EXISTS (SELECT 1 FROM orders
                               WHERE o_orderkey = l_orderkey)
+        """,
+        "streaming_quality_report": """
+            SELECT 'not_null(l_orderkey)' AS constraint,
+                   CAST(COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT)
+                     AS violations,
+                   CAST(2 AS BIGINT) AS n_batches
+            FROM lineitem
+            UNION ALL
+            SELECT 'accepted_values(l_returnflag)',
+                   CAST(COUNT(*) FILTER (WHERE l_returnflag IS NOT NULL
+                        AND l_returnflag NOT IN ('A', 'N')) AS BIGINT),
+                   CAST(2 AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'range(l_discount)',
+                   CAST(COUNT(*) FILTER (WHERE l_discount IS NOT NULL
+                        AND l_discount NOT BETWEEN 0.0 AND 0.05) AS BIGINT),
+                   CAST(2 AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'where(qty_cap)',
+                   CAST(COUNT(*) FILTER (
+                        WHERE NOT COALESCE(l_quantity <= 45, FALSE)) AS BIGINT),
+                   CAST(2 AS BIGINT)
+            FROM lineitem
         """,
         "merge_evolve": """
             SELECT o_orderstatus, COUNT(*) AS n,

@@ -13,6 +13,7 @@ from .stream import (
     stream_merge_upsert,
     stream_dedup_ingest,
     stream_agg_maintain,
+    stream_quality_monitor,
     run_available_now,
 )
 
@@ -27,5 +28,6 @@ __all__ = [
     "stream_merge_upsert",
     "stream_dedup_ingest",
     "stream_agg_maintain",
+    "stream_quality_monitor",
     "run_available_now",
 ]

@@ -550,3 +550,55 @@ def stream_agg_maintain(
         q.awaitTermination()
         return q
     return w.start()
+
+
+def stream_quality_monitor(
+    stream_df: DataFrame,
+    report_path: str,
+    checkpoint_dir: str,
+    format: str = "parquet",
+    query_name: str = "quality_monitor",
+    available_now: bool = True,
+    **constraints,
+):
+    """Streaming data-quality monitoring: every micro-batch runs the
+    ROW-LOCAL half of :func:`~...functions.quality.check_constraints`
+    (not-null / accepted values / ranges / custom predicates — each a
+    conditional sum in ONE pass over the batch) and APPENDS
+    ``(batch_id, constraint, violations)`` rows to a report table —
+    the always-on pipeline guard that catches an upstream schema or
+    quality break within one trigger instead of at the next full scan.
+
+    Row-local violation counts are additive across batches, so the
+    report's per-constraint SUM equals the full-table counts no matter
+    how the stream was batched (the oracle checks exactly this).
+    Dataset-level checks (unique keys, foreign keys) are NOT additive —
+    run them in the batch layer; passing them here raises.
+    """
+    from ..functions.quality import check_constraints
+
+    if any(k in constraints for k in ("unique", "foreign_keys")):
+        raise ValueError(
+            "stream_quality_monitor: unique/foreign_keys are dataset-level "
+            "constraints — not micro-batch-additive; check them in batch"
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        rep = check_constraints(batch_df, **constraints).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        rep.write.format(format).mode("append").save(report_path)
+
+    w = (
+        stream_df.writeStream.outputMode("append")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+    )
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return w.start()

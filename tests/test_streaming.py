@@ -375,3 +375,62 @@ def test_stream_agg_maintain_incremental_state(spark, tmp_path):
     marker = fs.read_text(f"{target}/_last_batch").strip()
     assert marker.endswith(":0")  # second run's availableNow batch 0
     assert "ck_agg2" in marker
+
+
+def test_stream_quality_monitor_additive_reports(spark, tmp_path):
+    """Per-batch row-local constraint counts appended to a report table
+    sum to the full-table counts regardless of batching; dataset-level
+    constraints are refused."""
+    import glob as g
+    import shutil
+    import time as _t
+
+    import pytest as _pytest
+
+    from asakusafw_spark_spark.streaming import stream_quality_monitor
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    b1 = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "zz", -1.0)], "k long, cat string, v double"
+    )
+    b2 = spark.createDataFrame(
+        [(None, "a", 3.0), (4, "b", 200.0)], "k long, cat string, v double"
+    )
+    for i, b in enumerate([b1, b2]):
+        stage = tmp_path / f"s{i}"
+        b.coalesce(1).write.parquet(str(stage))
+        shutil.copy(g.glob(f"{stage}/part-*.parquet")[0], src / f"{i:04d}.parquet")
+        _t.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("k long, cat string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    report = str(tmp_path / "report")
+    stream_quality_monitor(
+        stream, report, str(tmp_path / "ck_q"),
+        query_name="t_quality_monitor",
+        not_null=["k"],
+        accepted_values={"cat": ["a", "b"]},
+        ranges={"v": (0.0, 100.0)},
+    )
+    rep = spark.read.parquet(report)
+    total = {
+        r["constraint"]: r["n"]
+        for r in rep.groupBy("constraint")
+        .agg(F.sum("violations").alias("n"))
+        .collect()
+    }
+    assert total == {
+        "not_null(k)": 1,
+        "accepted_values(cat)": 1,
+        "range(v)": 2,      # -1.0 and 200.0
+    }
+    assert rep.select("batch_id").distinct().count() == 2
+
+    with _pytest.raises(ValueError, match="dataset-level"):
+        stream_quality_monitor(
+            stream, report, str(tmp_path / "ck_q2"), unique=[["k"]]
+        )
