@@ -661,9 +661,16 @@ def bigram_lm_score(
         )
 
     train_bg = bigrams(src, keep_id=False)
-    c12 = train_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12__"))
-    c1 = train_bg.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1__"))
-    vocab = train_bg.agg(F.countDistinct("w2").alias("__v__"))
+    # materialize the slim (w1, w2, count) model once (lazy local
+    # checkpoint), then derive unigram counts and successor vocabulary
+    # from it — one corpus tokenization + shuffle instead of three
+    c12 = (
+        train_bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("__c12__"))
+        .localCheckpoint(eager=False)
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("__c12__").cast("long").alias("__c1__"))
+    vocab = c12.agg(F.countDistinct("w2").alias("__v__"))
 
     doc_bg = bigrams(df, keep_id=True)
     scored = (
