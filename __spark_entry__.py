@@ -3526,12 +3526,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 session-3 additions: the remaining TPC-H composites
         # expressible over the slim schema (q2/q9/q11/q16/q20 need the
         # absent partsupp table), the bloom-prefiltered join, the CDC
-        # warehouse loop (SCD2, incremental agg, its streaming face),
-        # and the z-order layout roundtrip.  New queries have no banked
-        # rows, so they take window slots ahead of the stale block —
-        # with ~43 never-driver-checked entries in block 1 only the
-        # first few stale-since-r02 queries also fit this round; the
-        # committed LOCAL_VERIFY artifacts cover the full registry.
+        # warehouse loop (SCD2, incremental agg, streaming materialized
+        # agg, schema-evolving merge), layout/quality infrastructure
+        # (z-order roundtrip, footer manifest, constraint suite batch +
+        # streaming, one-pass ANALYZE), and LM quality scoring.  New
+        # queries have no banked rows, so they take window slots ahead
+        # of the stale block: block 1 is now 49 never-driver-checked
+        # entries — the ~50-row window holds exactly those (+1 stale),
+        # every older query rides its banked row, and the committed
+        # LOCAL_VERIFY artifacts prove the FULL 138-query registry at
+        # both scale factors regardless of the window.
         "q6_forecast_revenue": q6_forecast_revenue,
         "bloom_join": q_bloom_join,
         "scd2_apply": q_scd2_apply,
