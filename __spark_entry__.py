@@ -1873,6 +1873,13 @@ def q_streaming_incremental_agg(spark, sf):
         tempfile.mkdtemp(prefix="ck_agg_"),
         query_name="q_agg_" + os.path.basename(feed),
     )
+    from asakusafw_spark_spark.sources.write import HadoopFs
+
+    if not HadoopFs(spark, target).exists(target):
+        # an all-empty stream legitimately leaves no state table
+        return spark.createDataFrame(
+            [], "o_orderstatus string, n long, sum_price double"
+        )
     back = spark.read.parquet(target)
     return back.select(
         "o_orderstatus", "n", F.col("sum_price").cast("double").alias("sum_price")
@@ -2018,6 +2025,13 @@ def q_streaming_quality_report(spark, sf):
         ranges={"l_discount": (0.0, 0.05)},
         where={"qty_cap": F.col("l_quantity") <= 45},
     )
+    from asakusafw_spark_spark.sources.write import HadoopFs
+
+    if not HadoopFs(spark, report).exists(report):
+        # an all-empty stream produces no report batches
+        return spark.createDataFrame(
+            [], "constraint string, violations long, n_batches long"
+        )
     rep = spark.read.parquet(report)
     return rep.groupBy("constraint").agg(
         F.sum("violations").alias("violations"),
