@@ -2039,6 +2039,47 @@ def q_streaming_quality_report(spark, sf):
     )
 
 
+def q_unpivot(spark, sf):
+    """UNPIVOT/melt: lineitem's four numeric measures become
+    (variable, value) rows — a pure stack() projection, no shuffle.
+    Oracle: UNION ALL of one SELECT per measure."""
+    from asakusafw_spark_spark.operators import unpivot
+
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return unpivot(
+        li,
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        var_name="measure",
+        value_name="value",
+    )
+
+
+def q_flatten_struct(spark, sf):
+    """Nested-ingestion flattening: orders packed into a two-level
+    struct column then recursively flattened back to leaf columns —
+    must equal the plain projection (pure select, column pruning
+    reaches the scan)."""
+    from asakusafw_spark_spark.operators import flatten_struct
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.struct(
+                F.col("o_totalprice").alias("price"),
+                F.col("o_orderpriority").alias("priority"),
+            ).alias("detail"),
+        ).alias("info"),
+    )
+    return flatten_struct(o).select(
+        "o_orderkey",
+        F.col("info_status").alias("status"),
+        F.col("info_detail_price").alias("price"),
+        F.col("info_detail_priority").alias("priority"),
+    )
+
+
 def q_zorder_roundtrip(spark, sf):
     """Z-order clustering is content-lossless: lineitem re-written on a
     Morton curve over (l_orderkey, l_extendedprice) reads back equal to
@@ -3545,10 +3586,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (z-order roundtrip, footer manifest, constraint suite batch +
         # streaming, one-pass ANALYZE), and LM quality scoring.  New
         # queries have no banked rows, so they take window slots ahead
-        # of the stale block: block 1 is now 49 never-driver-checked
-        # entries — the ~50-row window holds exactly those (+1 stale),
-        # every older query rides its banked row, and the committed
-        # LOCAL_VERIFY artifacts prove the FULL 138-query registry at
+        # of the stale block: block 1 is now 51 never-driver-checked
+        # entries — the ~50-row window holds the first 50 and the
+        # purest projection (flatten_structs, position 51) plus every
+        # older query ride banked/LOCAL_VERIFY rows; the committed
+        # LOCAL_VERIFY artifacts prove the FULL 140-query registry at
         # both scale factors regardless of the window.
         "q6_forecast_revenue": q6_forecast_revenue,
         "bloom_join": q_bloom_join,
@@ -3561,6 +3603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_stats": q_manifest_stats,
         "analyze_table": q_analyze_table,
         "streaming_quality_report": q_streaming_quality_report,
+        "unpivot_measures": q_unpivot,
         "zorder_roundtrip": q_zorder_roundtrip,
         "q8_market_share": q8_market_share,
         "q12_late_priority_lines": q12_late_priority_lines,
@@ -3568,6 +3611,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q21_waiting_suppliers": q21_waiting_suppliers,
+        # block 1 outgrew the ~50-row driver window by one; the purest
+        # projection (flatten_structs) sits just past it and rides the
+        # committed LOCAL_VERIFY rows this round
+        "flatten_structs": q_flatten_struct,
         # --- 2. stale-since-r01/r02 block (41) ---
         "similarity_ivf": q_similarity_ivf,
         "embedding_dup_clusters": q_embedding_dup_clusters,
@@ -4263,6 +4310,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_orderkey IS NOT NULL
               AND NOT EXISTS (SELECT 1 FROM orders
                               WHERE o_orderkey = l_orderkey)
+        """,
+        "unpivot_measures": """
+            SELECT l_orderkey, l_linenumber,
+                   'l_quantity' AS measure,
+                   CAST(l_quantity AS DOUBLE) AS value
+            FROM lineitem WHERE l_orderkey % 50 = 0
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                   CAST(l_extendedprice AS DOUBLE)
+            FROM lineitem WHERE l_orderkey % 50 = 0
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount',
+                   CAST(l_discount AS DOUBLE)
+            FROM lineitem WHERE l_orderkey % 50 = 0
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax',
+                   CAST(l_tax AS DOUBLE)
+            FROM lineitem WHERE l_orderkey % 50 = 0
+        """,
+        "flatten_structs": """
+            SELECT o_orderkey,
+                   o_orderstatus AS status,
+                   o_totalprice AS price,
+                   o_orderpriority AS priority
+            FROM orders
         """,
         "streaming_quality_report": """
             SELECT 'not_null(l_orderkey)' AS constraint,

@@ -14,6 +14,8 @@ from .core import (
     snapshot_diff,
     scd2_apply,
     apply_agg_delta,
+    unpivot,
+    flatten_struct,
 )
 from .record import extract, update, convert, branch, split, logging_op
 from .joins import (
@@ -41,8 +43,12 @@ __all__ = [
     "snapshot_diff",
     "scd2_apply",
     "apply_agg_delta",
+    "unpivot",
+    "flatten_struct",
     "scd2_apply",
     "apply_agg_delta",
+    "unpivot",
+    "flatten_struct",
     "extend",
     "restructure",
     "checkpoint",

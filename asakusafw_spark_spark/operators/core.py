@@ -345,3 +345,63 @@ def apply_agg_delta(
         for out in sums
     ]
     return merged.select(*out_cols).filter(F.col(count_col) > 0)
+
+
+def unpivot(
+    df: DataFrame,
+    id_cols: "list[str]",
+    value_cols: "list[str]",
+    var_name: str = "variable",
+    value_name: str = "value",
+    cast: "str | None" = "double",
+) -> DataFrame:
+    """UNPIVOT/melt — the inverse of the pivot aggregate: widen-by-
+    column measures become (variable, value) rows, one output row per
+    input row per measure.
+
+    Pure projection + generator (``stack``): no shuffle, no Python —
+    at 100 TB this is a scan-shaped map with output ×len(value_cols).
+    ``stack`` needs one common value type: ``cast`` (default double)
+    coerces each measure; pass ``cast=None`` when the measures already
+    share a type (e.g. all strings).
+    """
+    n = len(value_cols)
+    if n == 0:
+        raise ValueError("unpivot: value_cols must be non-empty")
+    val = (lambda c: f"cast(`{c}` as {cast})") if cast else (lambda c: f"`{c}`")
+    pairs = ", ".join(f"'{c}', {val(c)}" for c in value_cols)
+    expr = f"stack({n}, {pairs}) as (`{var_name}`, `{value_name}`)"
+    return df.select(*id_cols, F.expr(expr))
+
+
+def flatten_struct(df: DataFrame, sep: str = "_") -> DataFrame:
+    """Recursively flatten struct columns into top-level columns named
+    ``parent<sep>child`` — the ingestion normalizer for nested sources
+    (JSON, avro, protobuf-derived parquet).
+
+    Pure projection: column pruning still reaches the scan (reading
+    one flattened leaf reads one parquet column), no shuffle, no
+    Python.  Arrays are left intact (explode is a semantic choice, not
+    a flattening)."""
+    from pyspark.sql import types as T
+
+    def leaves(prefix_expr, prefix_name, dtype):
+        if isinstance(dtype, T.StructType):
+            out = []
+            for f in dtype.fields:
+                out += leaves(
+                    prefix_expr + "." + f.name,
+                    prefix_name + sep + f.name,
+                    f.dataType,
+                )
+            return out
+        return [(prefix_expr, prefix_name)]
+
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.StructType):
+            for expr, name in leaves(f.name, f.name, f.dataType):
+                cols.append(F.col(expr).alias(name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)

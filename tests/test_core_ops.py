@@ -350,3 +350,38 @@ def test_cdc_loop_properties(spark):
         assert got == want
 
     check()
+
+
+def test_unpivot_melts_measures(spark):
+    from asakusafw_spark_spark.operators import unpivot
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 0.5), (2, 20.0, None)], "k long, price double, disc double"
+    )
+    out = unpivot(df, ["k"], ["price", "disc"])
+    rows = sorted(map(tuple, out.collect()), key=lambda t: (t[0], t[1]))
+    assert rows == [
+        (1, "disc", 0.5), (1, "price", 10.0),
+        (2, "disc", None), (2, "price", 20.0),
+    ]
+    # string measures with cast=None keep their type
+    s = spark.createDataFrame([(1, "a", "b")], "k long, x string, y string")
+    got = sorted(map(tuple, unpivot(s, ["k"], ["x", "y"], cast=None).collect()))
+    assert got == [(1, "x", "a"), (1, "y", "b")]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-empty"):
+        unpivot(df, ["k"], [])
+
+
+def test_flatten_struct_recursive(spark):
+    from asakusafw_spark_spark.operators import flatten_struct
+
+    df = spark.sql(
+        "SELECT 1 AS k, named_struct('a', 10, 'b', "
+        "named_struct('c', 'x', 'd', 2.5)) AS s, array(1, 2) AS arr"
+    )
+    out = flatten_struct(df)
+    assert out.columns == ["k", "s_a", "s_b_c", "s_b_d", "arr"]
+    r = out.first()
+    assert (r["s_a"], r["s_b_c"], r["s_b_d"], r["arr"]) == (10, "x", 2.5, [1, 2])
