@@ -311,9 +311,17 @@ def q_master_selection_ordering(spark, sf):
 
 
 def q_master_selection_custom_fn(spark, sf):
-    # same semantics via the Python cogroup slow path (select_fn)
+    # Custom selection via the Python cogroup slow path (select_fn).
+    # Deliberately DIFFERENT from the default ordering pick: choose the
+    # SECOND-best master by (acctbal desc, custkey asc) when the group
+    # has >= 2 candidates — so this oracle row fails if the engine
+    # ignores select_fn and falls back to the ordering default
+    # (VERDICT r05 "What's wrong" #2: the old fn returned index 0 and
+    # was unfalsifiable).
     def pick_best(m_pdf, trow):
-        return 0 if len(m_pdf) else None
+        if not len(m_pdf):
+            return None
+        return 1 if len(m_pdf) >= 2 else 0
 
     sel = MasterSelection(
         ordering=[("c_acctbal", "desc"), ("c_custkey", "asc")], select_fn=pick_best
@@ -3520,31 +3528,68 @@ def _duck_near_dup_sql(threshold: float = 0.9, planes: int = 6) -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ROTATION (VERDICT r04 Next #3): the driver's CORRECTNESS report
-    # truncates at ~50 entries, so ordering decides which queries get a
-    # FRESH oracle row each round.  Round 5 window (first 50):
-    #   1. the two r04-red CDC queries (decimal-exact fix must prove
-    #      green) + the six NEW round-5 queries (hadoop_input, redact,
-    #      vocab_top_k, tfidf, pack_sequences, dedup_corpus_best — no
-    #      banked rows exist),
-    #   2. the 41 queries whose last fresh row is r01/r02 (the whole
-    #      similarity/text/sampling surface, giant-group paths,
-    #      iterative_rounds, output_roundtrip, group_view_lookup,
-    #      bucketed_join, and the r02 record/join-operator block),
-    #      (+ materialize_packs, dedup_corpus_best) — the seven new
-    #      queries and the two CDC fills put the window at exactly 50;
-    #      the core smoke picks sit just past it and ride r04-banked
-    #      rows (flagship is additionally smoke-checked by entry()
-    #      every round).
-    # Queries past the window ride r04-banked rows (1 round stale).
-    # Next round: rotate the tail block back into the window.
-    # The session-2 queries (scrub_spans … compaction_roundtrip, 22 so far) push
-    # the LAST entries of block 2 (the r02-green master_check/branch/
-    # selection record-join block — the lowest-risk members) past the
-    # window; they ride their r02 rows one more round.  New queries
-    # have no banked rows at all, so window slots go to them first.
+    # ROTATION (VERDICT r05 Next #1): the driver CORRECTNESS report
+    # truncates at ~50 entries, so dict ORDER decides which queries get
+    # a fresh oracle row.  Round 6 window = the full stale backlog:
+    #   1. flatten_structs — registered last round at position 51, the
+    #      only query NEVER driver-checked; it leads the window.
+    #   2. the 41 queries whose last fresh row is r03 (the whole
+    #      §2.1/2.2 record-operator block, the §2.4 master-join block,
+    #      the similarity/text/sampling surface, iterative_rounds,
+    #      output_roundtrip, group_view_lookup, bucketed_join) — see
+    #      tools/staleness.py for the derivation.
+    #   3. the round-6 additions (hadoop_input_newapi, partsupp TPC-H
+    #      composites) fill the remaining window slots — new queries
+    #      have no banked rows, so they must be inside the window.
+    # Everything past the window rides its r04/r05-banked row (max one
+    # round stale after this rotation; the r05 block banked fresh rows
+    # last round and sits at the tail).
     return {
-        # --- 1. must-green: r04-red CDC pair + new query ---
+        # --- window head: never-checked + the 41 r03-stale ---
+        "flatten_structs": q_flatten_struct,
+        "project": q_project,
+        "extend": q_extend,
+        "restructure": q_restructure,
+        "extract": q_extract,
+        "update": q_update,
+        "convert": q_convert,
+        "branch": q_branch,
+        "split": q_split,
+        "master_join": q_master_join,
+        "master_join_missed": q_master_join_missed,
+        "master_check_found": q_master_check_found,
+        "master_check_missed": q_master_check_missed,
+        "master_branch": q_master_branch,
+        "master_join_update": q_master_join_update,
+        "master_selection_ordering": q_master_selection_ordering,
+        "master_selection_custom_fn": q_master_selection_custom_fn,
+        "cogroup_chunked": q_cogroup_chunked,
+        "fold_partial": q_fold_partial,
+        "group_view_lookup": q_group_view_lookup,
+        "iterative_rounds": q_iterative_rounds,
+        "output_roundtrip": q_output_roundtrip,
+        "bucketed_join": q_bucketed_join,
+        "text_analysis": q_text_analysis,
+        "text_repetition": q_text_repetition,
+        "text_simhash": q_text_simhash,
+        "token_budget": q_token_budget,
+        "corpus_stats": q_corpus_stats,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_simhash_groups": q_dedup_simhash_groups,
+        "contamination_check": q_contamination_check,
+        "similarity_bruteforce_topk": q_similarity_bruteforce,
+        "similarity_lsh_ann": q_similarity_lsh_ann,
+        "similarity_near_dup": q_similarity_near_dup,
+        "similarity_ivf": q_similarity_ivf,
+        "embedding_centroids": q_embedding_centroids,
+        "embedding_dup_clusters": q_embedding_dup_clusters,
+        "approx_distinct": q_approx_distinct,
+        "approx_percentile": q_approx_percentile,
+        "sample_stratified": q_sample_stratified,
+        "train_val_split": q_train_val_split,
+        # --- r06 additions are inserted here (see below) ---
+        # --- past the window: r04-banked block, then r05-fresh tail ---
         "merge_upsert": q_merge_upsert,
         "streaming_cdc_upsert": q_streaming_cdc_upsert,
         "hadoop_input": q_hadoop_input,
@@ -3554,8 +3599,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "dedup_corpus_best": q_dedup_corpus_best,
         "materialize_packs": q_materialize_packs,
-        # round-5 session-2 additions (no banked rows — must be in the
-        # window; they displace the tail of block 2, see note below)
         "scrub_spans": q_scrub_spans,
         "dedup_incremental": q_dedup_incremental,
         "quantize_embeddings": q_quantize_embeddings,
@@ -3578,20 +3621,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "compaction_roundtrip": q_compaction_roundtrip,
         "streaming_dedup_ingest": q_streaming_dedup_ingest,
-        # round-5 session-3 additions: the remaining TPC-H composites
-        # expressible over the slim schema (q2/q9/q11/q16/q20 need the
-        # absent partsupp table), the bloom-prefiltered join, the CDC
-        # warehouse loop (SCD2, incremental agg, streaming materialized
-        # agg, schema-evolving merge), layout/quality infrastructure
-        # (z-order roundtrip, footer manifest, constraint suite batch +
-        # streaming, one-pass ANALYZE), and LM quality scoring.  New
-        # queries have no banked rows, so they take window slots ahead
-        # of the stale block: block 1 is now 51 never-driver-checked
-        # entries — the ~50-row window holds the first 50 and the
-        # purest projection (flatten_structs, position 51) plus every
-        # older query ride banked/LOCAL_VERIFY rows; the committed
-        # LOCAL_VERIFY artifacts prove the FULL 140-query registry at
-        # both scale factors regardless of the window.
         "q6_forecast_revenue": q6_forecast_revenue,
         "bloom_join": q_bloom_join,
         "scd2_apply": q_scd2_apply,
@@ -3611,57 +3640,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q21_waiting_suppliers": q21_waiting_suppliers,
-        # block 1 outgrew the ~50-row driver window by one; the purest
-        # projection (flatten_structs) sits just past it and rides the
-        # committed LOCAL_VERIFY rows this round
-        "flatten_structs": q_flatten_struct,
-        # --- 2. stale-since-r01/r02 block (41) ---
-        "similarity_ivf": q_similarity_ivf,
-        "embedding_dup_clusters": q_embedding_dup_clusters,
-        "cogroup_chunked": q_cogroup_chunked,
-        "fold_partial": q_fold_partial,
-        "output_roundtrip": q_output_roundtrip,
-        "bucketed_join": q_bucketed_join,
-        "text_analysis": q_text_analysis,
-        "text_repetition": q_text_repetition,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "text_simhash": q_text_simhash,
-        "dedup_simhash_groups": q_dedup_simhash_groups,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "similarity_bruteforce_topk": q_similarity_bruteforce,
-        "similarity_lsh_ann": q_similarity_lsh_ann,
-        "similarity_near_dup": q_similarity_near_dup,
-        "iterative_rounds": q_iterative_rounds,
-        "approx_distinct": q_approx_distinct,
-        "approx_percentile": q_approx_percentile,
-        "sample_stratified": q_sample_stratified,
-        "train_val_split": q_train_val_split,
-        "contamination_check": q_contamination_check,
-        "corpus_stats": q_corpus_stats,
-        "embedding_centroids": q_embedding_centroids,
-        "token_budget": q_token_budget,
-        "group_view_lookup": q_group_view_lookup,
-        "project": q_project,
-        "extend": q_extend,
-        "restructure": q_restructure,
-        "extract": q_extract,
-        "update": q_update,
-        "convert": q_convert,
-        "branch": q_branch,
-        "split": q_split,
-        "master_join": q_master_join,
-        "master_join_missed": q_master_join_missed,
-        "master_check_found": q_master_check_found,
-        "master_check_missed": q_master_check_missed,
-        "master_branch": q_master_branch,
-        "master_join_update": q_master_join_update,
-        "master_selection_ordering": q_master_selection_ordering,
-        "master_selection_custom_fn": q_master_selection_custom_fn,
-        # --- 3. core smoke re-freshen ---
         "flagship_revenue_per_nation": _flagship,
         "summarize_q1": q_summarize_q1,
         "cogroup": q_cogroup,
-        # --- past the ~50 window: r04-banked rows ---
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "dedup_clusters": q_dedup_clusters,
@@ -3801,9 +3782,10 @@ def oracle_sql() -> dict[str, str]:
             JOIN (
                 SELECT c_nationkey, c_custkey, c_acctbal,
                        row_number() OVER (PARTITION BY c_nationkey
-                                          ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+                                          ORDER BY c_acctbal DESC, c_custkey ASC) AS rn,
+                       count(*) OVER (PARTITION BY c_nationkey) AS cnt
                 FROM customer
-            ) best ON best.c_nationkey = s_nationkey AND rn = 1
+            ) best ON best.c_nationkey = s_nationkey AND rn = LEAST(2, cnt)
         """,
         "master_join_where": """
             SELECT o_orderkey, o_totalprice, c_acctbal
