@@ -45,10 +45,6 @@ __all__ = [
     "apply_agg_delta",
     "unpivot",
     "flatten_struct",
-    "scd2_apply",
-    "apply_agg_delta",
-    "unpivot",
-    "flatten_struct",
     "extend",
     "restructure",
     "checkpoint",

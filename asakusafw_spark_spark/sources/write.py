@@ -821,10 +821,20 @@ def write_zordered(
                 uniq.append(x)
         zcols.append(_quantile_bucket_expr(F.col(c).cast("double"), uniq))
     ncols = len(zcols)
-    z = F.lit(0)
+    if bits * ncols > 63:
+        raise ValueError(
+            f"write_zordered: bits*len(cols) = {bits * ncols} exceeds 63 — "
+            "the Morton key would overflow a long; lower bits or cluster "
+            "fewer columns"
+        )
+    # interleave in LONG arithmetic: with int32 expressions, bit
+    # positions past 31 (e.g. bits=6 with 6+ columns) wrap and the
+    # clustering silently degrades
+    z = F.lit(0).cast("long")
     for j, b in enumerate(zcols):
+        b = b.cast("long")
         for i in range(bits):
-            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1).cast("long"))
             z = z.bitwiseOR(F.shiftleft(bit, i * ncols + j))
     ordered = (
         df.withColumn("__z__", z)
@@ -860,33 +870,44 @@ def dataset_manifest(spark: SparkSession, path: str) -> DataFrame:
     """
     base = path.rstrip("/")
     fs = HadoopFs(spark, base)
+    # sizes come from the SAME listing as the paths — no per-file stat
+    # round-trip in the executor tasks
     rels = sorted(
-        p.split(base + "/", 1)[1]
-        for p, _size in fs.list_files_recursive(base)
+        (p.split(base + "/", 1)[1], size)
+        for p, size in fs.list_files_recursive(base)
         if p.endswith(".parquet")
     )
     pdf_schema = (
         "file_name string, size_bytes long, num_rows long, num_row_groups long"
     )
-    paths_df = spark.createDataFrame([(r,) for r in rels], "file_name string")
+    paths_df = spark.createDataFrame(rels, "file_name string, size_bytes long")
 
     def read_footers(batches):
-        import os as _os
-
         import pandas as _pd
         import pyarrow.parquet as _pq
 
         local_base = base
+        remote_fs = None
         if local_base.startswith("file:"):
             local_base = local_base[len("file:"):]
+        elif "://" in local_base:
+            # non-local scheme (hdfs://, s3://, …): resolve through
+            # pyarrow's filesystem layer.  Raises a clear error if this
+            # arrow build lacks the scheme's driver, instead of a
+            # baffling per-task FileNotFoundError on a stripped path.
+            from pyarrow import fs as _pafs
+
+            remote_fs, local_base = _pafs.FileSystem.from_uri(local_base)
         for b in batches:
             out = []
-            for rel in b["file_name"]:
+            for rel, size in zip(b["file_name"], b["size_bytes"]):
                 full = f"{local_base}/{rel}"
-                md = _pq.read_metadata(full)
-                out.append(
-                    (rel, _os.path.getsize(full), md.num_rows, md.num_row_groups)
-                )
+                if remote_fs is not None:
+                    with remote_fs.open_input_file(full) as f:
+                        md = _pq.read_metadata(f)
+                else:
+                    md = _pq.read_metadata(full)
+                out.append((rel, size, md.num_rows, md.num_row_groups))
             yield _pd.DataFrame(
                 out,
                 columns=[

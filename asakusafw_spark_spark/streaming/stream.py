@@ -478,7 +478,7 @@ def stream_agg_maintain(
     because decimal addition commutes and associates exactly.
     """
     from ..operators.core import apply_agg_delta
-    from ..sources.write import HadoopFs, _atomic_swap
+    from ..sources.write import HadoopFs, _atomic_swap, _sibling_olds
 
     keys = [group_key] if isinstance(group_key, str) else list(group_key)
 
@@ -488,6 +488,19 @@ def stream_agg_maintain(
         spark = batch_df.sparkSession
         base = target_path.rstrip("/")
         fs = HadoopFs(spark, base)
+        # crash healing (same contract as merge_upsert): a crash between
+        # _atomic_swap's park rename and the staging rename leaves the
+        # state dir missing with the data parked under __old_* — restore
+        # the newest parked copy instead of silently rebuilding aggregate
+        # state from an empty base.  A completed swap that crashed before
+        # cleanup leaves the base PLUS stale __old_* dirs: drop them.
+        olds = _sibling_olds(fs, base)
+        if olds:
+            if not fs.exists(base):
+                fs.rename(sorted(olds)[-1], base)
+                olds = sorted(olds)[:-1]
+            for o in olds:
+                fs.delete(o)
         exists = fs.exists(base)
         # marker = "<checkpoint lineage>:<batch id>" — batch ids restart
         # at 0 for every checkpoint, so the skip applies only to replays
@@ -586,8 +599,37 @@ def stream_quality_monitor(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        rep = check_constraints(batch_df, **constraints).withColumn(
-            "batch_id", F.lit(batch_id).cast("long")
+        spark = batch_df.sparkSession
+        # foreachBatch is at-least-once: a batch replayed after a crash
+        # between this append and the checkpoint commit would write
+        # duplicate (batch_id, constraint) rows and inflate the
+        # per-constraint SUM the docstring promises.  Skip (lineage,
+        # batch_id) pairs already in the report — keyed on the
+        # checkpoint lineage exactly like stream_agg_maintain's marker,
+        # because batch ids restart at 0 for every checkpoint: a NEW
+        # query appending to the same report must never be mistaken for
+        # a replay.  The probe is footer-stats-prunable (batch_id
+        # equality + limit 1) over one slim row per (batch, constraint),
+        # so it stays cheap at any stream length.
+        from ..sources.write import HadoopFs
+
+        lineage = checkpoint_dir.rstrip("/")
+        if HadoopFs(spark, report_path).exists(report_path.rstrip("/")):
+            prior = spark.read.format(format).load(report_path)
+            if "lineage" in prior.columns:  # pre-upgrade reports lack it
+                replayed = (
+                    prior.filter(
+                        (F.col("batch_id") == F.lit(batch_id).cast("long"))
+                        & (F.col("lineage") == F.lit(lineage))
+                    )
+                    .limit(1).count()
+                )
+                if replayed:
+                    return
+        rep = (
+            check_constraints(batch_df, **constraints)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .withColumn("lineage", F.lit(lineage))
         )
         rep.write.format(format).mode("append").save(report_path)
 

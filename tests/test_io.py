@@ -573,3 +573,26 @@ def test_dataset_manifest_footer_stats(spark, sf_dir, tmp_path):
     m2 = dataset_manifest(spark, out2).collect()
     assert sum(r["num_rows"] for r in m2) == docs.count()
     assert all("lang=" in r["file_name"] for r in m2)
+
+
+def test_write_zordered_long_interleave_and_overflow_guard(spark, tmp_path):
+    """Morton interleave runs in LONG arithmetic: 6 bits x 6 columns
+    uses bit positions up to 35 (would wrap in int32 and silently
+    degrade clustering); content survives.  bits*cols > 63 raises."""
+    import pytest as _pytest
+
+    from asakusafw_spark_spark.sources import write_zordered
+
+    df = spark.range(512).select(
+        *[(F.col("id") * (i + 1) % 97).alias(f"c{i}") for i in range(6)]
+    )
+    out = str(tmp_path / "z6")
+    write_zordered(df, out, [f"c{i}" for i in range(6)], bits=6, num_files=4)
+    back = spark.read.parquet(out)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+
+    with _pytest.raises(ValueError, match="exceeds 63"):
+        write_zordered(df, str(tmp_path / "z_bad"),
+                       [f"c{i}" for i in range(6)], bits=11)

@@ -434,3 +434,107 @@ def test_stream_quality_monitor_additive_reports(spark, tmp_path):
         stream_quality_monitor(
             stream, report, str(tmp_path / "ck_q2"), unique=[["k"]]
         )
+
+
+def test_stream_agg_maintain_heals_mid_swap_crash(spark, tmp_path):
+    """A crash between _atomic_swap's park rename and the staging rename
+    leaves the state dir MISSING with the data parked under __old_* —
+    the next batch must restore the parked state and fold into it, not
+    silently rebuild the aggregate from an empty base."""
+    import glob as g
+    import os
+    import shutil
+
+    from asakusafw_spark_spark.streaming import stream_agg_maintain
+
+    target = str(tmp_path / "agg_state")
+    src = tmp_path / "feed"
+    src.mkdir()
+    b1 = spark.createDataFrame(
+        [("a", 10.0), ("b", 5.0)], "g string, v double"
+    )
+    stage = tmp_path / "s0"
+    b1.coalesce(1).write.parquet(str(stage))
+    shutil.copy(g.glob(f"{stage}/part-*.parquet")[0], src / "0000.parquet")
+    stream = (
+        spark.readStream.schema("g string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    stream_agg_maintain(
+        stream, target, "g", {"sum_v": "v"}, str(tmp_path / "ck1"),
+        query_name="t_heal1",
+    )
+    # simulate the mid-swap crash: state parked, live dir gone
+    os.rename(target, f"{target}__old_1111")
+    assert not os.path.exists(target)
+
+    src2 = tmp_path / "feed2"
+    src2.mkdir()
+    b2 = spark.createDataFrame([("a", 1.0), ("c", 7.0)], "g string, v double")
+    stage2 = tmp_path / "s1"
+    b2.coalesce(1).write.parquet(str(stage2))
+    shutil.copy(g.glob(f"{stage2}/part-*.parquet")[0], src2 / "0000.parquet")
+    stream2 = (
+        spark.readStream.schema("g string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src2))
+    )
+    stream_agg_maintain(
+        stream2, target, "g", {"sum_v": "v"}, str(tmp_path / "ck2"),
+        query_name="t_heal2",
+    )
+    state = {
+        r["g"]: (r["n"], float(r["sum_v"]))
+        for r in spark.read.parquet(target).collect()
+    }
+    # prior state restored AND new batch folded in — not {a:1, c:7}
+    assert state == {"a": (2, 11.0), "b": (1, 5.0), "c": (1, 7.0)}
+    assert not os.path.exists(f"{target}__old_1111")
+
+
+def test_stream_quality_monitor_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering a (lineage,
+    batch_id) the report already holds must NOT append duplicate rows —
+    while a NEW checkpoint lineage reusing batch id 0 must still
+    append (batch ids restart at 0 per checkpoint)."""
+    import glob as g
+    import shutil
+
+    from asakusafw_spark_spark.streaming import stream_quality_monitor
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    b1 = spark.createDataFrame([(1, 5.0), (None, -1.0)], "k long, v double")
+    stage = tmp_path / "s0"
+    b1.coalesce(1).write.parquet(str(stage))
+    shutil.copy(g.glob(f"{stage}/part-*.parquet")[0], src / "0000.parquet")
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema("k long, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        stream_quality_monitor(
+            stream, report, str(tmp_path / ck),
+            query_name=f"t_replay_{ck}",
+            not_null=["k"], ranges={"v": (0.0, 100.0)},
+        )
+
+    report = str(tmp_path / "report")
+    run("ck1")
+    n1 = spark.read.parquet(report).count()
+
+    # same lineage, same batch id re-delivered: wipe the checkpoint so
+    # the sink fires again with batch_id=0 under ck1's lineage
+    import shutil as _sh
+    _sh.rmtree(str(tmp_path / "ck1"))
+    run("ck1")
+    assert spark.read.parquet(report).count() == n1  # no duplicates
+
+    # a NEW lineage's batch 0 is real data, not a replay
+    run("ck2")
+    rep = spark.read.parquet(report)
+    assert rep.count() == 2 * n1
+    assert rep.select("lineage").distinct().count() == 2
