@@ -310,6 +310,41 @@ def q_master_selection_ordering(spark, sf):
     return out["joined"]
 
 
+def q_hadoop_input_newapi(spark, sf):
+    """The TRUE arbitrary-InputFormat door
+    (runtime/.../graph/NewHadoopInput.scala): nation serialized to
+    '|'-delimited text, read back through
+    ``sc.newAPIHadoopFile("org.apache.hadoop.mapreduce.lib.input.
+    TextInputFormat")`` — an actual Hadoop InputFormat class, not a
+    DataSource name — with a (offset, line) → Row adapter and reparsed.
+    Oracle: the original table (lossless roundtrip is the hatch's
+    contract)."""
+    import tempfile
+
+    from asakusafw_spark_spark.sources import hadoop_input_newapi
+    from asakusafw_spark_spark.sources.write import write_flat
+
+    nation = _t(spark, sf, "nation")
+    out = tempfile.mkdtemp(prefix="hadoop_newapi_") + "/nation_text"
+    lines = nation.select(
+        F.concat_ws(
+            "|", F.col("n_nationkey"), F.col("n_name"), F.col("n_regionkey")
+        ).alias("value")
+    )
+    write_flat(lines, out, format="text")
+    raw = hadoop_input_newapi(
+        spark,
+        "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
+        out,
+    )
+    parts = F.split(F.col("value"), "\\|")
+    return raw.select(
+        parts.getItem(0).cast("long").alias("n_nationkey"),
+        parts.getItem(1).alias("n_name"),
+        parts.getItem(2).cast("long").alias("n_regionkey"),
+    )
+
+
 def q_master_selection_custom_fn(spark, sf):
     # Custom selection via the Python cogroup slow path (select_fn).
     # Deliberately DIFFERENT from the default ordering pick: choose the
@@ -3588,7 +3623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_percentile": q_approx_percentile,
         "sample_stratified": q_sample_stratified,
         "train_val_split": q_train_val_split,
-        # --- r06 additions are inserted here (see below) ---
+        # --- r06 additions (no banked rows — must sit in the window) ---
+        "hadoop_input_newapi": q_hadoop_input_newapi,
         # --- past the window: r04-banked block, then r05-fresh tail ---
         "merge_upsert": q_merge_upsert,
         "streaming_cdc_upsert": q_streaming_cdc_upsert,
@@ -3874,6 +3910,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "direct_input": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
         "hadoop_input": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+                   CAST(n_regionkey AS BIGINT) AS n_regionkey
+            FROM nation
+        """,
+        "hadoop_input_newapi": """
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
                    CAST(n_regionkey AS BIGINT) AS n_regionkey
             FROM nation

@@ -1,7 +1,7 @@
 """Direct I/O surface (SURVEY.md §2.5): sources, sinks, pattern-generated
 grouped outputs, and a multi-dataset two-phase commit."""
 
-from .read import hadoop_input, direct_input, read_parquet
+from .read import hadoop_input, hadoop_input_newapi, direct_input, read_parquet
 from .pattern import OutputPattern
 from .write import (
     write_flat,
@@ -18,6 +18,7 @@ from .write import (
 __all__ = [
     "direct_input",
     "hadoop_input",
+    "hadoop_input_newapi",
     "read_parquet",
     "OutputPattern",
     "write_flat",

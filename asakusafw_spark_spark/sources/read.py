@@ -232,3 +232,50 @@ def hadoop_input(
     if isinstance(paths, str):
         paths = [paths]
     return reader.options(**options).format(format).load(list(paths))
+
+
+def hadoop_input_newapi(
+    spark: SparkSession,
+    input_format_class: str,
+    paths: str | Sequence[str],
+    key_class: str = "org.apache.hadoop.io.LongWritable",
+    value_class: str = "org.apache.hadoop.io.Text",
+    schema: T.StructType | str = "key bigint, value string",
+    to_row=None,
+    conf: dict | None = None,
+) -> DataFrame:
+    """The TRUE arbitrary-``mapreduce.InputFormat`` door
+    (runtime/.../graph/NewHadoopInput.scala:1-76 accepts any
+    ``InputFormat[K, V]`` class plus a Configuration): reads through
+    ``sc.newAPIHadoopFile`` with the given InputFormat/key/value
+    classes, then adapts each ``(K, V)`` pair to a Row.
+
+    ``to_row``  — optional ``(key, value) -> tuple`` adapter applied
+                  per pair (defaults to the identity 2-tuple, matching
+                  the default ``key/value`` schema).  Writable K/V are
+                  already converted to Python primitives by Spark's
+                  built-in converters (LongWritable → int, Text → str);
+                  pass ``keyConverter``/``valueConverter`` class names
+                  via ``conf``-style kwargs on custom Writables.
+    ``schema``  — the Row schema AFTER adaptation.  Required knowledge:
+                  RDD-boundary reads have no schema to infer from.
+
+    Scale shape: this is deliberately an RDD-boundary COMPATIBILITY
+    hatch, exactly like the reference node (whose purpose is legacy
+    InputFormats) — splits parallelize across executors via the
+    InputFormat's own ``getSplits``, but there is no column pruning or
+    predicate pushdown and rows cross the Python boundary once.  Use
+    :func:`hadoop_input` (DataSource) or :func:`direct_input` for
+    anything with a native reader; reach for this only when the format
+    exists solely as a Hadoop InputFormat class.
+    """
+    if not isinstance(paths, str):
+        # FileInputFormat.setInputPaths takes a comma-joined list
+        paths = ",".join(paths)
+    rdd = spark.sparkContext.newAPIHadoopFile(
+        paths, input_format_class, key_class, value_class,
+        conf=conf or {},
+    )
+    if to_row is not None:
+        rdd = rdd.map(lambda kv: to_row(kv[0], kv[1]))
+    return spark.createDataFrame(rdd, schema)

@@ -596,3 +596,28 @@ def test_write_zordered_long_interleave_and_overflow_guard(spark, tmp_path):
     with _pytest.raises(ValueError, match="exceeds 63"):
         write_zordered(df, str(tmp_path / "z_bad"),
                        [f"c{i}" for i in range(6)], bits=11)
+
+
+def test_hadoop_input_newapi_arbitrary_inputformat(spark, tmp_path):
+    """newAPIHadoopFile door: read a raw text file through an actual
+    Hadoop InputFormat CLASS (TextInputFormat) with the default
+    (offset, line) schema, then with a custom (k, v) -> Row adapter;
+    comma-joined multi-path input unions the splits."""
+    from asakusafw_spark_spark.sources import hadoop_input_newapi
+
+    p1 = tmp_path / "a.txt"
+    p2 = tmp_path / "b.txt"
+    p1.write_text("x|1\ny|2\n")
+    p2.write_text("z|3\n")
+    fmt = "org.apache.hadoop.mapreduce.lib.input.TextInputFormat"
+
+    raw = hadoop_input_newapi(spark, fmt, str(p1))
+    rows = sorted((r["key"], r["value"]) for r in raw.collect())
+    assert rows == [(0, "x|1"), (4, "y|2")]  # byte offsets as keys
+
+    both = hadoop_input_newapi(
+        spark, fmt, [str(p1), str(p2)],
+        schema="name string, n bigint",
+        to_row=lambda k, v: (v.split("|")[0], int(v.split("|")[1])),
+    )
+    assert sorted(map(tuple, both.collect())) == [("x", 1), ("y", 2), ("z", 3)]
