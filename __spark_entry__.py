@@ -87,6 +87,14 @@ def _dsum(col, scale: int = 6):
     return F.sum(col.cast(f"decimal(27,{scale})")).cast("double")
 
 
+def _ps_cte() -> str:
+    """DuckDB CTE body for the deterministically synthesized partsupp
+    relation (sources/tpch.py) — the oracle twin of _partsupp()."""
+    from asakusafw_spark_spark.sources.tpch import partsupp_cte
+
+    return partsupp_cte()
+
+
 # ---------------------------------------------------------------------------
 # Flagship: revenue per nation (scan → joins → aggregate), engine operators
 # ---------------------------------------------------------------------------
@@ -1753,6 +1761,236 @@ def q21_waiting_suppliers(spark, sf):
         supp, blamed, [("s_suppkey", "l_suppkey")], strategy="broadcast",
         unique_master=True,
     )["joined"].groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+
+
+# ---------------------------------------------------------------------------
+# Partsupp-dependent TPC-H composites (VERDICT r05 Next #4): partsupp is
+# synthesized deterministically from part x supplier (sources/tpch.py) so
+# Spark and DuckDB derive the identical relation with no side-channel file.
+# ---------------------------------------------------------------------------
+
+
+def _partsupp(spark, sf):
+    from asakusafw_spark_spark.sources.tpch import synthesize_partsupp
+
+    return synthesize_partsupp(
+        _t(spark, sf, "part"), _t(spark, sf, "supplier")
+    )
+
+
+def q2_min_cost_supplier(spark, sf):
+    """TPC-H Q2-style minimum-cost supplier: for ECONOMY parts of size
+    15, the EUROPE supplier(s) offering the part at the region-minimum
+    supplycost.
+
+    Scale shape: the part filter broadcasts FIRST (partsupp touches only
+    qualifying parts), the supplier→nation→region dimension chain
+    broadcasts onto partsupp, and the per-part minimum runs over the
+    already-tiny candidate set — the correlated subquery in the spec
+    text becomes one window min, no self-join, no second partsupp scan."""
+    from pyspark.sql import Window
+
+    part = _t(spark, sf, "part")
+    supplier = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region")
+
+    tp = part.filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY")
+    ).select("p_partkey", "p_type")
+    eu = (
+        supplier.join(
+            F.broadcast(nation),
+            supplier.s_nationkey == nation.n_nationkey,
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        _partsupp(spark, sf)
+        .join(F.broadcast(tp), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu), F.col("ps_suppkey") == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        cand.withColumn("__mc", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("__mc"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+            "ps_supplycost",
+        )
+    )
+
+
+def q9_product_type_profit(spark, sf):
+    """TPC-H Q9-style product-type profit: per supplier nation and order
+    year, SUM(l_extendedprice*(1-l_discount) - ps_supplycost*l_quantity)
+    over lineitems of 'red%' parts.
+
+    Scale shape: the name-filtered part list broadcasts onto partsupp
+    (4 rows/part), that slim cost map broadcasts onto lineitem along
+    with supplier→nation — the fact table is filtered and enriched in
+    its scan stage; the only shuffle joins the surviving lineitems with
+    the slim (o_orderkey, year) projection of orders, then one hash
+    aggregate on (nation, year) with the exact-decimal sum."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    red_parts = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    ps = _partsupp(spark, sf).join(
+        F.broadcast(red_parts), F.col("ps_partkey") == F.col("p_partkey")
+    ).select("ps_partkey", "ps_suppkey", "ps_supplycost")
+    sn = (
+        _t(spark, sf, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    enriched = (
+        li.join(
+            F.broadcast(ps),
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "ps_supplycost"
+    ) * F.col("l_quantity")
+    return enriched.groupBy("n_name", "o_year").agg(
+        _dsum(amount).alias("profit")
+    )
+
+
+def q11_important_stock(spark, sf):
+    """TPC-H Q11-style important stock: per part, the total
+    supplycost*availqty held by NATION_15 suppliers, keeping parts whose
+    value exceeds 1/500 of the nation-wide total.
+
+    Scale shape: nation-filtered suppliers broadcast onto partsupp, one
+    hash aggregate per part, and the HAVING threshold is a 1-row
+    broadcast stat frame cross-joined back (the established scalar
+    pattern) — partsupp is scanned once."""
+    nat_supp = (
+        _t(spark, sf, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf, "nation").filter(F.col("n_name") == "NATION_15")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    held = (
+        _partsupp(spark, sf)
+        .join(F.broadcast(nat_supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty")).alias("__v"),
+        )
+    )
+    per_part = held.groupBy("ps_partkey").agg(_dsum(F.col("__v")).alias("value"))
+    total = per_part.agg(
+        _dsum(F.col("value")).alias("__total")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("__total") / 500)
+        .select("ps_partkey", "value")
+    )
+
+
+def q16_parts_supplier_relationship(spark, sf):
+    """TPC-H Q16-style: distinct supplier count per (brand, type, size)
+    for selected sizes, excluding one brand, PROMO types, and suppliers
+    with negative balances (the testdata has no s_comment, so the
+    'complaints' exclusion keys on s_acctbal < 0 — same anti-join shape).
+
+    Scale shape: the exclusion list broadcasts as an anti-join into the
+    partsupp scan; COUNT(DISTINCT) shuffles once on the slim
+    (brand, type, size, suppkey) projection."""
+    part = _t(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = _t(spark, sf, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    ps = _partsupp(spark, sf).join(
+        F.broadcast(bad_supp),
+        F.col("ps_suppkey") == F.col("s_suppkey"),
+        "left_anti",
+    )
+    return (
+        ps.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q20_potential_promotion(spark, sf):
+    """TPC-H Q20-style potential part promotion: NATION_3 suppliers
+    holding more than half the 1996 shipped quantity of some 'red%'
+    part they supply.
+
+    Scale shape: lineitem aggregates FIRST on (partkey, suppkey) — the
+    fact never joins at row grain; the name-filtered partsupp side
+    broadcasts onto that aggregate; the surviving supplier keys
+    broadcast as a semi-join into the supplier dimension."""
+    red_parts = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    ps = _partsupp(spark, sf).join(
+        F.broadcast(red_parts), F.col("ps_partkey") == F.col("p_partkey")
+    ).select("ps_partkey", "ps_suppkey", "ps_availqty")
+    shipped = (
+        _t(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(_dsum(F.col("l_quantity"), 2).alias("__qty"))
+    )
+    qualifying = (
+        shipped.join(
+            F.broadcast(ps),
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > F.col("__qty") * 0.5)
+        .select("ps_suppkey")
+        .distinct()
+    )
+    nat3 = (
+        _t(spark, sf, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf, "nation").filter(F.col("n_name") == "NATION_3")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return nat3.join(
+        qualifying,
+        nat3.s_suppkey == qualifying.ps_suppkey,
+        "left_semi",
+    )
 
 
 def q_bloom_join(spark, sf):
@@ -3625,6 +3863,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_split": q_train_val_split,
         # --- r06 additions (no banked rows — must sit in the window) ---
         "hadoop_input_newapi": q_hadoop_input_newapi,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q9_product_type_profit": q9_product_type_profit,
+        "q11_important_stock": q11_important_stock,
+        "q16_parts_supplier_relationship": q16_parts_supplier_relationship,
+        "q20_potential_promotion": q20_potential_promotion,
         # --- past the window: r04-banked block, then r05-fresh tail ---
         "merge_upsert": q_merge_upsert,
         "streaming_cdc_upsert": q_streaming_cdc_upsert,
@@ -3918,6 +4161,85 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
                    CAST(n_regionkey AS BIGINT) AS n_regionkey
             FROM nation
+        """,
+        "q2_min_cost_supplier": f"""
+            WITH {_ps_cte()},
+            eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+                   FROM supplier
+                   JOIN nation ON s_nationkey = n_nationkey
+                   JOIN region ON n_regionkey = r_regionkey
+                        AND r_name = 'EUROPE'),
+            cand AS (SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+                            ps_supplycost,
+                            MIN(ps_supplycost) OVER (PARTITION BY ps_partkey)
+                                AS mc
+                     FROM partsupp
+                     JOIN part ON ps_partkey = p_partkey
+                          AND p_size = 15 AND p_type = 'ECONOMY'
+                     JOIN eu ON ps_suppkey = s_suppkey)
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+            FROM cand WHERE ps_supplycost = mc
+        """,
+        "q9_product_type_profit": f"""
+            WITH {_ps_cte()}
+            SELECT n_name,
+                   CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 - ps_supplycost * l_quantity
+                                 AS DECIMAL(27,6))) AS DOUBLE) AS profit
+            FROM lineitem
+            JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+            JOIN part ON ps_partkey = p_partkey AND p_name LIKE 'red%'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY n_name, o_year
+        """,
+        "q11_important_stock": f"""
+            WITH {_ps_cte()},
+            held AS (SELECT ps_partkey,
+                            CAST(SUM(CAST(ps_supplycost * ps_availqty
+                                          AS DECIMAL(27,6))) AS DOUBLE)
+                                AS value
+                     FROM partsupp
+                     JOIN supplier ON ps_suppkey = s_suppkey
+                     JOIN nation ON s_nationkey = n_nationkey
+                          AND n_name = 'NATION_15'
+                     GROUP BY ps_partkey)
+            SELECT ps_partkey, value FROM held
+            WHERE value > (SELECT CAST(SUM(CAST(value AS DECIMAL(27,6)))
+                                       AS DOUBLE)
+                           FROM held) / 500
+        """,
+        "q16_parts_supplier_relationship": f"""
+            WITH {_ps_cte()}
+            SELECT p_brand, p_type, p_size,
+                   COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+            FROM partsupp JOIN part ON ps_partkey = p_partkey
+            WHERE p_brand <> 'Brand#5' AND p_type NOT LIKE 'PROMO%'
+              AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+              AND ps_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "q20_potential_promotion": f"""
+            WITH {_ps_cte()},
+            shipped AS (SELECT l_partkey, l_suppkey,
+                               CAST(SUM(CAST(l_quantity AS DECIMAL(27,2)))
+                                    AS DOUBLE) AS qty
+                        FROM lineitem
+                        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                          AND l_shipdate <  TIMESTAMP '1997-01-01'
+                        GROUP BY l_partkey, l_suppkey)
+            SELECT s_suppkey, s_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+            WHERE s_suppkey IN (
+                SELECT ps_suppkey FROM partsupp
+                JOIN part ON ps_partkey = p_partkey AND p_name LIKE 'red%'
+                JOIN shipped ON l_partkey = ps_partkey
+                     AND l_suppkey = ps_suppkey
+                WHERE ps_availqty > qty * 0.5)
         """,
         "redact": """
             SELECT doc_id,
