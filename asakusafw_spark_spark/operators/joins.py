@@ -133,6 +133,42 @@ def _dedupe_masters(master: DataFrame, key: Sequence[str], sel: MasterSelection)
     )
 
 
+#: Debug conf gating the unique_master key-uniqueness assertion.
+VALIDATE_UNIQUE_CONF = "spark.asakusafw.validateUniqueMaster"
+
+
+def _validate_unique_master(master: DataFrame, mkey: Sequence[str]) -> None:
+    """Debug-mode guard for ``unique_master=True``: when the session conf
+    ``spark.asakusafw.validateUniqueMaster`` is ``true``, assert the
+    declared key-uniqueness with one count-distinct aggregate BEFORE the
+    join — a duplicate dimension key silently fans out tx rows (the
+    documented SQL-parity behaviour), which is exactly the pipeline bug
+    class this catches in integration runs.  Off by default: the whole
+    point of ``unique_master`` is skipping the per-key aggregate, so the
+    check must not reinstate that cost on production paths."""
+    spark = master.sparkSession
+    try:
+        enabled = spark.conf.get(VALIDATE_UNIQUE_CONF, "false")
+    except Exception:
+        return
+    if str(enabled).lower() != "true":
+        return
+    dup = (
+        master.groupBy(*[F.col(k) for k in mkey])
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .filter(F.col("__n__") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        keyval = {k: dup[0][k] for k in mkey}
+        raise ValueError(
+            f"unique_master=True, but master key {keyval} occurs "
+            f"{dup[0]['__n__']}x — the join would fan out tx rows; "
+            "deduplicate the master or drop unique_master"
+        )
+
+
 def _apply_strategy(master: DataFrame, strategy: str) -> DataFrame:
     if strategy == "broadcast":
         return F.broadcast(master)
@@ -199,6 +235,8 @@ def _join_selected(
         # selection independent of tx → pre-reduce master groups, then 1:N
         # join (skipped when the caller guarantees key-uniqueness, keeping
         # the master child a bare shuffle so AQE skew-split stays eligible)
+        if unique_master:
+            _validate_unique_master(master, mkey)
         m1 = master if unique_master else _dedupe_masters(master, mkey, sel)
         m1 = _prefix(m1, "__m_").withColumn(_HIT, F.lit(True))
         if skew_salt > 1:

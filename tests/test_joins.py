@@ -425,3 +425,34 @@ def test_bloom_prefilter_exact_hit_set_and_plan(spark, sf_dir):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="non-empty"):
         bloom_prefilter(orders, li, [])
+
+
+def test_unique_master_debug_validation(spark):
+    """unique_master=True silently fans out on a duplicate master key
+    (documented SQL parity) — unless the debug conf is on, in which case
+    the duplicate is caught with a clear error BEFORE the join."""
+    import pytest as _pytest
+
+    from asakusafw_spark_spark.operators.joins import (
+        VALIDATE_UNIQUE_CONF, master_join,
+    )
+
+    dup_master = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "k long, mv string"
+    )
+    tx = spark.createDataFrame([(1, 10), (2, 20)], "k long, tv int")
+
+    out = master_join(dup_master, tx, ["k"], unique_master=True)
+    assert out["joined"].count() == 3  # tx row k=1 fanned out (documented)
+
+    spark.conf.set(VALIDATE_UNIQUE_CONF, "true")
+    try:
+        with _pytest.raises(ValueError, match="occurs 2x"):
+            master_join(dup_master, tx, ["k"], unique_master=True)["joined"].count()
+        # a genuinely unique master passes under the debug conf
+        uniq = dup_master.dropDuplicates(["k"])
+        assert master_join(uniq, tx, ["k"], unique_master=True)[
+            "joined"
+        ].count() == 2
+    finally:
+        spark.conf.unset(VALIDATE_UNIQUE_CONF)

@@ -110,3 +110,58 @@ def test_iterative_transitive_param_dependency(spark):
     runner.run(spark, [{"cut": 3}, {"cut": 7}], lambda i, p, f: counts.append(f["derived"].count()))
     assert counts == [3, 7]
     assert builds["derived"] == 2
+
+
+def test_run_cli_drives_flow_end_to_end(tmp_path):
+    """The spark-execute analogue: `python -m asakusafw_spark_spark.run
+    module:factory --arg k=v` resolves the flow factory from cwd,
+    builds the FlowGraph, and fires its sinks in a fresh interpreter."""
+    import subprocess
+    import sys
+
+    flow_mod = tmp_path / "demo_flow.py"
+    out_dir = tmp_path / "out"
+    flow_mod.write_text(
+        f'''
+from pyspark.sql import functions as F
+from asakusafw_spark_spark.plans.flow import FlowGraph
+from asakusafw_spark_spark.sources.write import write_flat
+
+def flow(threshold="5"):
+    g = FlowGraph()
+    g.source("nums", lambda spark: spark.range(10).select(
+        F.col("id"), (F.col("id") * 2).alias("v")))
+    g.op("big", "nums", lambda spark, df: df.filter(
+        F.col("v") >= int(threshold)))
+    g.sink("save", "big", lambda df: write_flat(
+        df, r"{out_dir}", format="parquet"))
+    return g
+''')
+    r = subprocess.run(
+        [sys.executable, "-m", "asakusafw_spark_spark.run",
+         "demo_flow:flow", "--arg", "threshold=10",
+         "--master", "local[2]", "--shuffle-partitions", "2"],
+        cwd=tmp_path, capture_output=True, text=True, timeout=300,
+        env={**__import__("os").environ,
+             "PYTHONPATH": __import__("os").path.dirname(
+                 __import__("os").path.dirname(
+                     __import__("asakusafw_spark_spark").__file__))},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import duckdb
+    n, lo = duckdb.sql(
+        f"SELECT count(*), min(v) FROM read_parquet('{out_dir}/*.parquet')"
+    ).fetchone()
+    assert (n, lo) == (5, 10)  # v in {10,12,14,16,18}
+
+    # a bad attr fails with a clear message, not a stack trace
+    r2 = subprocess.run(
+        [sys.executable, "-m", "asakusafw_spark_spark.run", "demo_flow:nope"],
+        cwd=tmp_path, capture_output=True, text=True, timeout=120,
+        env=r.args and {**__import__("os").environ,
+             "PYTHONPATH": __import__("os").path.dirname(
+                 __import__("os").path.dirname(
+                     __import__("asakusafw_spark_spark").__file__))},
+    )
+    assert r2.returncode != 0
+    assert "no attribute 'nope'" in r2.stderr
