@@ -4,6 +4,7 @@ grouped outputs, and a multi-dataset two-phase commit."""
 from .read import hadoop_input, hadoop_input_newapi, direct_input, read_parquet
 from .pattern import OutputPattern
 from .write import (
+    hadoop_output_newapi,
     write_flat,
     write_grouped,
     write_bucketed,
@@ -19,6 +20,7 @@ __all__ = [
     "direct_input",
     "hadoop_input",
     "hadoop_input_newapi",
+    "hadoop_output_newapi",
     "read_parquet",
     "OutputPattern",
     "write_flat",

@@ -243,6 +243,8 @@ def hadoop_input_newapi(
     schema: T.StructType | str = "key bigint, value string",
     to_row=None,
     conf: dict | None = None,
+    key_converter: str | None = None,
+    value_converter: str | None = None,
 ) -> DataFrame:
     """The TRUE arbitrary-``mapreduce.InputFormat`` door
     (runtime/.../graph/NewHadoopInput.scala:1-76 accepts any
@@ -255,8 +257,11 @@ def hadoop_input_newapi(
                   the default ``key/value`` schema).  Writable K/V are
                   already converted to Python primitives by Spark's
                   built-in converters (LongWritable → int, Text → str);
-                  pass ``keyConverter``/``valueConverter`` class names
-                  via ``conf``-style kwargs on custom Writables.
+                  for custom Writables pass ``key_converter`` /
+                  ``value_converter`` — JVM class names of
+                  ``org.apache.spark.api.python.Converter``
+                  implementations, forwarded verbatim to
+                  ``sc.newAPIHadoopFile``.
     ``schema``  — the Row schema AFTER adaptation.  Required knowledge:
                   RDD-boundary reads have no schema to infer from.
 
@@ -274,6 +279,7 @@ def hadoop_input_newapi(
         paths = ",".join(paths)
     rdd = spark.sparkContext.newAPIHadoopFile(
         paths, input_format_class, key_class, value_class,
+        keyConverter=key_converter, valueConverter=value_converter,
         conf=conf or {},
     )
     if to_row is not None:

@@ -916,3 +916,67 @@ def dataset_manifest(spark: SparkSession, path: str) -> DataFrame:
             )
 
     return paths_df.mapInPandas(read_footers, pdf_schema)
+
+
+def hadoop_output_newapi(
+    df: DataFrame,
+    path: str,
+    output_format_class: str = (
+        "org.apache.hadoop.mapreduce.lib.output.TextOutputFormat"
+    ),
+    key_class: str = "org.apache.hadoop.io.NullWritable",
+    value_class: str = "org.apache.hadoop.io.Text",
+    to_kv=None,
+    conf: "dict | None" = None,
+    key_converter: "str | None" = None,
+    value_converter: "str | None" = None,
+) -> None:
+    """The TRUE arbitrary-``mapreduce.OutputFormat`` door — the write
+    symmetric of :func:`~.read.hadoop_input_newapi` (reference
+    ``runtime/.../graph/NewHadoopOutput.scala:84`` maps every record to
+    ``(NullWritable, record)`` and calls ``saveAsNewAPIHadoopDataset``
+    with any configured ``OutputFormat[K, V]``): adapts each Row to a
+    ``(K, V)`` pair and writes through ``saveAsNewAPIHadoopFile`` with
+    the given OutputFormat/key/value classes.
+
+    ``to_kv``  — optional ``Row -> (key, value)`` adapter.  Defaults to
+                 ``(None, tab-joined string of all columns)`` — ``None``
+                 becomes ``NullWritable`` (so ``TextOutputFormat`` emits
+                 the value alone, exactly the reference node's
+                 ``(NullWritable.get, record)`` shape) and nulls render
+                 as empty fields.  Python primitives are converted to
+                 Writables by Spark's built-in ``JavaToWritableConverter``
+                 (int → IntWritable, str → Text, None → NullWritable);
+                 for custom Writables pass ``key_converter`` /
+                 ``value_converter`` — JVM class names of
+                 ``org.apache.spark.api.python.Converter``
+                 implementations, forwarded verbatim.
+
+    Scale shape: like the read side this is deliberately an
+    RDD-boundary COMPATIBILITY hatch — rows cross the Python boundary
+    once and there is no DataSource committer integration beyond what
+    the OutputFormat's own ``OutputCommitter`` provides (Hadoop's
+    FileOutputCommitter gives per-job atomicity via ``_temporary``
+    staging, same guarantee the reference relies on).  Partitioning is
+    preserved: each input partition becomes one ``part-r-NNNNN`` file
+    written by its executor.  Prefer :func:`write_flat` /
+    :func:`write_grouped` (DataSource writers: column pruning, codegen,
+    committer v2) for anything with a native writer; reach for this
+    only when the format exists solely as a Hadoop OutputFormat class.
+    """
+    if to_kv is None:
+        def to_kv(row):
+            return (
+                None,
+                "\t".join("" if v is None else str(v) for v in row),
+            )
+    adapter = to_kv
+    df.rdd.map(lambda r: adapter(r)).saveAsNewAPIHadoopFile(
+        path,
+        output_format_class,
+        keyClass=key_class,
+        valueClass=value_class,
+        keyConverter=key_converter,
+        valueConverter=value_converter,
+        conf=conf or {},
+    )

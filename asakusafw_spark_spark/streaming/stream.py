@@ -501,6 +501,18 @@ def stream_agg_maintain(
                 olds = sorted(olds)[:-1]
             for o in olds:
                 fs.delete(o)
+        # a crash between the staging write and _atomic_swap leaves a
+        # full-copy `<base>__agg_*` sibling behind; drop them here —
+        # always safe, because the batch that produced a staging dir is
+        # replayed and re-staged (only THIS sink names dirs that way,
+        # so anything matching is ours and stale)
+        parent, name = base.rsplit("/", 1)
+        try:
+            for n in fs.listdir(parent):
+                if n.startswith(name + "__agg_"):
+                    fs.delete(f"{parent}/{n}")
+        except Exception:
+            pass  # parent unlistable => base missing too; first batch
         exists = fs.exists(base)
         # marker = "<checkpoint lineage>:<batch id>" — batch ids restart
         # at 0 for every checkpoint, so the skip applies only to replays
@@ -615,7 +627,15 @@ def stream_quality_monitor(
 
         lineage = checkpoint_dir.rstrip("/")
         if HadoopFs(spark, report_path).exists(report_path.rstrip("/")):
-            prior = spark.read.format(format).load(report_path)
+            # mergeSchema: a report with pre-upgrade files (no lineage
+            # column) must not let Spark infer the schema from an OLD
+            # footer — that would hide the column the new files carry
+            # and silently disable the dedup below
+            prior = (
+                spark.read.format(format)
+                .option("mergeSchema", "true")
+                .load(report_path)
+            )
             if "lineage" in prior.columns:  # pre-upgrade reports lack it
                 replayed = (
                     prior.filter(

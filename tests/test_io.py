@@ -621,3 +621,153 @@ def test_hadoop_input_newapi_arbitrary_inputformat(spark, tmp_path):
         to_row=lambda k, v: (v.split("|")[0], int(v.split("|")[1])),
     )
     assert sorted(map(tuple, both.collect())) == [("x", 1), ("y", 2), ("z", 3)]
+
+
+def test_partsupp_step_clamp_keeps_suppkeys_distinct_and_duck_parity(spark):
+    """At supplier counts where (S//4 + p//S) % S == 0 (e.g. S=40,
+    p in [1200, 1239]) the unclamped step would collide all four
+    ps_suppkey values, violating the partsupp PK the TPC-H composites
+    assume.  The clamp must keep them distinct — and the DuckDB oracle
+    CTE must derive the IDENTICAL relation (all-integer arithmetic on
+    both engines)."""
+    import duckdb
+    import pandas as pd
+
+    from asakusafw_spark_spark.sources.tpch import (
+        partsupp_cte, synthesize_partsupp,
+    )
+
+    part_pd = pd.DataFrame({"p_partkey": list(range(1195, 1245))})
+    supp_pd = pd.DataFrame({"s_suppkey": list(range(40))})
+    part = spark.createDataFrame(part_pd)
+    supplier = spark.createDataFrame(supp_pd)
+
+    ps = synthesize_partsupp(part, supplier).toPandas().sort_values(
+        ["ps_partkey", "ps_suppkey"]
+    ).reset_index(drop=True)
+    # PK holds for every part, including the collision band
+    assert (
+        ps.groupby("ps_partkey")["ps_suppkey"].nunique() == 4
+    ).all()
+
+    con = duckdb.connect()
+    con.register("part", part_pd)
+    con.register("supplier", supp_pd)
+    oracle = con.sql(
+        f"WITH {partsupp_cte()} SELECT * FROM partsupp "
+        "ORDER BY ps_partkey, ps_suppkey"
+    ).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        ps.astype({"ps_availqty": "int64"}),
+        oracle.astype(
+            {"ps_partkey": "int64", "ps_suppkey": "int64",
+             "ps_availqty": "int64"}
+        ),
+        check_dtype=False,
+    )
+
+
+def test_synthesize_partsupp_honors_given_s_cnt(spark):
+    """Passing s_cnt must short-circuit the supplier count() probe —
+    the hook _partsupp's per-sweep memoization relies on."""
+    from asakusafw_spark_spark.sources.tpch import synthesize_partsupp
+
+    part = spark.createDataFrame([(1,), (2,)], "p_partkey long")
+
+    class _NoCount:
+        def count(self):
+            raise AssertionError("s_cnt given — count() must not fire")
+
+    ps = synthesize_partsupp(part, _NoCount(), s_cnt=8)
+    assert ps.count() == 8  # 2 parts x 4 links
+
+
+def test_partsupp_sweep_fires_one_supplier_count(spark, sf_dir, monkeypatch):
+    """One sweep building all five partsupp composites must probe the
+    supplier count ONCE (VERDICT r06 Next #4), not once per query."""
+    import __spark_entry__ as entry
+
+    # patch the CONCRETE class (pyspark 4 splits classic/connect — the
+    # abstract pyspark.sql.DataFrame.count is overridden, so patching it
+    # would intercept nothing)
+    cls = type(spark.range(1))
+    calls = []
+    orig = cls.count
+
+    def counting(self):
+        calls.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(cls, "count", counting)
+    entry._SCNT_MEMO.clear()
+    try:
+        for q in (
+            entry.q2_min_cost_supplier,
+            entry.q9_product_type_profit,
+            entry.q11_important_stock,
+            entry.q16_parts_supplier_relationship,
+            entry.q20_potential_promotion,
+        ):
+            q(spark, sf_dir)  # build only — no action fired here
+        assert len(calls) == 1
+    finally:
+        entry._SCNT_MEMO.clear()
+
+
+def test_hadoop_output_newapi_roundtrips_through_text_outputformat(
+    spark, tmp_path
+):
+    """The arbitrary-OutputFormat door (NewHadoopOutput.scala:84): rows
+    written through an actual mapreduce TextOutputFormat class — the
+    reference node's (NullWritable, record) shape — must read back
+    losslessly through the InputFormat door."""
+    from pyspark.sql import functions as F
+
+    from asakusafw_spark_spark.sources import (
+        hadoop_input_newapi, hadoop_output_newapi,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha", None), (2, "beta", 7), (3, "g|mma", 9)],
+        "id long, name string, opt int",
+    )
+    out = str(tmp_path / "text_out")
+    hadoop_output_newapi(df, out)  # default: tab-join, nulls empty
+    back = hadoop_input_newapi(
+        spark, "org.apache.hadoop.mapreduce.lib.input.TextInputFormat", out
+    )
+    parts = F.split(F.col("value"), "\t")
+    got = {
+        (r["id"], r["name"], r["opt"])
+        for r in back.select(
+            parts.getItem(0).cast("long").alias("id"),
+            parts.getItem(1).alias("name"),
+            F.nullif(parts.getItem(2), F.lit("")).cast("int").alias("opt"),
+        ).collect()
+    }
+    assert got == {(1, "alpha", None), (2, "beta", 7), (3, "g|mma", 9)}
+
+    # custom to_kv: real (key, value) pairs through TextOutputFormat
+    out2 = str(tmp_path / "kv_out")
+    hadoop_output_newapi(
+        df.select("id", "name"), out2,
+        key_class="org.apache.hadoop.io.LongWritable",
+        to_kv=lambda row: (row["id"] * 10, row["name"]),
+    )
+    back2 = hadoop_input_newapi(
+        spark, "org.apache.hadoop.mapreduce.lib.input.TextInputFormat", out2
+    )
+    kv = F.split(F.col("value"), "\t")
+    got2 = {
+        (r["k"], r["v"])
+        for r in back2.select(
+            kv.getItem(0).cast("long").alias("k"), kv.getItem(1).alias("v")
+        ).collect()
+    }
+    assert got2 == {(10, "alpha"), (20, "beta"), (30, "g|mma")}
+
+    # partition preservation: each input partition -> one part-r file
+    import glob as g
+
+    files = g.glob(f"{out}/part-r-*")
+    assert len(files) == df.rdd.getNumPartitions()

@@ -538,3 +538,111 @@ def test_stream_quality_monitor_replay_is_idempotent(spark, tmp_path):
     rep = spark.read.parquet(report)
     assert rep.count() == 2 * n1
     assert rep.select("lineage").distinct().count() == 2
+
+
+def test_stream_agg_maintain_drops_orphaned_staging(spark, tmp_path):
+    """A crash between the staging write and _atomic_swap leaves a
+    full-copy `<base>__agg_*` sibling behind; healing must delete it
+    (the crashed batch is replayed and re-staged), or repeated crashes
+    accumulate state-table copies beside the live dir."""
+    import glob as g
+    import os
+    import shutil
+
+    from asakusafw_spark_spark.streaming import stream_agg_maintain
+
+    target = str(tmp_path / "agg_state")
+
+    def feed(name, rows):
+        src = tmp_path / name
+        src.mkdir()
+        stage = tmp_path / (name + "_s")
+        spark.createDataFrame(rows, "g string, v double").coalesce(
+            1
+        ).write.parquet(str(stage))
+        shutil.copy(g.glob(f"{stage}/part-*.parquet")[0], src / "0000.parquet")
+        return (
+            spark.readStream.schema("g string, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+
+    stream_agg_maintain(
+        feed("f1", [("a", 10.0)]), target, "g", {"sum_v": "v"},
+        str(tmp_path / "ck1"), query_name="t_orph1",
+    )
+    # simulate two crashed staging attempts (dirs only this sink names)
+    os.makedirs(f"{target}__agg_111/junk")
+    os.makedirs(f"{target}__agg_222")
+    stream_agg_maintain(
+        feed("f2", [("a", 1.0)]), target, "g", {"sum_v": "v"},
+        str(tmp_path / "ck2"), query_name="t_orph2",
+    )
+    assert not g.glob(f"{target}__agg_*")  # orphans swept
+    state = {
+        r["g"]: (r["n"], float(r["sum_v"]))
+        for r in spark.read.parquet(target).collect()
+    }
+    assert state == {"a": (2, 11.0)}
+
+
+def test_stream_quality_monitor_replay_guard_survives_mixed_schema(
+    spark, tmp_path
+):
+    """A report holding pre-upgrade files (no lineage column) must not
+    blind the replay guard: without mergeSchema Spark can infer the
+    report schema from an OLD footer, silently disabling the dedup and
+    letting a replayed batch append duplicate rows."""
+    import glob as g
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from asakusafw_spark_spark.streaming import stream_quality_monitor
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    stage = tmp_path / "s0"
+    spark.createDataFrame(
+        [(1, 5.0), (None, -1.0)], "k long, v double"
+    ).coalesce(1).write.parquet(str(stage))
+    shutil.copy(g.glob(f"{stage}/part-*.parquet")[0], src / "0000.parquet")
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema("k long, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        stream_quality_monitor(
+            stream, report, str(tmp_path / ck),
+            query_name=f"t_mixed_{ck}", not_null=["k"],
+        )
+
+    report = str(tmp_path / "report")
+    run("ck1")
+    n1 = spark.read.parquet(report).count()
+
+    # drop a PRE-UPGRADE file (no lineage column) into the report, named
+    # to sort FIRST so schema inference reads its footer absent the fix
+    legacy = (
+        spark.read.parquet(report).drop("lineage")
+        .withColumn("batch_id", F.lit(999).cast("long")).limit(1)
+    )
+    lstage = tmp_path / "legacy"
+    legacy.coalesce(1).write.parquet(str(lstage))
+    shutil.copy(
+        g.glob(f"{lstage}/part-*.parquet")[0],
+        f"{report}/a-legacy-00000.parquet",
+    )
+    n_mixed = spark.read.option("mergeSchema", "true").parquet(report).count()
+    assert n_mixed == n1 + 1
+
+    # re-deliver (lineage ck1, batch 0): the guard must still see the
+    # lineage column through the mixed footers and skip the replay
+    shutil.rmtree(str(tmp_path / "ck1"))
+    run("ck1")
+    assert (
+        spark.read.option("mergeSchema", "true").parquet(report).count()
+        == n_mixed
+    )
