@@ -3305,8 +3305,12 @@ def q_similarity_ivf(spark, sf):
     from asakusafw_spark_spark.functions import ivf_topk
 
     emb = _t(spark, sf, "embeddings")
+    # quantizer="ids" pinned: the SQL-replicable centroid choice DuckDB
+    # can re-derive (the function default is kmeans @ nprobe=4 — the
+    # higher-recall path, but not oracle-expressible)
     return ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=8, nprobe=2
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=8, nprobe=2,
+        quantizer="ids",
     )
 
 

@@ -342,6 +342,9 @@ def _kmeans_centroids(
         .limit(sample)
         .collect()
     )
+    if not rows:  # empty corpus → no lists; ivf_topk returns empty
+        return []
+    n = min(n, len(rows))  # fewer vectors than lists: one list each
     X = np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     C = Xn[:n].copy()  # deterministic init: first n of the hash order
@@ -416,8 +419,8 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 8,
-    nprobe: int = 2,
-    quantizer: str = "ids",
+    nprobe: int = 4,
+    quantizer: str = "kmeans",
     quantized: bool = False,
 ) -> DataFrame:
     """IVF-style approximate top-k: the corpus is coarse-quantized into
@@ -428,11 +431,21 @@ def ivf_topk(
     outside the probed lists are missed — documented ANN semantics,
     recall grows with ``nprobe``.
 
-    ``quantizer``: ``"ids"`` (default) uses the n lowest-id vectors as
-    centroids — SQL-replicable, so the correctness oracle covers the
-    whole IVF pipeline; ``"kmeans"`` runs sampled spherical k-means
-    (:func:`_kmeans_centroids`) for better-balanced lists and higher
-    recall (measured by tools/ann_recall.py).
+    Defaults are the MEASURED recall story (tools/ann_recall.py:
+    kmeans @ nprobe=4 ≈ 0.76 recall@10 vs 0.35 at nprobe=1): the
+    quantizer cost is one bounded 4,096-row driver sample + a few
+    local k-means rounds (one-off, independent of corpus size), and
+    probe cost scales LINEARLY in ``nprobe`` — each query scores
+    ``nprobe/n_centroids`` of the corpus, so nprobe=4 of 8 lists reads
+    half the lists a brute-force scan would.  Raise ``n_centroids``
+    with corpus size (cost per query ~ nprobe × corpus/n_centroids)
+    to keep the scored candidate set flat.
+
+    ``quantizer``: ``"kmeans"`` (default) runs sampled spherical
+    k-means (:func:`_kmeans_centroids`) for balanced lists and the
+    measured recall above; ``"ids"`` uses the n lowest-id vectors as
+    centroids — SQL-replicable, so the correctness oracle can cover
+    the whole IVF pipeline (the registered oracle query pins it).
 
     Scale: assignment is a per-row expression over broadcast centroid
     literals (no shuffle of the corpus); the probe join shuffles on the

@@ -135,6 +135,22 @@ def test_ivf_and_bruteforce_on_empty_corpus(spark):
     assert brute_force_topk(empty, empty, k=3).count() == 0
 
 
+def test_ivf_kmeans_corpus_smaller_than_n_centroids(spark):
+    """Fewer vectors than lists must not crash the kmeans quantizer
+    (defaults: 8 lists) — it clamps to one list per vector."""
+    from asakusafw_spark_spark.functions import ivf_topk
+
+    tiny = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(tiny, tiny, k=2, nprobe=8).collect()
+    }
+    assert (1, 2) in got and (2, 1) in got  # the near-identical pair
+
+
 def test_assign_shards_deterministic_and_balanced(spark):
     from asakusafw_spark_spark.functions import assign_shards
 

@@ -54,14 +54,21 @@ def main() -> None:
             lsh_ann_topk(emb, queries, k=k, planes=planes, num_tables=tables)
         )
         print(f"lsh planes={planes} tables={tables}: recall@{k} = {recall(a, exact):.3f}")
+    # quantizers pinned explicitly — the function DEFAULT is
+    # kmeans @ nprobe=4 (the measured recall story), so the ids rows
+    # here must ask for "ids" to keep the comparison honest
     for n_c, nprobe in ((8, 1), (8, 2), (8, 4), (16, 4)):
-        a = truth_sets(ivf_topk(emb, queries, k=k, n_centroids=n_c, nprobe=nprobe))
-        print(f"ivf n_centroids={n_c} nprobe={nprobe}: recall@{k} = {recall(a, exact):.3f}")
-    for n_c, nprobe in ((8, 2), (8, 4), (16, 4)):
+        a = truth_sets(
+            ivf_topk(emb, queries, k=k, n_centroids=n_c, nprobe=nprobe, quantizer="ids")
+        )
+        print(f"ivf-ids n_centroids={n_c} nprobe={nprobe}: recall@{k} = {recall(a, exact):.3f}")
+    for n_c, nprobe in ((8, 1), (8, 2), (8, 4), (16, 4)):
         a = truth_sets(
             ivf_topk(emb, queries, k=k, n_centroids=n_c, nprobe=nprobe, quantizer="kmeans")
         )
         print(f"ivf-kmeans n_centroids={n_c} nprobe={nprobe}: recall@{k} = {recall(a, exact):.3f}")
+    a = truth_sets(ivf_topk(emb, queries, k=k))
+    print(f"ivf DEFAULTS (kmeans, 8 lists, nprobe 4): recall@{k} = {recall(a, exact):.3f}")
 
     # int8-quantized exact scan: the 4×-smaller-bytes path — recall loss
     # here is pure quantization error, not candidate pruning
