@@ -440,6 +440,62 @@ def flow(sf_dir):
     return spark.read.parquet(out_dir)
 
 
+def q_heavy_hitters(spark, sf):
+    """Exact frequent-value detection (functions/stats.py): events
+    users holding ≥ 0.8% of all rows — the hot-key discovery pass that
+    feeds skew defences (skew_salt / max_candidates) and hot-domain
+    reporting.  One data scan: Spark's ReuseExchange serves both the
+    per-key counts and the total from the same shuffle (plan asserted
+    in test_physical_plans).  share is an exact double quotient,
+    identical IEEE bits on both engines."""
+    from asakusafw_spark_spark.functions import heavy_hitters
+
+    return heavy_hitters(
+        _t(spark, sf, "events").select("user_id"),
+        "user_id", min_count=2, min_share=0.008,
+    )
+
+
+def q_sample_exact_n(spark, sf):
+    """Deterministic exact-size sample (functions/sampling.py): the 97
+    documents whose doc_id hashes lowest — reproducible eval-set
+    carving, TakeOrdered not a global sort.  Oracle: the identical
+    md5-prefix order in SQL."""
+    from asakusafw_spark_spark.functions import sample_exact_n
+
+    return sample_exact_n(_t(spark, sf, "documents"), 97, "doc_id")
+
+
+def q_retention_expire(spark, sf):
+    """Partition-TTL maintenance (sources/write.py expire_partitions):
+    events written day-partitioned, days before 2024-01-11 expired via
+    directory deletes (no data scan), survivors read back and
+    aggregated.  Oracle: the same aggregate over events filtered to the
+    retained window — green means the expiry dropped EXACTLY the
+    partitions below the cutoff and nothing else."""
+    import tempfile
+
+    from asakusafw_spark_spark.sources import expire_partitions
+
+    ev = _t(spark, sf, "events").withColumn("day", F.to_date("ts"))
+    base = tempfile.mkdtemp(prefix="retention_") + "/events_by_day"
+    ev.write.partitionBy("day").parquet(base)
+    dropped = expire_partitions(spark, base, "day", "2024-01-11")
+    assert dropped == sorted(dropped)  # contract: sorted value list
+    return (
+        spark.read.parquet(base)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("sum_value"),
+        )
+        # DATE surfaces as python date on Spark but datetime64 via
+        # DuckDB's pandas bridge — compare as timestamp (the repo's
+        # date-hash contract)
+        .withColumn("day", F.col("day").cast("timestamp"))
+    )
+
+
 def q_master_selection_custom_fn(spark, sf):
     # Custom selection via the Python cogroup slow path (select_fn).
     # Deliberately DIFFERENT from the default ordering pick: choose the
@@ -3902,9 +3958,10 @@ def _duck_near_dup_sql(threshold: float = 0.9, planes: int = 6) -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION (VERDICT r06 Next #1): the driver CORRECTNESS report
     # truncates at ~50 entries, so dict ORDER decides which queries get
-    # a fresh oracle row.  Round 7 window (50 = 7 + 43):
-    #   1. the two round-7 additions (hadoop_output_newapi,
-    #      cli_roundtrip) — never driver-checked, they lead.
+    # a fresh oracle row.  Round 7 window (50 = 10 + 40):
+    #   1. the five round-7 additions (hadoop_output_newapi,
+    #      cli_roundtrip, heavy_hitters, sample_exact_n,
+    #      retention_expire) — never driver-checked, they lead.
     #   2. the four components edited in r06 whose queries rode
     #      r05-banked rows (streaming_incremental_agg,
     #      streaming_quality_report, zorder_roundtrip, manifest_stats)
@@ -3913,19 +3970,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      process debt; plus q2_min_cost_supplier representing the
     #      five partsupp composites after the r07 arithmetic fix
     #      (integer div + step clamp).
-    #   3. 43 of the 48 r04-stale queries (tools/staleness.py); the
-    #      5 most-trivial (checkpoint/logging/direct_input/confluent/
-    #      distinct — pure projections) sit just past the boundary.
+    #   3. 40 of the 48 r04-stale queries (tools/staleness.py); the
+    #      8 most-trivial (checkpoint/logging/direct_input/confluent/
+    #      distinct/intersect_keys/except_keys/rank_in_group — pure
+    #      projections, set ops, window one-liners) sit just past the
+    #      boundary.
     # Everything outside the window is covered by the committed
-    # LOCAL_VERIFY_r07 artifacts (146+2 queries, strict value hash,
+    # LOCAL_VERIFY_r07 artifacts (151 queries, strict value hash,
     # sf0.01 AND sf0.1, regenerated after the round's last code change).
     return {
-        # --- r07 window head: never-checked round-7 additions, then the
-        #     components EDITED in r06/r07 (streaming crash/replay paths,
-        #     zorder/manifest, partsupp arithmetic — q2 represents the five
-        #     partsupp composites; the other four ride LOCAL_VERIFY_r07) ---
+        # --- r07 window head: never-checked round-7 additions (arbitrary
+        #     OutputFormat door, CLI roundtrip, heavy hitters, exact-n
+        #     sample, partition TTL), then the components EDITED in
+        #     r06/r07 (streaming crash/replay paths, zorder/manifest,
+        #     partsupp arithmetic — q2 represents the five partsupp
+        #     composites; the other four ride LOCAL_VERIFY_r07) ---
         "hadoop_output_newapi": q_hadoop_output_newapi,
         "cli_roundtrip": q_cli_roundtrip,
+        "heavy_hitters": q_heavy_hitters,
+        "sample_exact_n": q_sample_exact_n,
+        "retention_expire": q_retention_expire,
         "streaming_incremental_agg": q_streaming_incremental_agg,
         "streaming_quality_report": q_streaming_quality_report,
         "zorder_roundtrip": q_zorder_roundtrip,
@@ -3941,13 +4005,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus": q_dedup_corpus,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "except_keys": q_except_keys,
         "flagship_revenue_per_nation": _flagship,
         "fold": q_fold,
         "fold_custom": q_fold_custom,
         "group_sort": q_group_sort,
         "grouping_sets": q_grouping_sets,
-        "intersect_keys": q_intersect_keys,
         "master_join_multikey": q_master_join_multikey,
         "master_join_shuffled": q_master_join_shuffled,
         "master_join_where": q_master_join_where,
@@ -3961,7 +4023,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "quality_filter": q_quality_filter,
         "range_join_bands": q_range_join_bands,
-        "rank_in_group": q_rank_in_group,
         "rollup_agg": q_rollup_agg,
         "running_total": q_running_total,
         "sessionize": q_sessionize,
@@ -3975,14 +4036,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summarize_q1": q_summarize_q1,
         "top_k_per_group": q_topk,
         "training_pipeline": q_training_pipeline,
-        # --- window boundary (~50): the 5 most-trivial r04-stale queries
-        #     sit just past it (pure projections/roundtrips, lowest
-        #     regression risk; covered 146/146 by LOCAL_VERIFY_r07) ---
+        # --- window boundary (~50): the 8 most-trivial r04-stale queries
+        #     sit just past it (pure projections/set ops/window one-liners,
+        #     lowest regression risk; covered 151/151 by LOCAL_VERIFY_r07) ---
         "checkpoint": q_checkpoint,
         "logging": q_logging,
         "direct_input": q_direct_input,
         "confluent": q_confluent,
         "distinct": q_distinct,
+        "intersect_keys": q_intersect_keys,
+        "except_keys": q_except_keys,
+        "rank_in_group": q_rank_in_group,
         # --- r05-banked block ---
         "analyze_table": q_analyze_table,
         "bloom_join": q_bloom_join,
@@ -4282,6 +4346,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_regionkey, COUNT(*) AS n_nations,
                    MIN(n_name) AS first_name
             FROM nation GROUP BY n_regionkey
+        """,
+        "heavy_hitters": """
+            WITH c AS (SELECT user_id, COUNT(*) AS cnt
+                       FROM events GROUP BY user_id),
+                 t AS (SELECT SUM(cnt) AS total FROM c)
+            SELECT user_id, cnt,
+                   CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share
+            FROM c, t
+            WHERE cnt >= 2
+              AND CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) >= 0.008
+        """,
+        "sample_exact_n": f"""
+            SELECT doc_id, text, lang, source, n_chars
+            FROM documents
+            ORDER BY {_DUCK_UNIT_HASH.format(key="doc_id")}, doc_id
+            LIMIT 97
+        """,
+        "retention_expire": """
+            SELECT CAST(ts AS DATE) AS day,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                       AS sum_value
+            FROM events
+            WHERE CAST(ts AS DATE) >= DATE '2024-01-11'
+            GROUP BY 1
         """,
         "q2_min_cost_supplier": f"""
             WITH {_ps_cte()},

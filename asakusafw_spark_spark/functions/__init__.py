@@ -61,6 +61,7 @@ from .text import bigram_lm_score
 from .sampling import (
     unit_hash,
     hash_sample,
+    sample_exact_n,
     assign_split,
     assign_shards,
     export_shards,
@@ -69,7 +70,7 @@ from .sampling import (
     materialize_packs,
     cap_per_group,
 )
-from .stats import winsorize, quantile_bucket, analyze_table
+from .stats import winsorize, quantile_bucket, analyze_table, heavy_hitters
 from .events import funnel, retention
 from .quality import check_constraints, assert_constraints
 from .multimodal import (
@@ -136,6 +137,8 @@ __all__ = [
     "quantized_topk",
     "unit_hash",
     "hash_sample",
+    "sample_exact_n",
+    "heavy_hitters",
     "assign_split",
     "assign_shards",
     "export_shards",

@@ -357,3 +357,28 @@ def cap_per_group(
         .filter(F.col("__rn__") <= n)
         .drop("__rn__")
     )
+
+
+def sample_exact_n(
+    df: DataFrame,
+    n: int,
+    key_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic EXACT-size sample: the ``n`` rows whose key hashes
+    lowest (``unit_hash`` asc, key asc tie-break) — eval-set carving
+    where "about 1%" (``hash_sample``) isn't acceptable and the same
+    ``n`` rows must come back on every run, engine, and cluster size.
+
+    Requires ``key_col`` to be unique for a fully deterministic result
+    (ties inside one hash bucket fall back to key order).
+
+    Scale shape: ``orderBy().limit(n)`` lowers to Spark's
+    TakeOrderedAndProject — each task keeps a local top-``n`` heap and
+    the driver merges ``n × partitions`` candidates; no global sort, no
+    shuffle of the data.  Driver memory is ``O(n · partitions)`` slim
+    rows: fine for eval-set sizes (10²–10⁶); for a sample that is a
+    large FRACTION of the corpus use ``hash_sample`` instead.
+    """
+    u = unit_hash(F.col(key_col), seed)
+    return df.orderBy(u.asc(), F.col(key_col).asc()).limit(int(n))

@@ -176,3 +176,49 @@ def analyze_table(
         )
     )
     return one.select(stack.alias("r")).select("r.*")
+
+
+def heavy_hitters(
+    df: DataFrame,
+    cols: "str | list[str]",
+    min_count: int = 2,
+    min_share: "float | None" = None,
+) -> DataFrame:
+    """Exact frequent-value detection: the distinct values of ``cols``
+    occurring at least ``min_count`` times (and, when ``min_share`` is
+    given, holding at least that fraction of all rows) — hot-key
+    discovery before a join (feed the result to ``skew_salt``/
+    ``max_candidates``), hot-domain / boilerplate-value detection in a
+    training corpus, or plain top-talker reporting.
+
+    Returns one row per qualifying value: ``cols…, cnt, share`` (share
+    is ``cnt/total`` as an exact double quotient — identical IEEE bits
+    on any engine).  NULL values count as a group like SQL ``GROUP BY``.
+
+    Scale shape: ONE partial-aggregable hash aggregate over the data;
+    the total comes from re-aggregating the (group-cardinality) counts
+    frame — never a second data scan — and Spark's ReuseExchange serves
+    both branches from the same shuffle.  The total rides a 1-row
+    broadcast stat frame (the repo's standard threshold pattern).  This
+    is the exact path and it is 100 TB-safe whenever the distinct count
+    fits a hash aggregate (it shuffles one slim row per distinct
+    value); for cardinalities beyond that, sketch alternatives
+    (``df.stat.freqItems``, count-min) trade exactness for fixed
+    memory — not offered here because their outputs are
+    engine-specific and break the oracle contract.
+    """
+    group = [cols] if isinstance(cols, str) else list(cols)
+    counts = df.groupBy(*group).agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    out = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn(
+            "share",
+            F.col("cnt").cast("double") / F.col("__total").cast("double"),
+        )
+        .drop("__total")
+        .filter(F.col("cnt") >= F.lit(int(min_count)))
+    )
+    if min_share is not None:
+        out = out.filter(F.col("share") >= F.lit(float(min_share)))
+    return out

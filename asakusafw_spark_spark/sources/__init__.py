@@ -5,6 +5,7 @@ from .read import hadoop_input, hadoop_input_newapi, direct_input, read_parquet
 from .pattern import OutputPattern
 from .write import (
     hadoop_output_newapi,
+    expire_partitions,
     write_flat,
     write_grouped,
     write_bucketed,
@@ -21,6 +22,7 @@ __all__ = [
     "hadoop_input",
     "hadoop_input_newapi",
     "hadoop_output_newapi",
+    "expire_partitions",
     "read_parquet",
     "OutputPattern",
     "write_flat",

@@ -80,6 +80,10 @@ HEADLINE = [
     "constraint_report",
     "lm_score",
     "analyze_table",
+    # round-7 additions (appended): hot-key detection (reused-exchange
+    # double-aggregate) and exact-n deterministic sampling (TakeOrdered)
+    "heavy_hitters",
+    "sample_exact_n",
 ]
 
 

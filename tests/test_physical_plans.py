@@ -290,3 +290,30 @@ def test_session3_warehouse_ops_plan_budgets(spark, sf_dir):
     # BNLJ only from the 1-row vocab broadcast (same pattern as the q22
     # scalar-threshold join); everything else must be hash/merge
     assert s["joins"].count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_heavy_hitters_reuses_one_scan_and_shuffle(spark, sf_dir):
+    """heavy_hitters promises ONE data scan: the total re-aggregates the
+    counts frame and Spark's ReuseExchange must serve both branches from
+    the same shuffle (executed plan, post-AQE)."""
+    from asakusafw_spark_spark.functions import heavy_hitters
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id")
+    out = heavy_hitters(df, "user_id", min_count=2, min_share=0.008)
+    out.collect()  # materialize so AQE finalizes the plan
+    executed = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
+    # the 1-row total rides an identity broadcast (stat-frame pattern),
+    # never a shuffled join
+    assert "IdentityBroadcastMode" in executed
+
+
+def test_sample_exact_n_lowers_to_take_ordered(spark, sf_dir):
+    """sample_exact_n must be TakeOrderedAndProject (per-partition
+    top-n + driver merge), never a global Sort + Limit."""
+    from asakusafw_spark_spark.functions import sample_exact_n
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(sample_exact_n(df, 37, "doc_id"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort

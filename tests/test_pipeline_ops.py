@@ -513,3 +513,84 @@ def test_analyze_table_stats(spark):
 
     approx = {r["column"]: r for r in analyze_table(df).collect()}
     assert approx["k"]["n_distinct"] >= 1  # HLL estimate, small-n exactish
+
+
+def test_heavy_hitters_exact_counts_and_null_group(spark):
+    from asakusafw_spark_spark.functions import heavy_hitters
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1 + [(None,)] * 3,
+        "k string",
+    )
+    got = {r["k"]: (r["cnt"], r["share"]) for r in heavy_hitters(
+        df, "k", min_count=2
+    ).collect()}
+    # c (cnt 1) filtered; NULL is a group like SQL GROUP BY
+    assert got == {
+        "a": (5, 5 / 12), "b": (3, 3 / 12), None: (3, 3 / 12)
+    }
+    # share threshold on top of count
+    top = {r["k"] for r in heavy_hitters(
+        df, "k", min_count=2, min_share=0.3
+    ).collect()}
+    assert top == {"a"}
+    # multi-column grouping
+    df2 = spark.createDataFrame(
+        [("x", 1)] * 4 + [("x", 2)] * 2 + [("y", 1)] * 2,
+        "s string, i int",
+    )
+    pairs = {(r["s"], r["i"]): r["cnt"] for r in heavy_hitters(
+        df2, ["s", "i"], min_count=2
+    ).collect()}
+    assert pairs == {("x", 1): 4, ("x", 2): 2, ("y", 1): 2}
+
+
+def test_sample_exact_n_deterministic_across_partitioning(spark):
+    from asakusafw_spark_spark.functions import sample_exact_n
+
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    a = [r["k"] for r in sample_exact_n(df, 37, "k").collect()]
+    b = [r["k"] for r in sample_exact_n(
+        df.repartition(13), 37, "k"
+    ).collect()]
+    assert len(a) == 37
+    assert sorted(a) == sorted(b)  # partitioning-invariant
+    # a bigger sample CONTAINS the smaller one (hash order is a total
+    # ranking, so samples are nested — the property that makes carved
+    # eval sets stable as they grow)
+    big = {r["k"] for r in sample_exact_n(df, 100, "k").collect()}
+    assert set(a) <= big
+    # n >= rows: everything
+    assert sample_exact_n(df, 5000, "k").count() == 1000
+
+
+def test_expire_partitions_ttl_and_null_partition(spark, tmp_path):
+    from asakusafw_spark_spark.sources import expire_partitions
+
+    df = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-05", 2), ("2024-01-11", 3),
+         ("2024-02-01", 4), (None, 5)],
+        "day string, v int",
+    )
+    base = str(tmp_path / "ds")
+    df.write.partitionBy("day").parquet(base)
+
+    # dry run: reports, deletes nothing
+    plan = expire_partitions(spark, base, "day", "2024-01-11", dry_run=True)
+    assert plan == ["2024-01-01", "2024-01-05"]
+    assert spark.read.parquet(base).count() == 5
+
+    dropped = expire_partitions(spark, base, "day", "2024-01-11")
+    assert dropped == ["2024-01-01", "2024-01-05"]
+    kept = spark.read.parquet(base)
+    assert {r["v"] for r in kept.collect()} == {3, 4, 5}  # null row kept
+
+    # idempotent re-run
+    assert expire_partitions(spark, base, "day", "2024-01-11") == []
+
+    # null partition dropped only on request
+    dropped2 = expire_partitions(
+        spark, base, "day", "2024-01-11", drop_null=True
+    )
+    assert dropped2 == ["__HIVE_DEFAULT_PARTITION__"]
+    assert {r["v"] for r in spark.read.parquet(base).collect()} == {3, 4}
