@@ -483,7 +483,9 @@ def q_retention_expire(spark, sf):
     dropped = expire_partitions(spark, base, "day", "2024-01-11")
     assert dropped == sorted(dropped)  # contract: sorted value list
     return (
-        spark.read.parquet(base)
+        # explicit schema: an all-expired (or empty-input) dataset has
+        # no footers left to infer from — the read must still succeed
+        spark.read.schema(ev.schema).parquet(base)
         .groupBy("day")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
