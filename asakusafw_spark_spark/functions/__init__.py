@@ -72,7 +72,12 @@ from .sampling import (
 )
 from .stats import winsorize, quantile_bucket, analyze_table, heavy_hitters
 from .events import funnel, retention
-from .quality import check_constraints, assert_constraints
+from .quality import (
+    check_constraints,
+    assert_constraints,
+    k_anonymity_report,
+    suppress_rare_groups,
+)
 from .multimodal import (
     MEDIA_SCHEMA,
     extract_features,
@@ -91,6 +96,8 @@ __all__ = [
     "analyze_table",
     "bigram_lm_score",
     "check_constraints",
+    "k_anonymity_report",
+    "suppress_rare_groups",
     "assert_constraints",
     "F",
     "tokens",

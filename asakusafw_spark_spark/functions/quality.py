@@ -142,3 +142,74 @@ def assert_constraints(df: DataFrame, **kwargs) -> None:
             "constraint violations: "
             + "; ".join(f"{c}={n}" for c, n in bad)
         )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit: one row per distinct quasi-identifier
+    combination with its ``group_size`` and an ``anonymous`` flag
+    (``group_size >= k``) — the measurement half of the
+    release-readiness check a training-data pipeline runs before
+    shipping data containing quasi-identifiers (location + demographic
+    + segment columns that re-identify in combination even when no
+    single column does).
+
+    Scale shape: ONE partial-aggregable hash aggregate (a slim row per
+    distinct combination crosses the shuffle); NULL values form groups
+    exactly like SQL ``GROUP BY``.
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .withColumn("anonymous", F.col("group_size") >= F.lit(int(k)))
+    )
+
+
+def suppress_rare_groups(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+    method: str = "suppress",
+) -> DataFrame:
+    """Baseline k-anonymity enforcement: rows whose quasi-identifier
+    combination occurs fewer than ``k`` times either get those columns
+    NULLed (``method="suppress"`` — the row survives, the identifying
+    combination does not) or are dropped (``method="drop"``).  All
+    other columns and rows pass through untouched.
+
+    Implementation is a WINDOW count over the quasi-identifier
+    partition — one shuffle of the data, no join-back, no second scan;
+    NULL quasi-values partition together like SQL.  This is
+    suppression-only k-anonymity (the portable, exactly-verifiable
+    core); generalization hierarchies (coarsening values instead of
+    NULLing them) are policy-specific — express them as ordinary
+    column expressions BEFORE calling this, e.g. truncate zip codes or
+    bucket ages, then suppress what still falls below ``k``.
+    """
+    from pyspark.sql import Window
+
+    quasi = list(quasi_cols)
+    if method not in ("suppress", "drop"):
+        raise ValueError(
+            f"suppress_rare_groups: unknown method {method!r} "
+            "(expected 'suppress' or 'drop')"
+        )
+    size = F.count(F.lit(1)).over(Window.partitionBy(*quasi))
+    if method == "drop":
+        return (
+            df.withColumn("__group_size", size)
+            .filter(F.col("__group_size") >= F.lit(int(k)))
+            .drop("__group_size")
+        )
+    keep = size >= F.lit(int(k))
+    return df.select(
+        *[
+            F.when(keep, F.col(c)).otherwise(F.lit(None)).alias(c)
+            if c in quasi
+            else F.col(c)
+            for c in df.columns
+        ]
+    )

@@ -1,7 +1,13 @@
 """Direct I/O surface (SURVEY.md §2.5): sources, sinks, pattern-generated
 grouped outputs, and a multi-dataset two-phase commit."""
 
-from .read import hadoop_input, hadoop_input_newapi, direct_input, read_parquet
+from .read import (
+    hadoop_input,
+    hadoop_input_newapi,
+    direct_input,
+    direct_input_fixed_width,
+    read_parquet,
+)
 from .pattern import OutputPattern
 from .write import (
     hadoop_output_newapi,
@@ -19,6 +25,7 @@ from .write import (
 
 __all__ = [
     "direct_input",
+    "direct_input_fixed_width",
     "hadoop_input",
     "hadoop_input_newapi",
     "hadoop_output_newapi",

@@ -594,3 +594,72 @@ def test_expire_partitions_ttl_and_null_partition(spark, tmp_path):
     )
     assert dropped2 == ["__HIVE_DEFAULT_PARTITION__"]
     assert {r["v"] for r in spark.read.parquet(base).collect()} == {3, 4}
+
+
+def test_k_anonymity_suppress_drop_and_null_groups(spark):
+    from asakusafw_spark_spark.functions import (
+        k_anonymity_report, suppress_rare_groups,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "US", "A") for i in range(5)]
+        + [(10, "US", "B"), (11, "DE", None), (12, "DE", None)],
+        "id long, country string, seg string",
+    )
+    rep = {
+        (r["country"], r["seg"]): (r["group_size"], r["anonymous"])
+        for r in k_anonymity_report(df, ["country", "seg"], k=3).collect()
+    }
+    # NULL quasi-values form a group like SQL GROUP BY
+    assert rep == {
+        ("US", "A"): (5, True), ("US", "B"): (1, False),
+        ("DE", None): (2, False),
+    }
+
+    sup = {r["id"]: (r["country"], r["seg"]) for r in suppress_rare_groups(
+        df, ["country", "seg"], k=3
+    ).collect()}
+    assert sup[0] == ("US", "A")            # large group untouched
+    assert sup[10] == (None, None)          # rare combination suppressed
+    assert sup[11] == (None, None)          # below-k null-group suppressed
+    assert len(sup) == 8                    # no rows dropped
+
+    kept = {r["id"] for r in suppress_rare_groups(
+        df, ["country", "seg"], k=3, method="drop"
+    ).collect()}
+    assert kept == {0, 1, 2, 3, 4}
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="method"):
+        suppress_rare_groups(df, ["country"], k=2, method="generalize")
+
+
+def test_fixed_width_reader_cuts_casts_and_nulls(spark, tmp_path):
+    from asakusafw_spark_spark.sources import direct_input_fixed_width
+
+    p = tmp_path / "fw.txt"
+    p.write_text(
+        "   7ALPHA BRAVO         12\n"
+        "  42short                 \n"   # trailing field all blank -> NULL
+        "       padded name      99\n"   # leading field all blank -> NULL
+    )
+    out = {
+        tuple(r)
+        for r in direct_input_fixed_width(
+            spark, str(p),
+            [("id", 4, "long"), ("name", 20), ("v", 2, "int")],
+        ).collect()
+    }
+    assert out == {
+        (7, "ALPHA BRAVO", 12),
+        (42, "short", None),
+        (None, "padded name", 99),
+    }
+    # trim=False preserves padding verbatim
+    raw = {
+        r["name"]
+        for r in direct_input_fixed_width(
+            spark, str(p), [("id", 4), ("name", 20)], trim=False,
+        ).collect()
+    }
+    assert "ALPHA BRAVO         " in raw
