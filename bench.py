@@ -81,9 +81,11 @@ HEADLINE = [
     "lm_score",
     "analyze_table",
     # round-7 additions (appended): hot-key detection (reused-exchange
-    # double-aggregate) and exact-n deterministic sampling (TakeOrdered)
+    # double-aggregate), exact-n deterministic sampling (TakeOrdered),
+    # and k-anonymity suppression (window count over the quasi partition)
     "heavy_hitters",
     "sample_exact_n",
+    "suppress_rare_groups",
 ]
 
 

@@ -771,3 +771,57 @@ def test_hadoop_output_newapi_roundtrips_through_text_outputformat(
 
     files = g.glob(f"{out}/part-r-*")
     assert len(files) == df.rdd.getNumPartitions()
+
+
+def test_partsupp_property_pk_and_duck_parity(spark):
+    """Property (hypothesis): for ANY supplier count and partkey range,
+    the synthesized partsupp (a) keeps the (partkey, suppkey) PK — four
+    DISTINCT suppkeys per part, (b) keeps suppkeys in [0, S), and
+    (c) derives the IDENTICAL relation in DuckDB's CTE twin —
+    the cross-engine contract the five TPC-H composites stand on."""
+    import duckdb
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from asakusafw_spark_spark.sources.tpch import (
+        partsupp_cte, synthesize_partsupp,
+    )
+
+    @settings(
+        max_examples=10, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        s_cnt=st.integers(4, 120),
+        p_lo=st.integers(0, 5000),
+        n_parts=st.integers(1, 30),
+    )
+    def check(s_cnt, p_lo, n_parts):
+        part_pd = pd.DataFrame({"p_partkey": list(range(p_lo, p_lo + n_parts))})
+        supp_pd = pd.DataFrame({"s_suppkey": list(range(s_cnt))})
+        ps = (
+            synthesize_partsupp(
+                spark.createDataFrame(part_pd),
+                spark.createDataFrame(supp_pd),
+            )
+            .toPandas()
+            .sort_values(["ps_partkey", "ps_suppkey"])
+            .reset_index(drop=True)
+        )
+        assert (ps.groupby("ps_partkey")["ps_suppkey"].nunique() == 4).all()
+        assert ps["ps_suppkey"].between(0, s_cnt - 1).all()
+        con = duckdb.connect()
+        con.register("part", part_pd)
+        con.register("supplier", supp_pd)
+        oracle = con.sql(
+            f"WITH {partsupp_cte()} SELECT * FROM partsupp "
+            "ORDER BY ps_partkey, ps_suppkey"
+        ).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            ps.astype("int64", errors="ignore"),
+            oracle.astype("int64", errors="ignore"),
+            check_dtype=False,
+        )
+
+    check()

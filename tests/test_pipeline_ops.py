@@ -663,3 +663,44 @@ def test_fixed_width_reader_cuts_casts_and_nulls(spark, tmp_path):
         ).collect()
     }
     assert "ALPHA BRAVO         " in raw
+
+
+def test_distinct_sketch_rollup_merge_equals_single_pass(spark, sf_dir):
+    """The invariant that makes per-day sketches a safe substitute for
+    rescanning history: HLL registers combine by max, so (a) the merged
+    estimate over daily sketches EQUALS the single-pass estimate over
+    the whole data, (b) input partitioning cannot change it, and (c)
+    the estimate tracks exact COUNT(DISTINCT) within HLL error."""
+    from asakusafw_spark_spark.functions import (
+        distinct_sketch_rollup, merge_distinct_sketches,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = distinct_sketch_rollup(ev, "day", "user_id").cache()
+    merged = merge_distinct_sketches(daily).first()["distinct_estimate"]
+
+    single = ev.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(12))
+        ).alias("e")
+    ).first()["e"]
+    assert merged == single  # exact register-state equality, not approx
+
+    # merge is partitioning-independent
+    remerged = merge_distinct_sketches(
+        daily.repartition(7)
+    ).first()["distinct_estimate"]
+    assert remerged == merged
+
+    # per-group merge path: odd/even day halves, each a valid estimate
+    halves = merge_distinct_sketches(
+        daily.withColumn("half", F.dayofmonth("day") % 2), "half"
+    ).collect()
+    assert len(halves) == 2
+    assert all(r["distinct_estimate"] > 0 for r in halves)
+
+    exact = ev.select("user_id").distinct().count()
+    assert abs(merged - exact) / exact < 0.05  # lgK=12 -> ~1.6% typical
+    daily.unpersist()
