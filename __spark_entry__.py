@@ -2415,6 +2415,68 @@ def q_streaming_incremental_agg(spark, sf):
     )
 
 
+def q_streaming_distinct_sketch(spark, sf):
+    """Materialized DISTINCT COUNT maintained through the streaming
+    engine (stream_distinct_sketch_maintain): events arrive as two
+    micro-batches, each folding a per-event-type HLL sketch into a
+    state table; the final merged estimates are compared to exact
+    COUNT(DISTINCT user_id).  Exactness note: lg_config_k is pinned to
+    16, whose DataSketches coupon (exact) mode holds to ~k/4 = 16,384
+    distincts — far above the 1,500 distinct users per type at sf0.1
+    (measured: lgK=12 leaves exact mode at 1,500 and estimates 1,488;
+    lgK≥14 is exact there), so the estimate EQUALS the exact count
+    deterministically at every test SF; re-seen users across batches
+    fold in as register no-ops — the invariant the pytest also pins
+    directly on the register state."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from asakusafw_spark_spark.functions import merge_distinct_sketches
+    from asakusafw_spark_spark.streaming import (
+        stream_distinct_sketch_maintain,
+    )
+
+    ev = _t(spark, sf, "events").select("event_id", "event_type", "user_id")
+    feed = tempfile.mkdtemp(prefix="skfeed_")
+    for i, half in enumerate(
+        [ev.filter(F.col("event_id") % 2 == 0),
+         ev.filter(F.col("event_id") % 2 == 1)]
+    ):
+        stage = tempfile.mkdtemp(prefix="skb_") + "/out"
+        half.coalesce(1).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dest = f"{feed}/{i:04d}.parquet"
+        shutil.copy(part, dest)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, event_type string, user_id long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    target = tempfile.mkdtemp(prefix="skstate_") + "/state"
+    stream_distinct_sketch_maintain(
+        stream, target, "event_type", "user_id",
+        tempfile.mkdtemp(prefix="ck_sk_"),
+        lg_config_k=16,
+        query_name="q_sk_" + os.path.basename(feed),
+    )
+    from asakusafw_spark_spark.sources.write import HadoopFs
+
+    if not HadoopFs(spark, target).exists(target):
+        return spark.createDataFrame(
+            [], "event_type string, n_distinct_users long"
+        )
+    return merge_distinct_sketches(
+        spark.read.parquet(target), "event_type",
+        out_col="n_distinct_users",
+    )
+
+
 def q_lm_score(spark, sf):
     """Bigram-LM quality scoring (CCNet-style perplexity signal) over
     the documents corpus, self-trained with add-0.5 smoothing.
@@ -4055,12 +4117,13 @@ def _duck_near_dup_sql(threshold: float = 0.9, planes: int = 6) -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION (VERDICT r06 Next #1): the driver CORRECTNESS report
     # truncates at ~50 entries, so dict ORDER decides which queries get
-    # a fresh oracle row.  Round 7 window (50 = 14 + 36):
-    #   1. the NINE round-7 additions (hadoop_output_newapi,
+    # a fresh oracle row.  Round 7 window (50 = 15 + 35):
+    #   1. the TEN round-7 additions (hadoop_output_newapi,
     #      cli_roundtrip, heavy_hitters, sample_exact_n,
     #      retention_expire, k_anonymity_report, suppress_rare_groups,
-    #      seqfile_roundtrip, fixed_width_input) — never
-    #      driver-checked, they lead.
+    #      seqfile_roundtrip, fixed_width_input,
+    #      streaming_distinct_sketch) — never driver-checked, they
+    #      lead.
     #   2. the four components edited in r06 whose queries rode
     #      r05-banked rows (streaming_incremental_agg,
     #      streaming_quality_report, zorder_roundtrip, manifest_stats)
@@ -4069,23 +4132,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      process debt; plus q2_min_cost_supplier representing the
     #      five partsupp composites after the r07 arithmetic fix
     #      (integer div + step clamp).
-    #   3. 36 of the 48 r04-stale queries (tools/staleness.py); the
-    #      12 most-trivial (checkpoint/logging/direct_input/confluent/
+    #   3. 35 of the 48 r04-stale queries (tools/staleness.py); the
+    #      13 most-trivial (checkpoint/logging/direct_input/confluent/
     #      distinct/intersect_keys/except_keys/rank_in_group/rollup_agg/
-    #      cube_agg/moving_avg/running_total — pure projections, set
-    #      ops, native window/rollup one-liners) sit just past the
-    #      boundary.
+    #      cube_agg/moving_avg/running_total/percentile_agg — pure
+    #      projections, set ops, native window/rollup one-liners) sit
+    #      just past the boundary.
     # Everything outside the window is covered by the committed
-    # LOCAL_VERIFY_r07 artifacts (155 queries, strict value hash,
+    # LOCAL_VERIFY_r07 artifacts (156 queries, strict value hash,
     # sf0.01 AND sf0.1, regenerated after the round's last code change).
     return {
-        # --- r07 window head: the NINE never-checked round-7 additions
+        # --- r07 window head: the TEN never-checked round-7 additions
         #     (OutputFormat door, CLI roundtrip, heavy hitters, exact-n
         #     sample, partition TTL, k-anonymity audit+enforce,
-        #     SequenceFile roundtrip, fixed-width reader), then the
-        #     components EDITED in r06/r07 (streaming crash/replay paths,
-        #     zorder/manifest, partsupp arithmetic — q2 represents the
-        #     five partsupp composites; the rest ride LOCAL_VERIFY_r07) ---
+        #     SequenceFile roundtrip, fixed-width reader, streaming HLL
+        #     distinct maintenance), then the components EDITED in
+        #     r06/r07 (streaming crash/replay paths, zorder/manifest,
+        #     partsupp arithmetic — q2 represents the five partsupp
+        #     composites; the rest ride LOCAL_VERIFY_r07) ---
         "hadoop_output_newapi": q_hadoop_output_newapi,
         "cli_roundtrip": q_cli_roundtrip,
         "heavy_hitters": q_heavy_hitters,
@@ -4095,6 +4159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suppress_rare_groups": q_suppress_rare_groups,
         "seqfile_roundtrip": q_seqfile_roundtrip,
         "fixed_width_input": q_fixed_width_input,
+        "streaming_distinct_sketch": q_streaming_distinct_sketch,
         "streaming_incremental_agg": q_streaming_incremental_agg,
         "streaming_quality_report": q_streaming_quality_report,
         "zorder_roundtrip": q_zorder_roundtrip,
@@ -4119,7 +4184,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "master_join_where": q_master_join_where,
         "mix_corpus": q_mix_corpus,
         "multimodal_features": q_multimodal_features,
-        "percentile_agg": q_percentile_agg,
         "pivot_agg": q_pivot_agg,
         "q18_large_volume_customer": q18_large_volume_customer,
         "q3_shipping_priority": q3_shipping_priority,
@@ -4137,10 +4201,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summarize_q1": q_summarize_q1,
         "top_k_per_group": q_topk,
         "training_pipeline": q_training_pipeline,
-        # --- window boundary (~50): the 12 most-trivial r04-stale
+        # --- window boundary (~50): the 13 most-trivial r04-stale
         #     queries sit just past it (pure projections/set ops/native
         #     window-rollup one-liners, lowest regression risk; covered
-        #     155/155 by LOCAL_VERIFY_r07) ---
+        #     156/156 by LOCAL_VERIFY_r07) ---
         "checkpoint": q_checkpoint,
         "logging": q_logging,
         "direct_input": q_direct_input,
@@ -4153,6 +4217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_agg": q_cube_agg,
         "moving_avg": q_moving_avg,
         "running_total": q_running_total,
+        "percentile_agg": q_percentile_agg,
         # --- r05-banked block ---
         "analyze_table": q_analyze_table,
         "bloom_join": q_bloom_join,
@@ -4504,6 +4569,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
                    CAST(n_regionkey AS BIGINT) AS n_regionkey
             FROM nation
+        """,
+        "streaming_distinct_sketch": """
+            SELECT event_type,
+                   COUNT(DISTINCT user_id) AS n_distinct_users
+            FROM events GROUP BY event_type
         """,
         "q2_min_cost_supplier": f"""
             WITH {_ps_cte()},

@@ -13,6 +13,7 @@ from .stream import (
     stream_merge_upsert,
     stream_dedup_ingest,
     stream_agg_maintain,
+    stream_distinct_sketch_maintain,
     stream_quality_monitor,
     run_available_now,
 )
@@ -28,6 +29,7 @@ __all__ = [
     "stream_merge_upsert",
     "stream_dedup_ingest",
     "stream_agg_maintain",
+    "stream_distinct_sketch_maintain",
     "stream_quality_monitor",
     "run_available_now",
 ]

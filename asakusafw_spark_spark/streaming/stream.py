@@ -664,3 +664,123 @@ def stream_quality_monitor(
         q.awaitTermination()
         return q
     return w.start()
+
+
+def stream_distinct_sketch_maintain(
+    stream_df: DataFrame,
+    target_path: str,
+    group_key: "Sequence[str] | str",
+    value_col: str,
+    checkpoint_dir: str,
+    lg_config_k: int = 12,
+    format: str = "parquet",
+    query_name: str = "sketch_maintain",
+    available_now: bool = True,
+):
+    """Streaming MATERIALIZED DISTINCT COUNT: every micro-batch folds an
+    HLL sketch of ``value_col`` into a per-key state table at
+    ``target_path`` — the approximate-distinct sibling of
+    :func:`stream_agg_maintain` (which maintains exact COUNT/SUM).
+    Query the state any time with
+    :func:`~...functions.stats.merge_distinct_sketches` — per key,
+    across keys, over any key subset — without touching the stream's
+    history.
+
+    Why sketches here: distinct-count is NOT delta-foldable from counts
+    (a re-seen user must not increment), and exact distinct state grows
+    with cardinality.  An HLL register set is a FIXED-size (2^lgK·~1 B)
+    commutative-idempotent accumulator: re-delivered values fold in as
+    no-ops, so the merge itself is replay-tolerant — the lineage marker
+    below is still kept so a replayed batch costs nothing and the state
+    version history stays linear.
+
+    Exactly-once: same contract as stream_agg_maintain — atomic
+    park-and-swap of the state dir with a ``<checkpoint>:<batch id>``
+    marker inside it, crash healing restores parked state and sweeps
+    orphaned staging dirs.
+
+    Scale shape per batch: one hash-agg of the batch (a KB sketch per
+    touched key crosses the shuffle), a full-outer join against the
+    (group-cardinality) state frame, ``hll_union`` on matched keys —
+    cost ∝ state size + batch churn, never stream history.
+    """
+    from ..sources.write import HadoopFs, _atomic_swap, _sibling_olds
+
+    keys = [group_key] if isinstance(group_key, str) else list(group_key)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        base = target_path.rstrip("/")
+        fs = HadoopFs(spark, base)
+        olds = _sibling_olds(fs, base)
+        if olds:
+            if not fs.exists(base):
+                fs.rename(sorted(olds)[-1], base)
+                olds = sorted(olds)[:-1]
+            for o in olds:
+                fs.delete(o)
+        parent, name = base.rsplit("/", 1)
+        try:
+            for n in fs.listdir(parent):
+                if n.startswith(name + "__sk_"):
+                    fs.delete(f"{parent}/{n}")
+        except Exception:
+            pass  # parent unlistable => base missing too; first batch
+        exists = fs.exists(base)
+        lineage = checkpoint_dir.rstrip("/")
+        if exists and fs.exists(f"{base}/_last_batch"):
+            try:
+                last_lineage, _, last_id = fs.read_text(
+                    f"{base}/_last_batch"
+                ).strip().rpartition(":")
+                if last_lineage == lineage and batch_id <= int(last_id):
+                    return  # replayed batch — already folded in
+            except Exception:
+                pass
+        batch_sk = batch_df.groupBy(*keys).agg(
+            F.hll_sketch_agg(value_col, F.lit(int(lg_config_k))).alias(
+                "sketch"
+            )
+        )
+        if exists:
+            state = spark.read.format(format).load(base).select(
+                *keys, F.col("sketch").alias("__old")
+            )
+            new_state = (
+                state.join(batch_sk, keys, "full_outer")
+                .select(
+                    *keys,
+                    F.when(
+                        F.col("__old").isNotNull()
+                        & F.col("sketch").isNotNull(),
+                        F.hll_union("__old", "sketch"),
+                    )
+                    .otherwise(F.coalesce("__old", "sketch"))
+                    .alias("sketch"),
+                )
+            )
+        else:
+            new_state = batch_sk
+        import time
+
+        staging = f"{base}__sk_{int(time.time() * 1000)}"
+        new_state.write.format(format).mode("overwrite").save(staging)
+        fs.write_text(f"{staging}/_last_batch", f"{lineage}:{batch_id}")
+        if fs.exists(base):
+            _atomic_swap(fs, base, staging)
+        else:
+            fs.rename(staging, base)
+
+    w = (
+        stream_df.writeStream.outputMode("append")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+    )
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return w.start()

@@ -646,3 +646,84 @@ def test_stream_quality_monitor_replay_guard_survives_mixed_schema(
         spark.read.option("mergeSchema", "true").parquet(report).count()
         == n_mixed
     )
+
+
+def test_stream_distinct_sketch_maintain_matches_single_pass(
+    spark, tmp_path
+):
+    """Per-batch HLL folding must converge to the same register state a
+    single pass over all data produces (union is commutative/idempotent
+    — the property that makes the state safe under replay), and a
+    replayed batch must be skipped by the lineage marker."""
+    import glob as g
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from asakusafw_spark_spark.functions import merge_distinct_sketches
+    from asakusafw_spark_spark.streaming import (
+        stream_distinct_sketch_maintain,
+    )
+
+    target = str(tmp_path / "sk_state")
+    src = tmp_path / "feed"
+    src.mkdir()
+
+    def add_file(idx, rows):
+        stage = tmp_path / f"s{idx}"
+        spark.createDataFrame(rows, "g string, u long").coalesce(
+            1
+        ).write.parquet(str(stage))
+        shutil.copy(
+            g.glob(f"{stage}/part-*.parquet")[0], src / f"{idx:04d}.parquet"
+        )
+
+    # batch 1: users 1-3 in g=a; batch 2 re-sees 2,3 and adds 4 + g=b
+    add_file(0, [("a", 1), ("a", 2), ("a", 3)])
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema("g string, u long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        stream_distinct_sketch_maintain(
+            stream, target, "g", "u", str(tmp_path / ck),
+            query_name=f"t_sk_{ck}",
+        )
+
+    run("ck1")
+    add_file(1, [("a", 2), ("a", 3), ("a", 4), ("b", 9)])
+    run("ck1")
+
+    state = spark.read.parquet(target)
+    got = {
+        r["g"]: r["e"]
+        for r in merge_distinct_sketches(state, "g", out_col="e").collect()
+    }
+    # single pass over ALL rows — register states must coincide exactly
+    allrows = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("a", 2), ("a", 3), ("a", 4), ("b", 9)],
+        "g string, u long",
+    )
+    want = {
+        r["g"]: r["e"]
+        for r in allrows.groupBy("g")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("u", F.lit(12))
+            ).alias("e")
+        )
+        .collect()
+    }
+    assert got == want == {"a": 4, "b": 1}
+
+    # replay: wipe the checkpoint, re-deliver both batches — marker skips
+    shutil.rmtree(str(tmp_path / "ck1"))
+    run("ck1")
+    state2 = spark.read.parquet(target)
+    got2 = {
+        r["g"]: r["e"]
+        for r in merge_distinct_sketches(state2, "g", out_col="e").collect()
+    }
+    assert got2 == got
