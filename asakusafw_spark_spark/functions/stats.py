@@ -275,3 +275,162 @@ def merge_distinct_sketches(
         return sketches.agg(est)
     group = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     return sketches.groupBy(*group).agg(est)
+
+
+def theta_sketch_rollup(
+    df: DataFrame,
+    group_cols: "str | list[str]",
+    value_col: str,
+    lg_k: int = 14,
+) -> DataFrame:
+    """Mergeable distinct-count sketches WITH set algebra (Apache
+    DataSketches Theta via Spark natives): one binary ``sketch`` per
+    group.  Unlike HLL (:func:`distinct_sketch_rollup`), theta sketches
+    support INTERSECTION and DIFFERENCE — overlap questions ("users
+    active in both cohorts", "documents in A not in B") answered from
+    per-group sketch state without joining the underlying data.
+
+    Deterministic: the sketch state is hash-threshold-based, so it is
+    partition- and order-independent (asserted in tests), and estimates
+    are EXACT while a group's distinct count stays under ~2^lg_k
+    retained entries (the default 14 → exact to ~16k).
+
+    Scale shape: one partial-aggregable hash aggregate; a KB sketch per
+    group crosses the shuffle, never the values.
+    """
+    group = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    return df.groupBy(*group).agg(
+        F.theta_sketch_agg(value_col, F.lit(int(lg_k))).alias("sketch")
+    )
+
+
+def audience_overlap(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lg_k: int = 14,
+) -> DataFrame:
+    """Pairwise audience overlap between groups: for every group pair
+    (a < b), the distinct counts of each side, their intersection,
+    union, and a-only difference — retention/cannibalization/coverage
+    analysis in ONE pass over the data plus a self-join of the tiny
+    sketch table (one row per group), never a pairwise join of rows.
+
+    Output: (group_a, group_b, distinct_a, distinct_b, overlap,
+    union_count, only_a) — counts as longs (exact while each group is
+    under ~2^lg_k distincts; see :func:`theta_sketch_rollup`).
+
+    Scale shape: the data is scanned once into G sketch rows; the
+    pairwise stage is G·(G-1)/2 sketch-pair rows of pure JVM sketch
+    ops — audience analyses have small G (days, cohorts, variants), so
+    the quadratic term is on GROUPS, never on data.
+    """
+    sk = theta_sketch_rollup(df, group_col, value_col, lg_k=lg_k)
+    a = sk.select(
+        F.col(group_col).alias("group_a"), F.col("sketch").alias("__sa")
+    )
+    b = sk.select(
+        F.col(group_col).alias("group_b"), F.col("sketch").alias("__sb")
+    )
+    est = F.theta_sketch_estimate
+    return (
+        a.join(b, F.col("group_a") < F.col("group_b"))
+        .select(
+            "group_a",
+            "group_b",
+            est(F.col("__sa")).cast("long").alias("distinct_a"),
+            est(F.col("__sb")).cast("long").alias("distinct_b"),
+            est(F.theta_intersection("__sa", "__sb")).cast("long").alias(
+                "overlap"
+            ),
+            est(F.theta_union("__sa", "__sb")).cast("long").alias(
+                "union_count"
+            ),
+            est(F.theta_difference("__sa", "__sb")).cast("long").alias(
+                "only_a"
+            ),
+        )
+    )
+
+
+#: KLL variant suffix per Spark column dtype (exact-width dispatch —
+#: casting bigints through double would corrupt values past 2^53)
+_KLL_SUFFIX = {"double": "double", "float": "float", "bigint": "bigint"}
+
+
+def quantile_sketch_rollup(
+    df: DataFrame,
+    group_cols: "str | list[str]",
+    value_col: str,
+    k: int = 200,
+) -> DataFrame:
+    """Mergeable QUANTILE sketches (Apache DataSketches KLL): one binary
+    ``qsketch`` per group over ``value_col`` — build per partition unit
+    (day/batch), persist, and answer "p50/p95/p99 over any window"
+    later by merging sketches (:func:`merge_quantile_sketches`) without
+    rescanning history.  The quantile sibling of the HLL/theta distinct
+    rollups; rank error ≈ 1.65/√k single-sided (~1.2% at the default
+    k=200), and a sketch holding fewer than ~k values is still exact.
+
+    The KLL natives are dtype-specific; the value column must be
+    double, float, or bigint (exact-width dispatch — no silent casts).
+
+    Scale shape: one partial-aggregable hash aggregate; a KB sketch per
+    group crosses the shuffle.
+    """
+    dtype = dict(df.dtypes)[value_col]
+    if dtype not in _KLL_SUFFIX:
+        raise ValueError(
+            f"quantile_sketch_rollup: {value_col} is {dtype}; KLL requires "
+            "double, float, or bigint (cast explicitly if lossless)"
+        )
+    agg = getattr(F, f"kll_sketch_agg_{_KLL_SUFFIX[dtype]}")
+    group = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    return (
+        df.groupBy(*group)
+        .agg(agg(value_col, F.lit(int(k))).alias("qsketch"))
+        .withColumn("__kll_dtype", F.lit(_KLL_SUFFIX[dtype]))
+    )
+
+
+def merge_quantile_sketches(
+    sketches: DataFrame,
+    quantiles: "Sequence[float]" = (0.5, 0.95, 0.99),
+    group_cols: "str | list[str] | None" = None,
+    sketch_col: str = "qsketch",
+) -> DataFrame:
+    """Merge KLL sketches (:func:`quantile_sketch_rollup`) and extract
+    quantile values — per ``group_cols`` or one global row when None.
+    Output: group cols + ``n`` (EXACT total count — KLL tracks n
+    losslessly) + one ``qXX`` column per requested quantile.  Costs
+    slim sketch rows per group, never a data rescan.
+    """
+    suffix_row = sketches.select("__kll_dtype").first()
+    if suffix_row is None:  # empty sketch table: no groups, nothing to merge
+        return sketches.sparkSession.createDataFrame(
+            [],
+            ", ".join(
+                ["n bigint"]
+                + [f"q{int(q * 100):02d} double" for q in quantiles]
+            ),
+        )
+    suffix = suffix_row[0]
+    merge = getattr(F, f"kll_merge_agg_{suffix}")
+    get_q = getattr(F, f"kll_sketch_get_quantile_{suffix}")
+    get_n = getattr(F, f"kll_sketch_get_n_{suffix}")
+    merged_col = merge(sketch_col).alias("__m")
+    if group_cols is None:
+        base = sketches.agg(merged_col)
+    else:
+        group = (
+            [group_cols] if isinstance(group_cols, str) else list(group_cols)
+        )
+        base = sketches.groupBy(*group).agg(merged_col)
+    return base.select(
+        *[c for c in base.columns if c != "__m"],
+        get_n(F.col("__m")).alias("n"),
+        *[
+            get_q(F.col("__m"), F.lit(float(q))).alias(f"q{int(q * 100):02d}")
+            for q in quantiles
+        ],
+    )

@@ -704,3 +704,86 @@ def test_distinct_sketch_rollup_merge_equals_single_pass(spark, sf_dir):
     exact = ev.select("user_id").distinct().count()
     assert abs(merged - exact) / exact < 0.05  # lgK=12 -> ~1.6% typical
     daily.unpersist()
+
+
+def test_audience_overlap_exact_at_small_cardinality(spark):
+    """Theta-sketch set algebra must be EXACT while groups stay under
+    ~2^lg_k distincts — pinned on a constructed overlap, and the sketch
+    state must be partition-independent."""
+    from asakusafw_spark_spark.functions import (
+        audience_overlap, theta_sketch_rollup,
+    )
+
+    rows = (
+        [("a", u) for u in range(0, 1500)]
+        + [("b", u) for u in range(700, 2500)]
+        + [("c", u) for u in range(2400, 2450)]
+    )
+    df = spark.createDataFrame(rows, "g string, u long")
+    out = {
+        (r["group_a"], r["group_b"]): (
+            r["distinct_a"], r["distinct_b"], r["overlap"],
+            r["union_count"], r["only_a"],
+        )
+        for r in audience_overlap(df, "g", "u").collect()
+    }
+    assert out[("a", "b")] == (1500, 1800, 800, 2500, 700)
+    assert out[("b", "c")] == (1800, 50, 50, 1800, 1750)
+    assert out[("a", "c")] == (1500, 50, 0, 1550, 1500)
+
+    s1 = theta_sketch_rollup(df, "g", "u").filter("g='a'").first()["sketch"]
+    s2 = theta_sketch_rollup(
+        df.repartition(13), "g", "u"
+    ).filter("g='a'").first()["sketch"]
+    assert bytes(s1) == bytes(s2)  # hash-threshold state, no randomness
+
+
+def test_quantile_sketch_rollup_merge_and_accuracy(spark):
+    """KLL invariants: n is tracked EXACTLY through merges; a sketch
+    holding fewer than k values answers quantiles exactly; merged
+    rank error stays within the 1.65/sqrt(k) bound at scale."""
+    from asakusafw_spark_spark.functions import (
+        merge_quantile_sketches, quantile_sketch_rollup,
+    )
+
+    # small-n exactness: 100 values < k=200, quantiles are order stats
+    small = spark.createDataFrame(
+        [("x", float(v)) for v in range(100)], "g string, v double"
+    )
+    got = merge_quantile_sketches(
+        quantile_sketch_rollup(small, "g", "v"), quantiles=(0.5, 0.99), group_cols="g"
+    ).first()
+    assert got["n"] == 100
+    assert 48.0 <= got["q50"] <= 51.0
+    assert got["q99"] >= 98.0
+
+    # merge across per-day sketches: n sums exactly, p50 near truth
+    import math
+    days = spark.createDataFrame(
+        [(d, float((d * 37 + i * 7919) % 10000)) for d in range(10)
+         for i in range(1000)],
+        "day int, v double",
+    )
+    daily = quantile_sketch_rollup(days, "day", "v")
+    assert daily.count() == 10
+    merged = merge_quantile_sketches(daily, quantiles=(0.5,)).first()
+    assert merged["n"] == 10_000  # exact through merge
+    exact_p50 = days.selectExpr("percentile(v, 0.5) AS p").first()["p"]
+    # single-sided rank error ~1.65/sqrt(200) = 11.7%; value space is
+    # uniform on [0, 10000) so rank error ≈ value error
+    assert abs(merged["q50"] - exact_p50) < 0.15 * 10000
+
+    # dtype dispatch: bigint goes through the exact-width variant
+    big = spark.createDataFrame(
+        [("x", 2**60 + i) for i in range(50)], "g string, v long"
+    )
+    gb = merge_quantile_sketches(
+        quantile_sketch_rollup(big, "g", "v"), quantiles=(0.5,), group_cols="g"
+    ).first()
+    assert gb["n"] == 50 and gb["q50"] > 2**59  # no double corruption
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="KLL requires"):
+        quantile_sketch_rollup(
+            spark.createDataFrame([("x", "s")], "g string, v string"), "g", "v"
+        )
