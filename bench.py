@@ -86,6 +86,7 @@ HEADLINE = [
     "heavy_hitters",
     "sample_exact_n",
     "suppress_rare_groups",
+    "audience_overlap",
 ]
 
 
