@@ -434,3 +434,74 @@ def merge_quantile_sketches(
             for q in quantiles
         ],
     )
+
+
+def freq_sketch_rollup(
+    df: DataFrame,
+    group_cols: "str | list[str]",
+    value_col: str,
+    eps: float = 1e-4,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """Mergeable FREQUENCY sketches (Spark's native Count-Min): one
+    binary ``fsketch`` per group estimating per-item occurrence counts
+    — the frequency sibling of the HLL/theta/KLL rollups, for when the
+    key cardinality is too large for :func:`heavy_hitters`' exact
+    hash-agg to be worth its shuffle and a bounded overestimate is
+    acceptable (guarantee: estimate ≥ true count, ≤ true + eps·N with
+    probability ``confidence``).
+
+    Sketch size is ~(2.7/eps)·ln(1/(1-confidence)) counters (~112 KB at
+    the defaults) and INDEPENDENT of both rows and distinct items; all
+    sketches built with the same (eps, confidence, seed) merge exactly
+    (:func:`merge_freq_sketches`).
+
+    Scale shape: one partial-aggregable hash aggregate; a fixed-size
+    sketch per group crosses the shuffle, never the values.
+    """
+    group = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    return df.groupBy(*group).agg(
+        F.count_min_sketch(
+            value_col, F.lit(float(eps)), F.lit(float(confidence)),
+            F.lit(int(seed)),
+        ).alias("fsketch")
+    )
+
+
+def _read_cms(spark, sketch_bytes):
+    jvm = spark._jvm
+    bis = jvm.java.io.ByteArrayInputStream(bytes(sketch_bytes))
+    return jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
+
+
+def merge_freq_sketches(spark, sketch_bytes_list) -> bytes:
+    """Merge Count-Min sketches built with identical (eps, confidence,
+    seed) into one, DRIVER-side (Spark exposes no SQL merge aggregate
+    for CMS): counters add cell-wise, so the merged sketch answers
+    queries over the union of the inputs exactly as a single-pass
+    sketch would.
+
+    Bounded by design, not by data: each sketch is a fixed ~112 KB at
+    the defaults, so cap the fan-in per call (merge days into months,
+    months into years) rather than feeding thousands at once.
+    """
+    sketches = list(sketch_bytes_list)
+    if not sketches:
+        raise ValueError("merge_freq_sketches: no sketches given")
+    acc = _read_cms(spark, sketches[0])
+    for sk in sketches[1:]:
+        acc.mergeInPlace(_read_cms(spark, sk))
+    bos = spark._jvm.java.io.ByteArrayOutputStream()
+    acc.writeTo(bos)
+    return bytes(bos.toByteArray())
+
+
+def freq_sketch_estimate(spark, sketch_bytes, items) -> dict:
+    """Point-query a Count-Min sketch: estimated occurrence count per
+    item (driver-side, bounded by ``len(items)``).  Estimates are
+    never under the true count; overestimates are bounded by eps·N
+    with the sketch's confidence.
+    """
+    cms = _read_cms(spark, sketch_bytes)
+    return {it: int(cms.estimateCount(it)) for it in items}

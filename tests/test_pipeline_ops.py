@@ -787,3 +787,46 @@ def test_quantile_sketch_rollup_merge_and_accuracy(spark):
         quantile_sketch_rollup(
             spark.createDataFrame([("x", "s")], "g string, v string"), "g", "v"
         )
+
+
+def test_freq_sketch_rollup_merge_and_bounds(spark):
+    """Count-Min invariants: estimates never undercount; merged daily
+    sketches answer exactly like a single-pass sketch (counters add
+    cell-wise); unseen items estimate ~0 at small N."""
+    from asakusafw_spark_spark.functions import (
+        freq_sketch_estimate, freq_sketch_rollup, merge_freq_sketches,
+    )
+
+    rows = (
+        [(1, "hot") for _ in range(500)]
+        + [(1, "warm") for _ in range(40)]
+        + [(2, "hot") for _ in range(300)]
+        + [(2, "cold")]
+    )
+    df = spark.createDataFrame(rows, "day int, k string")
+    daily = {
+        r["day"]: r["fsketch"]
+        for r in freq_sketch_rollup(df, "day", "k").collect()
+    }
+    assert set(daily) == {1, 2}
+
+    merged = merge_freq_sketches(spark, daily.values())
+    est = freq_sketch_estimate(
+        spark, merged, ["hot", "warm", "cold", "never"]
+    )
+    # single-pass sketch over ALL rows — counters must coincide
+    whole = freq_sketch_rollup(
+        df.withColumn("day", F.lit(0)), "day", "k"
+    ).first()["fsketch"]
+    est_whole = freq_sketch_estimate(
+        spark, whole, ["hot", "warm", "cold", "never"]
+    )
+    assert est == est_whole
+
+    # never-undercount + tight at this tiny N (eps*N << 1)
+    assert est["hot"] == 800 and est["warm"] == 40 and est["cold"] == 1
+    assert est["never"] == 0
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="no sketches"):
+        merge_freq_sketches(spark, [])
