@@ -4146,8 +4146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      — re-edited again in r07 (mergeSchema replay guard, staging
     #      cleanup), so a post-edit driver row closes VERDICT r06's one
     #      process debt; plus q2_min_cost_supplier representing the
-    #      five partsupp composites after the r07 arithmetic fix
-    #      (integer div + step clamp).
+    #      five partsupp composites after the r07 arithmetic fixes
+    #      (integer div + collision-free offset formula).
     #   3. 34 of the 48 r04-stale queries (tools/staleness.py); the
     #      14 most-trivial (checkpoint/logging/direct_input/confluent/
     #      distinct/intersect_keys/except_keys/rank_in_group/rollup_agg/

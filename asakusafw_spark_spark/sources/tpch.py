@@ -10,18 +10,24 @@ bit-identically:
 
   for each part, 4 supplier links (the TPC-H spec's own fan-out,
   dbgen ``mk_part``):
-      step          = (S//4 + p//S) % S, clamped to 1 when 0
-      ps_suppkey    = (p + i*step) % S                 (0-based keys)
+      ps_suppkey    = (p + p//S + (i*S)//4) % S        (0-based keys)
       ps_availqty   = (p*7 + s*13) % 9999 + 1          in [1, 9999]
       ps_supplycost = ((p*31 + s*17) % 99900 + 100)/100.0
                                                        in [1.00, 1000.99]
 
 All divisions are INTEGER divisions on both engines (Spark ``div``,
 DuckDB ``//``) — double-division rounding would diverge once
-``p/S`` crosses 2^52/S.  The step clamp keeps the four suppkeys per
-part DISTINCT (step ≡ 0 mod S would collide all four, violating the
-partsupp PK the composites assume — q2 min ties, q9 fan-out, q16
-countDistinct).
+``p/S`` crosses 2^52/S.  The per-link offsets ``(i*S)//4`` are
+UNCONDITIONALLY distinct mod S for any S ≥ 4 (strictly increasing,
+all < S), and the part-dependent term only rotates all four — so the
+(partkey, suppkey) PK the composites assume (q2 min ties, q9 fan-out,
+q16 countDistinct) holds for EVERY supplier count, proven by a
+hypothesis property test.  (An earlier stride scheme
+``(p + i·step) % S`` collided whenever ``d·step ≡ 0 mod S`` for
+d ∈ {1,2,3} — e.g. S=4, step=2 — which a zero-clamp alone cannot
+prevent; hypothesis found the counterexample.)  S < 4 is degenerate
+(4 links over fewer suppliers cannot be distinct) and outside the
+contract.
 
 ``S`` is the supplier count (one scalar driver round-trip — same
 bounded-probe budget as the IVF quantizer sample; pass ``s_cnt`` to
@@ -54,27 +60,24 @@ def synthesize_partsupp(
     composite)."""
     if s_cnt is None:
         s_cnt = int(supplier.count())
-    # integer step: (S//4 + p div S) % S, clamped away from 0 so the
-    # four per-part suppkeys never collide (all-integer arithmetic —
-    # `div`, not `/` — so Spark and DuckDB agree bit-for-bit at any key
-    # magnitude)
-    step_raw = (
-        F.lit(s_cnt // 4) + F.expr(f"ps_partkey div {s_cnt}")
-    ) % F.lit(s_cnt)
-    step = F.when(step_raw == 0, F.lit(1)).otherwise(step_raw)
+    # per-link offsets (i*S)//4 are unconditionally distinct mod S for
+    # S >= 4; the part term (p + p div S) only rotates them — PK holds
+    # for every supplier count (all-integer arithmetic — `div`, not
+    # `/` — so Spark and DuckDB agree bit-for-bit at any key magnitude)
+    rot = F.col("ps_partkey") + F.expr(f"ps_partkey div {s_cnt}")
     ps0 = (
         part.select(F.col("p_partkey").alias("ps_partkey"))
         .select(
             "ps_partkey",
-            F.explode(F.array(*[F.lit(i).cast("long") for i in range(4)])).alias(
-                "__i"
-            ),
+            F.explode(
+                F.array(
+                    *[F.lit((i * s_cnt) // 4).cast("long") for i in range(4)]
+                )
+            ).alias("__off"),
         )
         .select(
             "ps_partkey",
-            ((F.col("ps_partkey") + F.col("__i") * step) % F.lit(s_cnt)).alias(
-                "ps_suppkey"
-            ),
+            ((rot + F.col("__off")) % F.lit(s_cnt)).alias("ps_suppkey"),
         )
     )
     return ps0.select(
@@ -105,9 +108,7 @@ def partsupp_cte() -> str:
                         AS DOUBLE) / 100 AS ps_supplycost
             FROM (
                 SELECT p_partkey AS ps_partkey,
-                       (p_partkey + g.i *
-                        (CASE WHEN (s // 4 + p_partkey // s) % s = 0 THEN 1
-                              ELSE (s // 4 + p_partkey // s) % s END)) % s
+                       (p_partkey + p_partkey // s + (g.i * s) // 4) % s
                            AS ps_suppkey
                 FROM part, __scnt,
                      (SELECT UNNEST(range(4)) AS i) g

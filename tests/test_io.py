@@ -624,12 +624,14 @@ def test_hadoop_input_newapi_arbitrary_inputformat(spark, tmp_path):
 
 
 def test_partsupp_step_clamp_keeps_suppkeys_distinct_and_duck_parity(spark):
-    """At supplier counts where (S//4 + p//S) % S == 0 (e.g. S=40,
-    p in [1200, 1239]) the unclamped step would collide all four
-    ps_suppkey values, violating the partsupp PK the TPC-H composites
-    assume.  The clamp must keep them distinct — and the DuckDB oracle
-    CTE must derive the IDENTICAL relation (all-integer arithmetic on
-    both engines)."""
+    """Regression band for two historical PK violations: the original
+    stride formula collided all four suppkeys when the stride hit 0
+    mod S (S=40, p in [1200, 1239]), and its zero-clamp still collided
+    pairwise whenever d*stride = 0 mod S for d < 4 (hypothesis found
+    S=4, stride=2).  The offset formula (p + p//S + (i*S)//4) % S is
+    unconditionally distinct for S >= 4 — asserted here on the old
+    collision band, and the DuckDB oracle CTE must derive the
+    IDENTICAL relation (all-integer arithmetic on both engines)."""
     import duckdb
     import pandas as pd
 
