@@ -386,35 +386,52 @@ def quantile_sketch_rollup(
         )
     agg = getattr(F, f"kll_sketch_agg_{_KLL_SUFFIX[dtype]}")
     group = [group_cols] if isinstance(group_cols, str) else list(group_cols)
-    return (
-        df.groupBy(*group)
-        .agg(agg(value_col, F.lit(int(k))).alias("qsketch"))
-        .withColumn("__kll_dtype", F.lit(_KLL_SUFFIX[dtype]))
+    # the dtype rides in the COLUMN NAME (qsketch__<dtype>): schema-only
+    # metadata the merge can read without executing the plan, surviving
+    # parquet round-trips and empty frames alike
+    return df.groupBy(*group).agg(
+        agg(value_col, F.lit(int(k))).alias(f"qsketch__{_KLL_SUFFIX[dtype]}")
     )
+
+
+def _quantile_label(q: float) -> str:
+    """Collision-free column label for a quantile: q50, q95, q999,
+    q100 — exact fractional digits, never truncated (0.99 and 0.999
+    must not both become "q99")."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"quantile out of [0, 1]: {q}")
+    if q == 1.0:
+        return "q100"
+    digits = repr(float(q))[2:]  # "0.999" -> "999"
+    return "q" + (digits + "0" if len(digits) < 2 else digits)
 
 
 def merge_quantile_sketches(
     sketches: DataFrame,
     quantiles: "Sequence[float]" = (0.5, 0.95, 0.99),
     group_cols: "str | list[str] | None" = None,
-    sketch_col: str = "qsketch",
 ) -> DataFrame:
     """Merge KLL sketches (:func:`quantile_sketch_rollup`) and extract
     quantile values — per ``group_cols`` or one global row when None.
     Output: group cols + ``n`` (EXACT total count — KLL tracks n
-    losslessly) + one ``qXX`` column per requested quantile.  Costs
-    slim sketch rows per group, never a data rescan.
+    losslessly) + one ``qXX`` column per requested quantile (labels
+    keep every fractional digit: 0.999 → ``q999``).  Costs slim sketch
+    rows per group, never a data rescan.  The value dtype comes from
+    the ``qsketch__<dtype>`` column NAME — schema-only, so this never
+    re-executes the upstream plan and an EMPTY sketch table flows
+    through with the full (group cols + n + quantile) schema.
     """
-    suffix_row = sketches.select("__kll_dtype").first()
-    if suffix_row is None:  # empty sketch table: no groups, nothing to merge
-        return sketches.sparkSession.createDataFrame(
-            [],
-            ", ".join(
-                ["n bigint"]
-                + [f"q{int(q * 100):02d} double" for q in quantiles]
-            ),
+    cands = [c for c in sketches.columns if c.startswith("qsketch__")]
+    if len(cands) != 1:
+        raise ValueError(
+            "merge_quantile_sketches: expected exactly one qsketch__<dtype> "
+            f"column (from quantile_sketch_rollup), found {cands}"
         )
-    suffix = suffix_row[0]
+    sketch_col = cands[0]
+    suffix = sketch_col.rsplit("__", 1)[1]
+    labels = [_quantile_label(q) for q in quantiles]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"duplicate quantile labels: {labels}")
     merge = getattr(F, f"kll_merge_agg_{suffix}")
     get_q = getattr(F, f"kll_sketch_get_quantile_{suffix}")
     get_n = getattr(F, f"kll_sketch_get_n_{suffix}")
@@ -430,8 +447,8 @@ def merge_quantile_sketches(
         *[c for c in base.columns if c != "__m"],
         get_n(F.col("__m")).alias("n"),
         *[
-            get_q(F.col("__m"), F.lit(float(q))).alias(f"q{int(q * 100):02d}")
-            for q in quantiles
+            get_q(F.col("__m"), F.lit(float(q))).alias(lab)
+            for q, lab in zip(quantiles, labels)
         ],
     )
 
@@ -440,7 +457,7 @@ def freq_sketch_rollup(
     df: DataFrame,
     group_cols: "str | list[str]",
     value_col: str,
-    eps: float = 1e-4,
+    eps: float = 1e-3,
     confidence: float = 0.99,
     seed: int = 42,
 ) -> DataFrame:
@@ -452,9 +469,12 @@ def freq_sketch_rollup(
     acceptable (guarantee: estimate ≥ true count, ≤ true + eps·N with
     probability ``confidence``).
 
-    Sketch size is ~(2.7/eps)·ln(1/(1-confidence)) counters (~112 KB at
-    the defaults) and INDEPENDENT of both rows and distinct items; all
-    sketches built with the same (eps, confidence, seed) merge exactly
+    Sketch size is ceil(e/eps) × ceil(ln(1/(1−confidence))) 8-byte
+    counters, INDEPENDENT of both rows and distinct items — **~112 KB
+    at the defaults** (eps=1e-3: width 2719 × depth 5; eps=1e-4 would
+    be ~1.1 MB per sketch — budget per-group memory and merge fan-in
+    accordingly before tightening eps); all sketches built with the
+    same (eps, confidence, seed) merge exactly
     (:func:`merge_freq_sketches`).
 
     Scale shape: one partial-aggregable hash aggregate; a fixed-size
@@ -483,8 +503,9 @@ def merge_freq_sketches(spark, sketch_bytes_list) -> bytes:
     sketch would.
 
     Bounded by design, not by data: each sketch is a fixed ~112 KB at
-    the defaults, so cap the fan-in per call (merge days into months,
-    months into years) rather than feeding thousands at once.
+    the defaults (eps=1e-3; ~1.1 MB at eps=1e-4), so cap the fan-in
+    per call (merge days into months, months into years) rather than
+    feeding thousands at once.
     """
     sketches = list(sketch_bytes_list)
     if not sketches:

@@ -298,8 +298,16 @@ def direct_input_fixed_width(
     Direct I/O surface didn't cover (reference DirectInput handles
     delimited text; mainframe-style exports are fixed-column).  Each
     ``fields`` entry is ``(name, width)`` or ``(name, width, cast_type)``;
-    columns are cut by byte position in declaration order, optionally
-    trimmed, with all-blank fields read as NULL.
+    columns are cut by CHARACTER position in declaration order,
+    optionally trimmed, with all-blank fields read as NULL (regardless
+    of ``trim`` — blankness is judged on the trimmed cut either way).
+
+    Widths are CHARACTERS, not bytes: correct for ASCII and for files
+    whose layout was defined in characters.  A file whose layout is
+    fixed BYTE widths and which contains multi-byte UTF-8 characters
+    would mis-align from the first such character — decode that with a
+    binary-aware reader (``spark.read.format("binaryFile")`` +
+    ``mapInPandas`` byte slicing), not this one.
 
     Scale shape: one ``text`` scan + pure substring/trim/cast
     projections — scan-stage only, no shuffle, no Python; splittable
@@ -315,11 +323,12 @@ def direct_input_fixed_width(
     for spec in fields:
         name, width = spec[0], int(spec[1])
         cast_to = spec[2] if len(spec) > 2 else None
-        c = F.substring(F.col("value"), pos, width)
-        if trim:
-            c = F.trim(c)
+        raw = F.substring(F.col("value"), pos, width)
+        c = F.trim(raw) if trim else raw
         if empty_as_null:
-            c = F.nullif(c, F.lit(""))
+            # judge blankness on the TRIMMED cut so all-space fields are
+            # NULL even with trim=False (the docstring's contract)
+            c = F.when(F.trim(raw) == "", F.lit(None)).otherwise(c)
         if cast_to:
             c = c.cast(cast_to)
         cols.append(c.alias(name))

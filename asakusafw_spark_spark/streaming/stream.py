@@ -439,6 +439,74 @@ def stream_dedup_ingest(
     return w.start()
 
 
+def _run_maintain_batch(
+    spark: SparkSession,
+    target_path: str,
+    checkpoint_dir: str,
+    batch_id: int,
+    staging_prefix: str,
+    format: str,
+    compute_new_state,
+) -> None:
+    """The exactly-once MAINTAIN skeleton shared by every state-table
+    sink (stream_agg_maintain, stream_distinct_sketch_maintain):
+
+    1. crash healing — restore the newest ``__old_*`` parked copy if a
+       crash mid-:func:`_atomic_swap` left the state dir missing, drop
+       stale parks, and sweep orphaned ``<staging_prefix>*`` staging
+       dirs (always safe: the batch that produced one is replayed);
+    2. replay skip — the ``<checkpoint lineage>:<batch id>`` marker
+       INSIDE the state dir swaps atomically with the data, so a
+       replayed batch (same lineage, id ≤ marker) is a no-op while a
+       NEW query over existing state starts a fresh lineage and is
+       never skipped;
+    3. ``compute_new_state(exists)`` builds the next state frame;
+    4. atomic publish — staging write + marker, then park-and-swap.
+
+    One implementation so a crash-healing fix can never again apply to
+    one maintainer and silently miss the other.
+    """
+    from ..sources.write import HadoopFs, _atomic_swap, _sibling_olds
+
+    base = target_path.rstrip("/")
+    fs = HadoopFs(spark, base)
+    olds = _sibling_olds(fs, base)
+    if olds:
+        if not fs.exists(base):
+            fs.rename(sorted(olds)[-1], base)
+            olds = sorted(olds)[:-1]
+        for o in olds:
+            fs.delete(o)
+    parent, name = base.rsplit("/", 1)
+    try:
+        for n in fs.listdir(parent):
+            if n.startswith(name + staging_prefix):
+                fs.delete(f"{parent}/{n}")
+    except Exception:
+        pass  # parent unlistable => base missing too; first batch
+    exists = fs.exists(base)
+    lineage = checkpoint_dir.rstrip("/")
+    if exists and fs.exists(f"{base}/_last_batch"):
+        try:
+            last_lineage, _, last_id = fs.read_text(
+                f"{base}/_last_batch"
+            ).strip().rpartition(":")
+            if last_lineage == lineage and batch_id <= int(last_id):
+                return  # replayed batch — already folded in
+        except Exception:
+            pass  # unreadable marker: fall through and apply
+    new_state = compute_new_state(exists)
+    import time
+
+    staging = f"{base}{staging_prefix}{int(time.time() * 1000)}"
+    new_state.write.format(format).mode("overwrite").save(staging)
+    fs.write_text(f"{staging}/_last_batch", f"{lineage}:{batch_id}")
+    if fs.exists(base):
+        _atomic_swap(fs, base, staging)
+    else:
+        fs.rename(staging, base)
+
+
 def stream_agg_maintain(
     stream_df: DataFrame,
     target_path: str,
@@ -478,7 +546,6 @@ def stream_agg_maintain(
     because decimal addition commutes and associates exactly.
     """
     from ..operators.core import apply_agg_delta
-    from ..sources.write import HadoopFs, _atomic_swap, _sibling_olds
 
     keys = [group_key] if isinstance(group_key, str) else list(group_key)
 
@@ -487,60 +554,19 @@ def stream_agg_maintain(
             return
         spark = batch_df.sparkSession
         base = target_path.rstrip("/")
-        fs = HadoopFs(spark, base)
-        # crash healing (same contract as merge_upsert): a crash between
-        # _atomic_swap's park rename and the staging rename leaves the
-        # state dir missing with the data parked under __old_* — restore
-        # the newest parked copy instead of silently rebuilding aggregate
-        # state from an empty base.  A completed swap that crashed before
-        # cleanup leaves the base PLUS stale __old_* dirs: drop them.
-        olds = _sibling_olds(fs, base)
-        if olds:
-            if not fs.exists(base):
-                fs.rename(sorted(olds)[-1], base)
-                olds = sorted(olds)[:-1]
-            for o in olds:
-                fs.delete(o)
-        # a crash between the staging write and _atomic_swap leaves a
-        # full-copy `<base>__agg_*` sibling behind; drop them here —
-        # always safe, because the batch that produced a staging dir is
-        # replayed and re-staged (only THIS sink names dirs that way,
-        # so anything matching is ours and stale)
-        parent, name = base.rsplit("/", 1)
-        try:
-            for n in fs.listdir(parent):
-                if n.startswith(name + "__agg_"):
-                    fs.delete(f"{parent}/{n}")
-        except Exception:
-            pass  # parent unlistable => base missing too; first batch
-        exists = fs.exists(base)
-        # marker = "<checkpoint lineage>:<batch id>" — batch ids restart
-        # at 0 for every checkpoint, so the skip applies only to replays
-        # WITHIN the same checkpoint lineage, never to a new query
-        # resuming over existing state
-        lineage = checkpoint_dir.rstrip("/")
-        if exists and fs.exists(f"{base}/_last_batch"):
-            try:
-                last_lineage, _, last_id = fs.read_text(
-                    f"{base}/_last_batch"
-                ).strip().rpartition(":")
-                if last_lineage == lineage and batch_id <= int(last_id):
-                    return  # replayed batch — already folded in
-            except Exception:
-                pass  # unreadable marker: fall through and apply
         changes = (
             batch_df if op_col is not None
             else batch_df.withColumn("__op", F.lit("I"))
         )
-        if exists:
-            state = spark.read.format(format).load(base)
-            data_cols = [c for c in state.columns]
-            new_state = apply_agg_delta(
-                state.select(*data_cols), changes, keys, sums,
-                count_col=count_col,
-                op_col=op_col or "__op",
-            )
-        else:
+
+        def compute_new_state(exists: bool) -> DataFrame:
+            if exists:
+                state = spark.read.format(format).load(base)
+                return apply_agg_delta(
+                    state.select(*state.columns), changes, keys, sums,
+                    count_col=count_col,
+                    op_col=op_col or "__op",
+                )
             dec = "decimal(27,6)"
             empty = spark.createDataFrame(
                 [],
@@ -550,19 +576,15 @@ def stream_agg_maintain(
                     *[F.lit(0).cast(dec).alias(o) for o in sums],
                 ).schema,
             )
-            new_state = apply_agg_delta(
+            return apply_agg_delta(
                 empty, changes, keys, sums,
                 count_col=count_col, op_col=op_col or "__op",
             )
-        import time
 
-        staging = f"{base}__agg_{int(time.time() * 1000)}"
-        new_state.write.format(format).mode("overwrite").save(staging)
-        fs.write_text(f"{staging}/_last_batch", f"{lineage}:{batch_id}")
-        if fs.exists(base):
-            _atomic_swap(fs, base, staging)
-        else:
-            fs.rename(staging, base)
+        _run_maintain_batch(
+            spark, target_path, checkpoint_dir, batch_id,
+            "__agg_", format, compute_new_state,
+        )
 
     w = (
         stream_df.writeStream.outputMode("append")
@@ -627,14 +649,24 @@ def stream_quality_monitor(
 
         lineage = checkpoint_dir.rstrip("/")
         if HadoopFs(spark, report_path).exists(report_path.rstrip("/")):
-            # mergeSchema: a report with pre-upgrade files (no lineage
-            # column) must not let Spark infer the schema from an OLD
-            # footer — that would hide the column the new files carry
-            # and silently disable the dedup below
+            # read with the EXPECTED schema (derived lazily from this
+            # batch's constraint set — schema resolution only, no job):
+            # schema inference from footers would let a pre-upgrade
+            # file (no lineage column) hide the column the new files
+            # carry and silently disable the dedup below, and
+            # mergeSchema would instead read EVERY footer per batch —
+            # O(batches²) footer I/O over a long-lived monitor.  With
+            # an explicit schema Spark reads no footer at all; legacy
+            # rows surface lineage as NULL, which the equality filter
+            # correctly treats as not-this-lineage.
+            expected = (
+                check_constraints(batch_df, **constraints)
+                .withColumn("batch_id", F.lit(0).cast("long"))
+                .withColumn("lineage", F.lit(""))
+                .schema
+            )
             prior = (
-                spark.read.format(format)
-                .option("mergeSchema", "true")
-                .load(report_path)
+                spark.read.schema(expected).format(format).load(report_path)
             )
             if "lineage" in prior.columns:  # pre-upgrade reports lack it
                 replayed = (
@@ -704,8 +736,6 @@ def stream_distinct_sketch_maintain(
     (group-cardinality) state frame, ``hll_union`` on matched keys —
     cost ∝ state size + batch churn, never stream history.
     """
-    from ..sources.write import HadoopFs, _atomic_swap, _sibling_olds
-
     keys = [group_key] if isinstance(group_key, str) else list(group_key)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -713,42 +743,19 @@ def stream_distinct_sketch_maintain(
             return
         spark = batch_df.sparkSession
         base = target_path.rstrip("/")
-        fs = HadoopFs(spark, base)
-        olds = _sibling_olds(fs, base)
-        if olds:
-            if not fs.exists(base):
-                fs.rename(sorted(olds)[-1], base)
-                olds = sorted(olds)[:-1]
-            for o in olds:
-                fs.delete(o)
-        parent, name = base.rsplit("/", 1)
-        try:
-            for n in fs.listdir(parent):
-                if n.startswith(name + "__sk_"):
-                    fs.delete(f"{parent}/{n}")
-        except Exception:
-            pass  # parent unlistable => base missing too; first batch
-        exists = fs.exists(base)
-        lineage = checkpoint_dir.rstrip("/")
-        if exists and fs.exists(f"{base}/_last_batch"):
-            try:
-                last_lineage, _, last_id = fs.read_text(
-                    f"{base}/_last_batch"
-                ).strip().rpartition(":")
-                if last_lineage == lineage and batch_id <= int(last_id):
-                    return  # replayed batch — already folded in
-            except Exception:
-                pass
         batch_sk = batch_df.groupBy(*keys).agg(
             F.hll_sketch_agg(value_col, F.lit(int(lg_config_k))).alias(
                 "sketch"
             )
         )
-        if exists:
+
+        def compute_new_state(exists: bool) -> DataFrame:
+            if not exists:
+                return batch_sk
             state = spark.read.format(format).load(base).select(
                 *keys, F.col("sketch").alias("__old")
             )
-            new_state = (
+            return (
                 state.join(batch_sk, keys, "full_outer")
                 .select(
                     *keys,
@@ -761,17 +768,11 @@ def stream_distinct_sketch_maintain(
                     .alias("sketch"),
                 )
             )
-        else:
-            new_state = batch_sk
-        import time
 
-        staging = f"{base}__sk_{int(time.time() * 1000)}"
-        new_state.write.format(format).mode("overwrite").save(staging)
-        fs.write_text(f"{staging}/_last_batch", f"{lineage}:{batch_id}")
-        if fs.exists(base):
-            _atomic_swap(fs, base, staging)
-        else:
-            fs.rename(staging, base)
+        _run_maintain_batch(
+            spark, target_path, checkpoint_dir, batch_id,
+            "__sk_", format, compute_new_state,
+        )
 
     w = (
         stream_df.writeStream.outputMode("append")

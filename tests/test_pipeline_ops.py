@@ -788,6 +788,22 @@ def test_quantile_sketch_rollup_merge_and_accuracy(spark):
             spark.createDataFrame([("x", "s")], "g string, v string"), "g", "v"
         )
 
+    # label precision: 0.99 and 0.999 must not collide (q99 vs q999)
+    fine = merge_quantile_sketches(
+        daily, quantiles=(0.99, 0.999)
+    ).columns
+    assert "q99" in fine and "q999" in fine
+
+    # EMPTY sketch table: schema (group cols + n + quantiles) intact,
+    # so unions/joins with populated runs cannot break
+    empty = merge_quantile_sketches(
+        quantile_sketch_rollup(
+            spark.createDataFrame([], "day int, v double"), "day", "v"
+        ),
+        quantiles=(0.5,), group_cols="day",
+    )
+    assert empty.columns == ["day", "n", "q50"] and empty.count() == 0
+
 
 def test_freq_sketch_rollup_merge_and_bounds(spark):
     """Count-Min invariants: estimates never undercount; merged daily
