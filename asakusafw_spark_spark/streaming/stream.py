@@ -785,3 +785,103 @@ def stream_distinct_sketch_maintain(
         q.awaitTermination()
         return q
     return w.start()
+
+
+def stream_quantile_sketch_maintain(
+    stream_df: DataFrame,
+    target_path: str,
+    group_key: "Sequence[str] | str",
+    value_col: str,
+    checkpoint_dir: str,
+    k: int = 200,
+    format: str = "parquet",
+    query_name: str = "quantile_maintain",
+    available_now: bool = True,
+):
+    """Streaming MATERIALIZED QUANTILES: every micro-batch folds a KLL
+    sketch of ``value_col`` into a per-key state table — the quantile
+    member of the maintained-state family (exact COUNT/SUM:
+    :func:`stream_agg_maintain`; distinct: 
+    :func:`stream_distinct_sketch_maintain`).  Query the state any time
+    with :func:`~...functions.stats.merge_quantile_sketches` — per key,
+    across keys, over any key subset — without rescanning the stream's
+    history; ``n`` stays EXACT through every merge even though the
+    quantile values are sketch estimates.
+
+    Same exactly-once contract as its siblings (the shared
+    :func:`_run_maintain_batch` skeleton: crash healing, orphaned
+    staging sweep, lineage-keyed replay skip, atomic park-and-swap) —
+    needed here even more than for HLL, because KLL folding is NOT
+    idempotent (re-adding the same values inflates n and shifts
+    ranks), so the replay marker is the correctness line, not just an
+    optimization.
+
+    The value column must be double, float, or bigint (the KLL natives
+    are dtype-specific; the state column is ``qsketch__<dtype>``,
+    matching the batch rollup's schema so batch and streaming state
+    interoperate).
+
+    Scale shape per batch: one hash-agg of the batch (a KB sketch per
+    touched key), a full-outer join against the group-cardinality
+    state frame, ``kll_sketch_merge`` on matched keys — cost ∝ state
+    size + batch churn, never stream history.
+    """
+    from ..functions.stats import _KLL_SUFFIX
+
+    keys = [group_key] if isinstance(group_key, str) else list(group_key)
+    dtype = dict(stream_df.dtypes)[value_col]
+    if dtype not in _KLL_SUFFIX:
+        raise ValueError(
+            f"stream_quantile_sketch_maintain: {value_col} is {dtype}; KLL "
+            "requires double, float, or bigint (cast explicitly if lossless)"
+        )
+    suffix = _KLL_SUFFIX[dtype]
+    agg = getattr(F, f"kll_sketch_agg_{suffix}")
+    pair_merge = getattr(F, f"kll_sketch_merge_{suffix}")
+    sketch_col = f"qsketch__{suffix}"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        base = target_path.rstrip("/")
+        batch_sk = batch_df.groupBy(*keys).agg(
+            agg(value_col, F.lit(int(k))).alias(sketch_col)
+        )
+
+        def compute_new_state(exists: bool) -> DataFrame:
+            if not exists:
+                return batch_sk
+            state = spark.read.format(format).load(base).select(
+                *keys, F.col(sketch_col).alias("__old")
+            )
+            return (
+                state.join(batch_sk, keys, "full_outer")
+                .select(
+                    *keys,
+                    F.when(
+                        F.col("__old").isNotNull()
+                        & F.col(sketch_col).isNotNull(),
+                        pair_merge("__old", sketch_col),
+                    )
+                    .otherwise(F.coalesce("__old", sketch_col))
+                    .alias(sketch_col),
+                )
+            )
+
+        _run_maintain_batch(
+            spark, target_path, checkpoint_dir, batch_id,
+            "__qs_", format, compute_new_state,
+        )
+
+    w = (
+        stream_df.writeStream.outputMode("append")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+    )
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return w.start()

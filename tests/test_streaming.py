@@ -727,3 +727,71 @@ def test_stream_distinct_sketch_maintain_matches_single_pass(
         for r in merge_distinct_sketches(state2, "g", out_col="e").collect()
     }
     assert got2 == got
+
+
+def test_stream_quantile_sketch_maintain_n_exact_and_replay(spark, tmp_path):
+    """KLL folding is NOT idempotent (re-added values inflate n and
+    shift ranks), so the lineage marker is the correctness line: after
+    two batches the state's n must be EXACTLY the total row count, the
+    p50 must sit in the data's middle, and a replayed delivery must
+    change nothing."""
+    import glob as g
+    import shutil
+
+    import pytest
+
+    from asakusafw_spark_spark.functions import merge_quantile_sketches
+    from asakusafw_spark_spark.streaming import (
+        stream_quantile_sketch_maintain,
+    )
+
+    target = str(tmp_path / "qs_state")
+    src = tmp_path / "feed"
+    src.mkdir()
+
+    def add_file(idx, values):
+        stage = tmp_path / f"s{idx}"
+        spark.createDataFrame(
+            [("a", float(v)) for v in values], "g string, v double"
+        ).coalesce(1).write.parquet(str(stage))
+        shutil.copy(
+            g.glob(f"{stage}/part-*.parquet")[0], src / f"{idx:04d}.parquet"
+        )
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema("g string, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        stream_quantile_sketch_maintain(
+            stream, target, "g", "v", str(tmp_path / ck),
+            query_name=f"t_qs_{ck}",
+        )
+
+    add_file(0, range(0, 50))
+    run("ck1")
+    add_file(1, range(50, 100))
+    run("ck1")
+
+    got = merge_quantile_sketches(
+        spark.read.parquet(target), quantiles=(0.5,), group_cols="g"
+    ).first()
+    assert got["n"] == 100  # exact through per-batch folding
+    assert 45.0 <= got["q50"] <= 55.0  # 100 values < k=200: near-exact
+
+    # replay both batches under the same lineage: marker skips, state
+    # unchanged (without the marker, n would double)
+    shutil.rmtree(str(tmp_path / "ck1"))
+    run("ck1")
+    again = merge_quantile_sketches(
+        spark.read.parquet(target), quantiles=(0.5,), group_cols="g"
+    ).first()
+    assert again["n"] == 100 and again["q50"] == got["q50"]
+
+    # dtype guard
+    bad = spark.readStream.schema("g string, v string").parquet(str(src))
+    with pytest.raises(ValueError, match="KLL requires"):
+        stream_quantile_sketch_maintain(
+            bad, target, "g", "v", str(tmp_path / "ck_bad")
+        )
