@@ -309,6 +309,7 @@ def audience_overlap(
     group_col: str,
     value_col: str,
     lg_k: int = 14,
+    max_groups: "int | None" = 1000,
 ) -> DataFrame:
     """Pairwise audience overlap between groups: for every group pair
     (a < b), the distinct counts of each side, their intersection,
@@ -320,12 +321,31 @@ def audience_overlap(
     union_count, only_a) — counts as longs (exact while each group is
     under ~2^lg_k distincts; see :func:`theta_sketch_rollup`).
 
-    Scale shape: the data is scanned once into G sketch rows; the
-    pairwise stage is G·(G-1)/2 sketch-pair rows of pure JVM sketch
-    ops — audience analyses have small G (days, cohorts, variants), so
-    the quadratic term is on GROUPS, never on data.
+    Scale shape: the data is scanned once into G sketch rows (the
+    sketch frame is persisted so BOTH sides of the self-join reuse one
+    scan — a G-row, ≤ 2^lg_k·8 B/row cache that stays resident for the
+    result's lifetime); the pairwise stage is G·(G-1)/2 sketch-pair
+    rows of pure JVM sketch ops.  COST MODEL: quadratic in GROUPS,
+    never in data — audience analyses have small G (days, cohorts,
+    variants).  ``max_groups`` (default 1000 → ≤ ~500k pair rows)
+    fails fast with the measured cardinality instead of silently going
+    quadratic when someone passes a high-cardinality group column;
+    raise it deliberately or pre-filter to a top-m of groups.
     """
     sk = theta_sketch_rollup(df, group_col, value_col, lg_k=lg_k)
+    if max_groups is not None:
+        from pyspark.storagelevel import StorageLevel
+
+        sk = sk.persist(StorageLevel.MEMORY_AND_DISK)
+        g = sk.limit(max_groups + 1).count()
+        if g > max_groups:
+            sk.unpersist()
+            raise ValueError(
+                f"audience_overlap: > {max_groups} distinct {group_col!r} "
+                "groups — the pairwise stage is G*(G-1)/2 sketch pairs "
+                "and would go quadratic. Pre-filter to a top-m of groups "
+                "or raise max_groups deliberately."
+            )
     a = sk.select(
         F.col(group_col).alias("group_a"), F.col("sketch").alias("__sa")
     )
@@ -402,7 +422,14 @@ def _quantile_label(q: float) -> str:
         raise ValueError(f"quantile out of [0, 1]: {q}")
     if q == 1.0:
         return "q100"
-    digits = repr(float(q))[2:]  # "0.999" -> "999"
+    # shortest-roundtrip digits WITHOUT scientific notation: bare repr
+    # of 1e-05 is "1e-05" (slices to a malformed "q-05"), while a fixed
+    # .17f render turns 0.99 into "98999999999999999" — Decimal(repr)
+    # keeps repr's shortest digits and formats them fixed-point
+    from decimal import Decimal
+
+    fixed = format(Decimal(repr(float(q))), "f")
+    digits = (fixed.split(".", 1)[1] if "." in fixed else "0").rstrip("0") or "0"
     return "q" + (digits + "0" if len(digits) < 2 else digits)
 
 
@@ -469,13 +496,13 @@ def freq_sketch_rollup(
     acceptable (guarantee: estimate ≥ true count, ≤ true + eps·N with
     probability ``confidence``).
 
-    Sketch size is ceil(e/eps) × ceil(ln(1/(1−confidence))) 8-byte
-    counters, INDEPENDENT of both rows and distinct items — **~112 KB
-    at the defaults** (eps=1e-3: width 2719 × depth 5; eps=1e-4 would
-    be ~1.1 MB per sketch — budget per-group memory and merge fan-in
-    accordingly before tightening eps); all sketches built with the
-    same (eps, confidence, seed) merge exactly
-    (:func:`merge_freq_sketches`).
+    Sketch size is ceil(2/eps) × ceil(log2(1/(1−confidence))) 8-byte
+    counters (Spark's CountMinSketchImpl sizing), INDEPENDENT of both
+    rows and distinct items — **~112 KB at the defaults** (eps=1e-3:
+    width 2000 × depth 7; eps=1e-4 would be ~1.1 MB per sketch —
+    budget per-group memory and merge fan-in accordingly before
+    tightening eps); all sketches built with the same (eps,
+    confidence, seed) merge exactly (:func:`merge_freq_sketches`).
 
     Scale shape: one partial-aggregable hash aggregate; a fixed-size
     sketch per group crosses the shuffle, never the values.
@@ -495,27 +522,135 @@ def _read_cms(spark, sketch_bytes):
     return jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
 
 
-def merge_freq_sketches(spark, sketch_bytes_list) -> bytes:
-    """Merge Count-Min sketches built with identical (eps, confidence,
-    seed) into one, DRIVER-side (Spark exposes no SQL merge aggregate
-    for CMS): counters add cell-wise, so the merged sketch answers
-    queries over the union of the inputs exactly as a single-pass
-    sketch would.
-
-    Bounded by design, not by data: each sketch is a fixed ~112 KB at
-    the defaults (eps=1e-3; ~1.1 MB at eps=1e-4), so cap the fan-in
-    per call (merge days into months, months into years) rather than
-    feeding thousands at once.
+def _cms_parse(b: bytes):
+    """Parse Spark's ``CountMinSketchImpl`` wire format (public layout,
+    verified byte-for-byte against a JVM round-trip in tests):
+    ``version:int32, totalCount:int64, depth:int32, width:int32,
+    hashA[depth]:int64, table[depth*width]:int64`` — all big-endian.
+    Returns ``(total, depth, width, hashA bytes, table int64 ndarray)``.
     """
-    sketches = list(sketch_bytes_list)
+    import struct
+
+    import numpy as np
+
+    version, total, depth, width = struct.unpack(">iqii", b[:20])
+    if version != 1:
+        raise ValueError(f"unsupported CountMinSketch version {version}")
+    ha_end = 20 + 8 * depth
+    expected = ha_end + 8 * depth * width
+    if len(b) != expected:
+        raise ValueError(
+            f"CountMinSketch bytes: expected {expected} bytes for "
+            f"depth={depth} width={width}, got {len(b)}"
+        )
+    table = np.frombuffer(b[ha_end:], dtype=">i8").astype(np.int64)
+    return total, depth, width, b[20:ha_end], table
+
+
+def _cms_merge_bytes(sketches: "list[bytes]") -> bytes:
+    """Cell-wise Count-Min merge in numpy — pure Python, runs anywhere
+    (driver or executor), no JVM round-trips.  All inputs must share
+    (depth, width, hashA), i.e. be built with one (eps, confidence,
+    seed) — anything else raises rather than silently mis-merging."""
+    import struct
+
+    import numpy as np
+
     if not sketches:
         raise ValueError("merge_freq_sketches: no sketches given")
-    acc = _read_cms(spark, sketches[0])
+    total, depth, width, hash_a, acc = _cms_parse(bytes(sketches[0]))
     for sk in sketches[1:]:
-        acc.mergeInPlace(_read_cms(spark, sk))
-    bos = spark._jvm.java.io.ByteArrayOutputStream()
-    acc.writeTo(bos)
-    return bytes(bos.toByteArray())
+        t2, d2, w2, h2, tab2 = _cms_parse(bytes(sk))
+        if (d2, w2) != (depth, width) or h2 != hash_a:
+            raise ValueError(
+                "merge_freq_sketches: incompatible sketches — all inputs "
+                "must be built with the same (eps, confidence, seed)"
+            )
+        total += t2
+        acc += tab2
+    return (
+        struct.pack(">iqii", 1, total, depth, width)
+        + hash_a
+        + acc.astype(">i8").tobytes()
+    )
+
+
+def merge_freq_sketches(spark, sketch_bytes_list) -> bytes:
+    """Merge Count-Min sketches built with identical (eps, confidence,
+    seed) into one: counters add cell-wise, so the merged sketch
+    answers queries over the union of the inputs exactly as a
+    single-pass sketch would (byte-identical — asserted in tests).
+
+    Runs driver-side in numpy (one vectorized add per sketch, no JVM
+    round-trips), fine for thousands of ~112 KB sketches; for
+    cluster-scale fan-in or grouped merges use
+    :func:`merge_freq_sketches_agg`, which reduces executor-side.
+    ``spark`` is unused (kept for API stability).
+    """
+    return _cms_merge_bytes(list(sketch_bytes_list))
+
+
+def merge_freq_sketches_agg(
+    sketches: DataFrame,
+    group_cols: "str | list[str] | None" = None,
+    sketch_col: str = "fsketch",
+    fan_in: int = 64,
+) -> DataFrame:
+    """EXECUTOR-side Count-Min merge (the distributed face of
+    :func:`merge_freq_sketches`): merge the ``sketch_col`` binary
+    sketches per ``group_cols`` — or into one global row when None —
+    producing the same wire bytes a single-pass sketch over the
+    concatenated data would (cell-wise adds commute and associate
+    exactly, so grouping/partition order is irrelevant; asserted
+    byte-identical in tests).
+
+    Spark has no SQL merge aggregate for CMS, so the reduce runs as
+    Arrow-batched ``applyInPandas`` over the sketch BYTES (numpy adds
+    — never a py4j loop, never a driver collect).  The global path is
+    a two-level tree: partitions pre-merge into ``fan_in`` salted
+    partials, then one task folds those — so no single task ever holds
+    more than max(partition sketch count, fan_in) sketches, removing
+    the driver fan-in cap the py4j merge had.  Grouped merges reduce
+    each group in one task (a year of daily sketches = 365 × ~112 KB —
+    bounded by the rollup cadence, not the data).
+    """
+    import pandas as pd
+
+    keys = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols or [])
+    )
+
+    def make_merge(key_cols):
+        def merge_pdf(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            merged = _cms_merge_bytes([bytes(x) for x in pdf[sketch_col]])
+            out = {k: [pdf[k].iloc[0]] for k in key_cols}
+            out[sketch_col] = [merged]
+            return pd.DataFrame(out)
+
+        return merge_pdf
+
+    if keys:
+        merge_pdf = make_merge(keys)
+        slim = sketches.select(*keys, sketch_col)
+        fields = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in slim.schema.fields
+        )
+        return slim.groupBy(*keys).applyInPandas(merge_pdf, fields)
+
+    # global merge: salt → fan_in partials → one final fold
+    merge_pdf = make_merge(["__salt"])
+    salted = sketches.select(
+        (F.spark_partition_id() % F.lit(int(fan_in))).alias("__salt"),
+        sketch_col,
+    )
+    partials = salted.groupBy("__salt").applyInPandas(
+        merge_pdf, f"__salt int, {sketch_col} binary"
+    )
+    final = partials.withColumn("__salt", F.lit(0))
+    return final.groupBy("__salt").applyInPandas(
+        merge_pdf, f"__salt int, {sketch_col} binary"
+    ).drop("__salt")
 
 
 def freq_sketch_estimate(spark, sketch_bytes, items) -> dict:

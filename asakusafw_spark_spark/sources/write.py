@@ -944,7 +944,12 @@ def hadoop_output_newapi(
                  becomes ``NullWritable`` (so ``TextOutputFormat`` emits
                  the value alone, exactly the reference node's
                  ``(NullWritable.get, record)`` shape) and nulls render
-                 as empty fields.  Python primitives are converted to
+                 as empty fields.  The default serialization is LOSSY
+                 for values containing ``\\t`` or ``\\n`` (no escaping:
+                 an embedded tab shifts fields, an embedded newline
+                 splits the record on readback) — pass a custom
+                 ``to_kv`` with escaping/quoting for such data, or use
+                 a binary format (SequenceFileOutputFormat).  Python primitives are converted to
                  Writables by Spark's built-in ``JavaToWritableConverter``
                  (int → IntWritable, str → Text, None → NullWritable);
                  for custom Writables pass ``key_converter`` /
@@ -1000,10 +1005,14 @@ def expire_partitions(
 
     Comparison is on the UNESCAPED string value — correct for ISO dates
     (``day=2024-01-03``) and zero-padded numbers, the layouts partition
-    TTLs run on.  The null partition (``__HIVE_DEFAULT_PARTITION__``)
-    is kept unless ``drop_null=True``.  Returns the sorted list of
-    dropped values (``dry_run=True`` returns it without deleting —
-    audit first, expire second).
+    TTLs run on.  Lexicographic order is WRONG for non-zero-padded
+    numerics (``day=9`` sorts above ``day=10``), so unless every value
+    and the cutoff share one sortable shape — same length, or both
+    ISO-date-like — the sweep refuses to delete (``ValueError``;
+    ``dry_run=True`` still returns the would-drop list for audit:
+    audit first, expire second).  The null partition
+    (``__HIVE_DEFAULT_PARTITION__``) is kept unless ``drop_null=True``.
+    Returns the sorted list of dropped values.
 
     Scale shape: one directory listing + one delete per expired
     partition, all through Hadoop FileSystem (file://, hdfs://,
@@ -1014,11 +1023,26 @@ def expire_partitions(
     base = path.rstrip("/")
     fs = HadoopFs(spark, base)
     prefix = partition_col + "="
-    dropped: list[str] = []
+    names: list[tuple[str, str]] = []
     for name in fs.listdir(base):
-        if not name.startswith(prefix):
-            continue
-        value = urllib.parse.unquote(name[len(prefix):])
+        if name.startswith(prefix):
+            names.append((urllib.parse.unquote(name[len(prefix):]), name))
+    # misuse guard: lexicographic < is only meaningful when every value
+    # and the cutoff share one sortable shape — equal string length
+    # covers ISO dates, ISO timestamps, and zero-padded numbers.  Mixed
+    # lengths (day=9 vs day=10) silently expire the wrong set, so the
+    # sweep refuses to DELETE; dry_run still reports for audit.
+    shapes = {len(v) for v, _ in names if v != _NULL_PARTITION_DIR}
+    shapes.add(len(cutoff))
+    if len(shapes) > 1 and not dry_run:
+        raise ValueError(
+            "expire_partitions: partition values and cutoff have mixed "
+            f"string lengths {sorted(shapes)} — lexicographic comparison "
+            "is unsafe (e.g. day=9 vs day=10). Zero-pad the layout, or "
+            "audit with dry_run=True first."
+        )
+    dropped: list[str] = []
+    for value, name in names:
         if value == _NULL_PARTITION_DIR:
             if not drop_null:
                 continue

@@ -465,9 +465,22 @@ def _run_maintain_batch(
 
     One implementation so a crash-healing fix can never again apply to
     one maintainer and silently miss the other.
+
+    SINGLE WRITER per target: the orphan-staging sweep (step 1) deletes
+    every ``<name><staging_prefix>*`` sibling, so a second concurrently
+    maintaining query on the same ``target_path`` would have its
+    in-flight staging swept (it fails loudly at its swap, never
+    corrupts state — but don't do it).  Run concurrent maintainers
+    against distinct targets.
     """
+    import os
+
     from ..sources.write import HadoopFs, _atomic_swap, _sibling_olds
 
+    if "://" not in target_path and not os.path.isabs(target_path):
+        # a slash-free relative target ("state") would break the
+        # parent/name split below — qualify it like Spark's writers do
+        target_path = os.path.abspath(target_path)
     base = target_path.rstrip("/")
     fs = HadoopFs(spark, base)
     olds = _sibling_olds(fs, base)
