@@ -3797,6 +3797,73 @@ def q_iterative_rounds(spark, sf):
     return out
 
 
+def q_iterative_transactional_output(spark, sf):
+    """Iterative batch × transactional Direct I/O (§3.3 × §2.5): each
+    parameter round STAGES its per-segment output under ONE transaction
+    and a single commit after the last round promotes everything — the
+    reference's DirectOutputSetupForIterative → per-round
+    DirectOutputPrepareForIterative → DirectOutputCommitForIterative
+    composition (extensions/iterativebatch/runtime/core/.../graph/
+    DirectOutputSetupForIterative.scala:30-41,
+    DirectOutputCommitForIterative.scala:33-96: one TransactionManager
+    commit over every round's resolved container path).  The query
+    returns the COMMITTED dataset read back through partition
+    discovery, so the oracle hash covers staging, promotion, the
+    success marker, and the round-variable path resolution
+    (seg={segment}).  The parameter-free join node is built once and
+    shared by all rounds (NEVER recompute kind)."""
+    import tempfile
+    import uuid
+
+    from asakusafw_spark_spark.plans.iterative import IterativeRunner
+
+    base = f"{tempfile.gettempdir()}/spark_graft_itx_{uuid.uuid4().hex[:8]}"
+    runner = IterativeRunner()
+    runner.node(
+        "joined",
+        lambda sp, p: master_join(
+            _t(sp, sf, "customer").select("c_custkey", "c_nationkey", "c_mktsegment"),
+            _t(sp, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+            [("c_custkey", "o_custkey")],
+            mapping={
+                "o_totalprice": "t.o_totalprice",
+                "c_nationkey": "m.c_nationkey",
+                "c_mktsegment": "m.c_mktsegment",
+            },
+        )["joined"],
+    )  # no param_keys → built ONCE, persisted, shared by all rounds
+    runner.node(
+        "seg_rev",
+        lambda sp, p, joined: joined.filter(
+            F.col("c_mktsegment") == p["segment"]
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice"), 2).alias("sum_price"),
+        ),
+        inputs=["joined"],
+        param_keys=["segment"],
+    )
+    runner.sink("seg_rev", "segs/seg={segment}")
+    runner.run_transactional(
+        spark,
+        rounds=[
+            {"segment": "BUILDING"},
+            {"segment": "MACHINERY"},
+            {"segment": "AUTOMOBILE"},
+        ],
+        base_path=base,
+    )
+    back = spark.read.parquet(f"{base}/segs")  # seg= partition discovery
+    return back.select(
+        "c_nationkey",
+        "n_orders",
+        "sum_price",
+        F.col("seg").alias("segment"),
+    )
+
+
 # -- shared DuckDB SQL fragments for the sketch oracles ---------------------
 
 _DUCK_SHINGLES = """
@@ -4174,6 +4241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     paths, zorder/manifest, partsupp arithmetic — q2 represents
         #     the five partsupp composites; the rest ride
         #     LOCAL_VERIFY_r07) ---
+        "iterative_transactional_output": q_iterative_transactional_output,
         "hadoop_output_newapi": q_hadoop_output_newapi,
         "cli_roundtrip": q_cli_roundtrip,
         "heavy_hitters": q_heavy_hitters,
@@ -6071,6 +6139,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_nationkey, COUNT(*) AS n_orders, 'MACHINERY' AS segment
             FROM orders JOIN customer ON c_custkey = o_custkey
             WHERE c_mktsegment = 'MACHINERY' GROUP BY c_nationkey
+        """,
+        "iterative_transactional_output": """
+            SELECT c_nationkey, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+                       AS sum_price,
+                   'BUILDING' AS segment
+            FROM orders JOIN customer ON c_custkey = o_custkey
+            WHERE c_mktsegment = 'BUILDING' GROUP BY c_nationkey
+            UNION ALL
+            SELECT c_nationkey, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+                       AS sum_price,
+                   'MACHINERY' AS segment
+            FROM orders JOIN customer ON c_custkey = o_custkey
+            WHERE c_mktsegment = 'MACHINERY' GROUP BY c_nationkey
+            UNION ALL
+            SELECT c_nationkey, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+                       AS sum_price,
+                   'AUTOMOBILE' AS segment
+            FROM orders JOIN customer ON c_custkey = o_custkey
+            WHERE c_mktsegment = 'AUTOMOBILE' GROUP BY c_nationkey
         """,
         "streaming_sessionize": """
             WITH flagged AS (

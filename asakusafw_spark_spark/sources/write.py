@@ -289,10 +289,36 @@ class TransactionalOutput:
         self._fs().mkdirs(self.staging_root)
         return self
 
+    def sweep_orphans(self) -> list[str]:
+        """Delete sibling ``_tx_*`` staging roots left by CRASHED runs
+        (they never committed; re-running the job is the recovery
+        protocol, exactly the reference TransactionManager's stale-
+        transaction cleanup).  SINGLE WRITER per base path: a second
+        concurrently-staging transaction on the same base would be
+        swept — serialize writers or use distinct bases.  Never touches
+        this transaction's own staging or any committed data.  Returns
+        the swept directory names."""
+        fs = self._fs()
+        own = f"_tx_{self.tx_id}"
+        swept = []
+        try:
+            names = fs.listdir(self.base_path)
+        except Exception:
+            return swept  # base doesn't exist yet — nothing staged
+        for n in names:
+            if n.startswith("_tx_") and n != own:
+                fs.delete(f"{self.base_path}/{n}")
+                swept.append(n)
+        return swept
+
     def prepare(
         self, name: str, df: DataFrame, format: str = "parquet", **options
     ) -> None:
-        """Stage one dataset (DirectOutputPrepare)."""
+        """Stage one dataset (DirectOutputPrepare).  ``name`` may be
+        nested (``rounds/r=3`` — iterative per-round outputs) but must
+        stay inside the base path."""
+        if os.path.isabs(name) or ".." in name.split("/"):
+            raise ValueError(f"prepare: dataset name escapes base: {name!r}")
         if self._spark is None:
             self._spark = df.sparkSession
         staging = f"{self.staging_root}/{name}"
@@ -305,6 +331,9 @@ class TransactionalOutput:
         for staging, final in self._staged:
             if fs.exists(final):
                 fs.delete(final)
+            # nested dataset names (e.g. iterative "rounds/r=3") need
+            # the final parent to exist before the rename
+            fs.mkdirs(final.rsplit("/", 1)[0])
             fs.rename(staging, final)
         fs.write_text(f"{self.base_path}/_TRANSACTION_SUCCESS", self.tx_id + "\n")
         fs.delete(self.staging_root)

@@ -165,3 +165,187 @@ def flow(threshold="5"):
     )
     assert r2.returncode != 0
     assert "no attribute 'nope'" in r2.stderr
+
+
+def test_iterative_transactional_sinks_commit_and_abort(spark, tmp_path):
+    """Reference DirectOutputSetup/Prepare/CommitForIterative: every
+    round STAGES, one commit after the last round promotes everything;
+    a crash mid-rounds exposes nothing, leaks nothing visible, and the
+    rerun sweeps the orphan staging."""
+    from asakusafw_spark_spark.plans.iterative import IterativeRunner
+    from asakusafw_spark_spark.sources.write import HadoopFs
+
+    base = str(tmp_path / "txout")
+
+    def make_runner(fail_on_round=None):
+        runner = IterativeRunner()
+
+        def build(sp, p):
+            if fail_on_round is not None and p["r"] == fail_on_round:
+                raise RuntimeError("boom")
+            return sp.range(10).withColumn(
+                "v", F.col("id") * (p["r"] + 1)
+            )
+
+        runner.node("out", build, param_keys=["r"])
+        runner.sink("out", "rounds/r={r}")
+        return runner
+
+    rounds = [{"r": 0}, {"r": 1}, {"r": 2}]
+
+    # crash in round 2: nothing visible, no marker
+    with pytest.raises(RuntimeError, match="boom"):
+        make_runner(fail_on_round=2).run_transactional(
+            spark, rounds, base
+        )
+    fs = HadoopFs(spark, base)
+    assert not fs.exists(f"{base}/_TRANSACTION_SUCCESS")
+    assert not fs.exists(f"{base}/rounds")
+    leftovers = [n for n in fs.listdir(base) if n.startswith("_tx_")]
+    assert leftovers, "crashed run should leave (invisible) staging"
+
+    # rerun: sweeps the orphan, commits atomically
+    progressed = []
+    tx = make_runner().run_transactional(
+        spark, rounds, base, on_round=lambda i, p: progressed.append(i)
+    )
+    assert progressed == [0, 1, 2]
+    assert fs.exists(f"{base}/_TRANSACTION_SUCCESS")
+    assert [n for n in fs.listdir(base) if n.startswith("_tx_")] == []
+    back = spark.read.parquet(f"{base}/rounds")  # r= partition discovery
+    assert back.count() == 30
+    got = {
+        (r["r"], r["id"]): r["v"]
+        for r in back.collect()
+    }
+    assert got[(0, 5)] == 5 and got[(1, 5)] == 10 and got[(2, 9)] == 27
+    assert tx._committed
+
+
+def test_iterative_view_broadcast_memoized_by_parameter(spark):
+    """Reference MapBroadcastByParameter: ONE collect+broadcast per
+    distinct param value across rounds; param-free views build once
+    (MapBroadcastOnce)."""
+    from asakusafw_spark_spark.plans.iterative import IterativeRunner
+
+    runner = IterativeRunner()
+    runner.view(
+        "lookup",
+        lambda sp, p: sp.createDataFrame(
+            [(i, i * p["mult"]) for i in range(5)], "k int, scaled int"
+        ),
+        key=["k"],
+        param_keys=["mult"],
+    )
+    runner.view(
+        "static",
+        lambda sp, p: sp.createDataFrame([(1, "x")], "k int, tag string"),
+        key=["k"],
+    )
+
+    seen = []
+
+    def use(sp, p, lookup, static):
+        # consult the broadcasts driver-side (the group_view contract:
+        # .value inside any UDF or plain python)
+        seen.append(
+            (p["mult"], lookup.value[(3,)][0]["scaled"],
+             static.value[(1,)][0]["tag"])
+        )
+        return sp.range(1)
+
+    runner.node("n", use, views=["lookup", "static"], always=True)
+    rounds = [{"mult": 2}, {"mult": 3}, {"mult": 2}, {"mult": 2}]
+    runner.run(spark, rounds, collect=lambda i, p, f: None)
+    # 4 rounds, 2 distinct mult values -> 2 builds; static -> 1 build
+    assert runner.view_build_counts == {"lookup": 2, "static": 1}
+    assert seen == [(2, 6, "x"), (3, 9, "x"), (2, 6, "x"), (2, 6, "x")]
+
+
+def test_iterative_executor_stop_await_and_progress(spark):
+    """Reference IterativeBatchExecutor: submit/stop/await semantics —
+    3 rounds submitted, stop after round 2 drains the queue to the
+    sentinel, never executing round 3; caches stay warm across
+    separately-submitted rounds."""
+    import time
+
+    from asakusafw_spark_spark.plans.iterative import (
+        IterativeBatchExecutor, IterativeRunner,
+    )
+
+    runner = IterativeRunner()
+    built = []
+    runner.node(
+        "base",
+        lambda sp, p: (built.append("base"), sp.range(100))[1],
+    )  # NEVER kind: must build once across ALL submitted rounds
+    runner.node(
+        "scaled",
+        lambda sp, p, b: b.withColumn("v", F.col("id") * p["m"]),
+        inputs=["base"],
+        param_keys=["m"],
+    )
+    results = {}
+    progress = []
+
+    def collect(i, p, frames):
+        results[i] = frames["scaled"].agg(F.sum("v")).first()[0]
+
+    ex = IterativeBatchExecutor(
+        runner, spark, collect, on_round=lambda i, p: progress.append(i)
+    )
+    ex.submit({"m": 1})
+    ex.submit({"m": 2})
+    ex.start()
+    # wait until both rounds complete, then stop BEFORE submitting more
+    deadline = time.time() + 60
+    while ex.rounds_completed < 2 and time.time() < deadline:
+        time.sleep(0.05)
+    assert ex.rounds_completed == 2
+    ex.stop()
+    with pytest.raises(RuntimeError, match="stopped"):
+        ex.submit({"m": 3})  # post-stop submissions refused
+    ex.await_completion(timeout=60)
+    assert results == {0: 4950, 1: 9900}
+    assert progress == [0, 1]
+    assert built == ["base"], "NEVER node must stay cached across submits"
+
+
+def test_iterative_executor_error_surfaces_on_await(spark):
+    from asakusafw_spark_spark.plans.iterative import (
+        IterativeBatchExecutor, IterativeRunner,
+    )
+
+    runner = IterativeRunner()
+
+    def explode(sp, p):
+        raise ValueError("round failed")
+
+    runner.node("bad", explode, always=True)
+    ex = IterativeBatchExecutor(runner, spark, lambda i, p, f: None)
+    ex.submit({})
+    ex.start()
+    ex.stop()
+    with pytest.raises(ValueError, match="round failed"):
+        ex.await_completion(timeout=60)
+
+
+def test_iterative_request_stop_between_rounds(spark):
+    """run() graceful stop: in-flight round completes (collect runs),
+    the remainder is skipped with StopRequested."""
+    from asakusafw_spark_spark.plans.iterative import (
+        IterativeRunner, StopRequested,
+    )
+
+    runner = IterativeRunner()
+    runner.node("n", lambda sp, p: sp.range(3), always=True)
+    done = []
+
+    def collect(i, p, frames):
+        done.append(i)
+        if i == 1:
+            runner.request_stop()
+
+    with pytest.raises(StopRequested):
+        runner.run(spark, [{}, {}, {}, {}], collect)
+    assert done == [0, 1]
