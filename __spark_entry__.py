@@ -4205,60 +4205,105 @@ def _duck_near_dup_sql(threshold: float = 0.9, planes: int = 6) -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ROTATION (VERDICT r06 Next #1): the driver CORRECTNESS report
-    # truncates at ~50 entries, so dict ORDER decides which queries get
-    # a fresh oracle row.  Round 7 window (50 = 16 + 34):
-    #   1. the ELEVEN round-7 additions (hadoop_output_newapi,
-    #      cli_roundtrip, heavy_hitters, sample_exact_n,
-    #      retention_expire, k_anonymity_report, suppress_rare_groups,
-    #      seqfile_roundtrip, fixed_width_input,
-    #      streaming_distinct_sketch, audience_overlap) — never
-    #      driver-checked, they lead.
-    #   2. the four components edited in r06 whose queries rode
-    #      r05-banked rows (streaming_incremental_agg,
-    #      streaming_quality_report, zorder_roundtrip, manifest_stats)
-    #      — re-edited again in r07 (mergeSchema replay guard, staging
-    #      cleanup), so a post-edit driver row closes VERDICT r06's one
-    #      process debt; plus q2_min_cost_supplier representing the
-    #      five partsupp composites after the r07 arithmetic fixes
-    #      (integer div + collision-free offset formula).
-    #   3. 34 of the 48 r04-stale queries (tools/staleness.py); the
-    #      14 most-trivial (checkpoint/logging/direct_input/confluent/
-    #      distinct/intersect_keys/except_keys/rank_in_group/rollup_agg/
-    #      cube_agg/moving_avg/running_total/percentile_agg/pivot_agg —
-    #      pure projections, set ops, native window/rollup/pivot
-    #      one-liners) sit just past the boundary.
-    # Everything outside the window is covered by the committed
-    # LOCAL_VERIFY_r07 artifacts (157 queries, strict value hash,
-    # sf0.01 AND sf0.1, regenerated after the round's last code change).
+    # ROTATION: the driver CORRECTNESS report truncates at ~50
+    # entries, so dict ORDER decides which queries get a fresh
+    # oracle row (run tools/staleness.py for the schedule).
     return {
-        # --- r07 window head: the ELEVEN never-checked round-7 additions
-        #     (OutputFormat door, CLI roundtrip, heavy hitters, exact-n
-        #     sample, partition TTL, k-anonymity audit+enforce,
-        #     SequenceFile roundtrip, fixed-width reader, streaming HLL
-        #     distinct maintenance, theta-sketch audience overlap), then
-        #     the components EDITED in r06/r07 (streaming crash/replay
-        #     paths, zorder/manifest, partsupp arithmetic — q2 represents
-        #     the five partsupp composites; the rest ride
-        #     LOCAL_VERIFY_r07) ---
+        # --- r08 window head (50 = 1 new + 6 edited + 14 + 29):
+        #     1. the round-8 addition (iterative x transactional
+        #        Direct I/O composition) — never driver-checked;
+        #     2. queries riding code EDITED in r08 (audience_overlap
+        #        guard+persist, expire_partitions guard, Transactional
+        #        Output sweep/commit, _run_maintain_batch path
+        #        normalization, IterativeRunner refactor);
+        #     3. the 14 r04-stale trivial queries (VERDICT r07 Next #1 —
+        #        at the staleness boundary, rotated in);
+        #     4. 29 of the 44 r05-banked queries (oldest remaining).
+        #     Everything outside the window is covered by the committed
+        #     LOCAL_VERIFY_r08 artifacts (strict value hash, sf0.01 AND
+        #     sf0.1, regenerated after the round's last code change).
         "iterative_transactional_output": q_iterative_transactional_output,
+        "audience_overlap": q_audience_overlap,
+        "retention_expire": q_retention_expire,
+        "output_roundtrip": q_output_roundtrip,
+        "streaming_incremental_agg": q_streaming_incremental_agg,
+        "streaming_distinct_sketch": q_streaming_distinct_sketch,
+        "iterative_rounds": q_iterative_rounds,
+        # --- the 14 r04-stale trivial queries (rotated per VERDICT) ---
+        "checkpoint": q_checkpoint,
+        "logging": q_logging,
+        "direct_input": q_direct_input,
+        "confluent": q_confluent,
+        "distinct": q_distinct,
+        "intersect_keys": q_intersect_keys,
+        "except_keys": q_except_keys,
+        "rank_in_group": q_rank_in_group,
+        "rollup_agg": q_rollup_agg,
+        "cube_agg": q_cube_agg,
+        "moving_avg": q_moving_avg,
+        "running_total": q_running_total,
+        "percentile_agg": q_percentile_agg,
+        "pivot_agg": q_pivot_agg,
+        # --- r05-banked block, first 29 (staleness order) ---
+        "analyze_table": q_analyze_table,
+        "bloom_join": q_bloom_join,
+        "bm25": q_bm25,
+        "cap_per_group": q_cap_per_group,
+        "compaction_roundtrip": q_compaction_roundtrip,
+        "constraint_report": q_constraint_report,
+        "dedup_corpus_best": q_dedup_corpus_best,
+        "dedup_incremental": q_dedup_incremental,
+        "extract_json": q_extract_json,
+        "funnel": q_funnel,
+        "hadoop_input": q_hadoop_input,
+        "incremental_agg": q_incremental_agg,
+        "lm_score": q_lm_score,
+        "materialize_packs": q_materialize_packs,
+        "merge_evolve": q_merge_evolve,
+        "normalize_text": q_normalize_text,
+        "pack_sequences": q_pack_sequences,
+        "q10_returned_items": q10_returned_items,
+        "q12_late_priority_lines": q12_late_priority_lines,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_discounted_revenue": q19_discounted_revenue,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q22_global_sales_opportunity": q22_global_sales_opportunity,
+        "q4_order_priority": q4_order_priority,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q7_volume_shipping": q7_volume_shipping,
+        # --- window boundary (~50): the remaining 15 r05-banked
+        #     queries lead the r09 rotation ---
+        "q8_market_share": q8_market_share,
+        "quantile_bucket": q_quantile_bucket,
+        "quantize_embeddings": q_quantize_embeddings,
+        "redact": q_redact,
+        "retention": q_retention,
+        "scd2_apply": q_scd2_apply,
+        "scrub_spans": q_scrub_spans,
+        "similarity_quantized_topk": q_similarity_quantized,
+        "snapshot_diff": q_snapshot_diff,
+        "streaming_dedup_ingest": q_streaming_dedup_ingest,
+        "text_index_search": q_text_index_search,
+        "tfidf": q_tfidf,
+        "unpivot_measures": q_unpivot,
+        "vocab_top_k": q_vocab_top_k,
+        "winsorize": q_winsorize,
+        # --- fresher tail (r06/r07-green; LOCAL_VERIFY covered) ---
         "hadoop_output_newapi": q_hadoop_output_newapi,
         "cli_roundtrip": q_cli_roundtrip,
         "heavy_hitters": q_heavy_hitters,
         "sample_exact_n": q_sample_exact_n,
-        "retention_expire": q_retention_expire,
         "k_anonymity_report": q_k_anonymity_report,
         "suppress_rare_groups": q_suppress_rare_groups,
         "seqfile_roundtrip": q_seqfile_roundtrip,
         "fixed_width_input": q_fixed_width_input,
-        "streaming_distinct_sketch": q_streaming_distinct_sketch,
-        "audience_overlap": q_audience_overlap,
-        "streaming_incremental_agg": q_streaming_incremental_agg,
         "streaming_quality_report": q_streaming_quality_report,
         "zorder_roundtrip": q_zorder_roundtrip,
         "manifest_stats": q_manifest_stats,
         "q2_min_cost_supplier": q2_min_cost_supplier,
-        # --- the r04-stale block (staleness 2 — tools/staleness.py) ---
         "asof_join": q_asof_join,
         "chunk_documents": q_chunk_documents,
         "cogroup": q_cogroup,
@@ -4293,70 +4338,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summarize_q1": q_summarize_q1,
         "top_k_per_group": q_topk,
         "training_pipeline": q_training_pipeline,
-        # --- window boundary (~50): the 14 most-trivial r04-stale
-        #     queries sit just past it (pure projections/set ops/native
-        #     window-rollup-pivot one-liners, lowest regression risk;
-        #     covered 157/157 by LOCAL_VERIFY_r07) ---
-        "checkpoint": q_checkpoint,
-        "logging": q_logging,
-        "direct_input": q_direct_input,
-        "confluent": q_confluent,
-        "distinct": q_distinct,
-        "intersect_keys": q_intersect_keys,
-        "except_keys": q_except_keys,
-        "rank_in_group": q_rank_in_group,
-        "rollup_agg": q_rollup_agg,
-        "cube_agg": q_cube_agg,
-        "moving_avg": q_moving_avg,
-        "running_total": q_running_total,
-        "percentile_agg": q_percentile_agg,
-        "pivot_agg": q_pivot_agg,
-        # --- r05-banked block ---
-        "analyze_table": q_analyze_table,
-        "bloom_join": q_bloom_join,
-        "bm25": q_bm25,
-        "cap_per_group": q_cap_per_group,
-        "compaction_roundtrip": q_compaction_roundtrip,
-        "constraint_report": q_constraint_report,
-        "dedup_corpus_best": q_dedup_corpus_best,
-        "dedup_incremental": q_dedup_incremental,
-        "extract_json": q_extract_json,
-        "funnel": q_funnel,
-        "hadoop_input": q_hadoop_input,
-        "incremental_agg": q_incremental_agg,
-        "lm_score": q_lm_score,
-        "materialize_packs": q_materialize_packs,
-        "merge_evolve": q_merge_evolve,
-        "normalize_text": q_normalize_text,
-        "pack_sequences": q_pack_sequences,
-        "q10_returned_items": q10_returned_items,
-        "q12_late_priority_lines": q12_late_priority_lines,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q15_top_supplier": q15_top_supplier,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q19_discounted_revenue": q19_discounted_revenue,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "q22_global_sales_opportunity": q22_global_sales_opportunity,
-        "q4_order_priority": q4_order_priority,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q8_market_share": q8_market_share,
-        "quantile_bucket": q_quantile_bucket,
-        "quantize_embeddings": q_quantize_embeddings,
-        "redact": q_redact,
-        "retention": q_retention,
-        "scd2_apply": q_scd2_apply,
-        "scrub_spans": q_scrub_spans,
-        "similarity_quantized_topk": q_similarity_quantized,
-        "snapshot_diff": q_snapshot_diff,
-        "streaming_dedup_ingest": q_streaming_dedup_ingest,
-        "text_index_search": q_text_index_search,
-        "tfidf": q_tfidf,
-        "unpivot_measures": q_unpivot,
-        "vocab_top_k": q_vocab_top_k,
-        "winsorize": q_winsorize,
-        # --- r06-fresh tail ---
         "approx_distinct": q_approx_distinct,
         "approx_percentile": q_approx_percentile,
         "branch": q_branch,
@@ -4376,7 +4357,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fold_partial": q_fold_partial,
         "group_view_lookup": q_group_view_lookup,
         "hadoop_input_newapi": q_hadoop_input_newapi,
-        "iterative_rounds": q_iterative_rounds,
         "master_branch": q_master_branch,
         "master_check_found": q_master_check_found,
         "master_check_missed": q_master_check_missed,
@@ -4386,7 +4366,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "master_selection_custom_fn": q_master_selection_custom_fn,
         "master_selection_ordering": q_master_selection_ordering,
         "merge_upsert": q_merge_upsert,
-        "output_roundtrip": q_output_roundtrip,
         "project": q_project,
         "q11_important_stock": q11_important_stock,
         "q16_parts_supplier_relationship": q16_parts_supplier_relationship,

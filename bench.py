@@ -87,6 +87,12 @@ HEADLINE = [
     "sample_exact_n",
     "suppress_rare_groups",
     "audience_overlap",
+    # round-8 additions (appended): k-anonymity audit, z-order layout
+    # rewrite (bench-hygiene items from VERDICT r07 #9), and the
+    # iterative-rounds transactional Direct-I/O composition
+    "k_anonymity_report",
+    "zorder_roundtrip",
+    "iterative_transactional_output",
 ]
 
 
