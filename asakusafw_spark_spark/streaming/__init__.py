@@ -14,6 +14,7 @@ from .stream import (
     stream_dedup_ingest,
     stream_agg_maintain,
     stream_distinct_sketch_maintain,
+    stream_freq_sketch_maintain,
     stream_quantile_sketch_maintain,
     stream_quality_monitor,
     run_available_now,
@@ -31,6 +32,7 @@ __all__ = [
     "stream_dedup_ingest",
     "stream_agg_maintain",
     "stream_distinct_sketch_maintain",
+    "stream_freq_sketch_maintain",
     "stream_quantile_sketch_maintain",
     "stream_quality_monitor",
     "run_available_now",

@@ -898,3 +898,94 @@ def stream_quantile_sketch_maintain(
         q.awaitTermination()
         return q
     return w.start()
+
+
+def stream_freq_sketch_maintain(
+    stream_df: DataFrame,
+    target_path: str,
+    group_key: "Sequence[str] | str",
+    value_col: str,
+    checkpoint_dir: str,
+    eps: float = 1e-3,
+    confidence: float = 0.99,
+    seed: int = 42,
+    format: str = "parquet",
+    query_name: str = "freq_maintain",
+    available_now: bool = True,
+):
+    """Streaming MATERIALIZED FREQUENCY sketch: every micro-batch folds
+    a Count-Min sketch of ``value_col`` into a per-key state table —
+    the frequency member completing the maintained-state family (exact
+    COUNT/SUM: :func:`stream_agg_maintain`; distinct:
+    :func:`stream_distinct_sketch_maintain`; quantiles:
+    :func:`stream_quantile_sketch_maintain`).  Query the state any time
+    with :func:`~...functions.stats.freq_sketch_estimate` (point
+    counts) or re-merge arbitrary key subsets with
+    :func:`~...functions.stats.merge_freq_sketches_agg` — never a
+    stream-history rescan.
+
+    Spark has no CMS SQL merge aggregate, so the state merge runs as
+    the numpy cell-wise reduce (``merge_freq_sketches_agg``) over the
+    UNION of state and batch sketch rows — Arrow-batched executor-side
+    work ∝ state size + batch churn.  All sketches for one target must
+    share (eps, confidence, seed); a mismatch (e.g. retargeting an
+    existing state dir with different parameters) raises rather than
+    silently mis-merging.  CMS counters are deterministic for a given
+    seed, so the maintained state is byte-identical to a single-pass
+    sketch over all delivered rows (asserted in tests) — which is what
+    makes replay skipping an optimization here and a correctness line
+    only for the totalCount.
+
+    Same exactly-once contract as its siblings (shared
+    :func:`_run_maintain_batch`: crash healing, orphan-staging sweep,
+    lineage-keyed replay marker, atomic park-and-swap).  State column:
+    ``fsketch`` (matches :func:`~...functions.stats.freq_sketch_rollup`
+    so batch and streaming frequency state interoperate).
+
+    Scale shape per batch: one partial-aggregable hash-agg of the
+    batch (a fixed ~ceil(2/eps)·ceil(log2(1/(1-confidence)))·8 B sketch
+    per touched key), then one Arrow pass over (state ∪ batch) sketch
+    rows — cost ∝ state + churn, never stream history.
+    """
+    keys = [group_key] if isinstance(group_key, str) else list(group_key)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from ..functions.stats import merge_freq_sketches_agg
+
+        spark = batch_df.sparkSession
+        base = target_path.rstrip("/")
+        batch_sk = batch_df.groupBy(*keys).agg(
+            F.count_min_sketch(
+                value_col, F.lit(float(eps)), F.lit(float(confidence)),
+                F.lit(int(seed)),
+            ).alias("fsketch")
+        )
+
+        def compute_new_state(exists: bool) -> DataFrame:
+            if not exists:
+                return batch_sk
+            state = spark.read.format(format).load(base).select(
+                *keys, "fsketch"
+            )
+            return merge_freq_sketches_agg(
+                state.unionByName(batch_sk), group_cols=keys
+            )
+
+        _run_maintain_batch(
+            spark, target_path, checkpoint_dir, batch_id,
+            "__fs_", format, compute_new_state,
+        )
+
+    w = (
+        stream_df.writeStream.outputMode("append")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+    )
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return w.start()

@@ -795,3 +795,74 @@ def test_stream_quantile_sketch_maintain_n_exact_and_replay(spark, tmp_path):
         stream_quantile_sketch_maintain(
             bad, target, "g", "v", str(tmp_path / "ck_bad")
         )
+
+
+def test_stream_freq_sketch_maintain_byte_exact_and_replay(spark, tmp_path):
+    """CMS maintained state must be BYTE-identical to a single-pass
+    sketch over all delivered rows (counters are deterministic for a
+    fixed seed and add cell-wise); a replayed delivery must change
+    nothing; retargeting a state dir with different (eps, confidence,
+    seed) must raise, not silently mis-merge."""
+    import glob as g
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from asakusafw_spark_spark.functions import (
+        freq_sketch_estimate, freq_sketch_rollup,
+    )
+    from asakusafw_spark_spark.streaming import stream_freq_sketch_maintain
+
+    target = str(tmp_path / "fs_state")
+    src = tmp_path / "feed"
+    src.mkdir()
+    all_rows = []
+
+    def add_file(idx, values):
+        rows = [("a", v) for v in values]
+        all_rows.extend(rows)
+        stage = tmp_path / f"s{idx}"
+        spark.createDataFrame(rows, "g string, v string").coalesce(
+            1
+        ).write.parquet(str(stage))
+        shutil.copy(
+            g.glob(f"{stage}/part-*.parquet")[0], src / f"{idx:04d}.parquet"
+        )
+
+    def run(ck, **kw):
+        stream = (
+            spark.readStream.schema("g string, v string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        stream_freq_sketch_maintain(
+            stream, target, "g", "v", str(tmp_path / ck),
+            query_name=f"t_fs_{ck}", **kw,
+        )
+
+    add_file(0, ["hot"] * 30 + ["warm"] * 5)
+    run("ck1")
+    add_file(1, ["hot"] * 20 + ["cold"])
+    run("ck1")
+
+    state = bytes(spark.read.parquet(target).first()["fsketch"])
+    whole = bytes(
+        freq_sketch_rollup(
+            spark.createDataFrame(all_rows, "g string, v string"), "g", "v"
+        ).first()["fsketch"]
+    )
+    assert state == whole  # maintained ≡ single-pass, byte-for-byte
+
+    est = freq_sketch_estimate(spark, state, ["hot", "warm", "cold", "no"])
+    assert est == {"hot": 50, "warm": 5, "cold": 1, "no": 0}
+
+    # replay under the same lineage: marker skips, bytes unchanged
+    shutil.rmtree(str(tmp_path / "ck1"))
+    run("ck1")
+    assert bytes(spark.read.parquet(target).first()["fsketch"]) == whole
+
+    # a NEW batch with mismatched sketch parameters must refuse
+    add_file(2, ["hot"])
+    with pytest.raises(Exception, match="incompatible"):
+        run("ck2", eps=0.01)
