@@ -502,7 +502,10 @@ def freq_sketch_rollup(
     width 2000 × depth 7; eps=1e-4 would be ~1.1 MB per sketch —
     budget per-group memory and merge fan-in accordingly before
     tightening eps); all sketches built with the same (eps,
-    confidence, seed) merge exactly (:func:`merge_freq_sketches`).
+    confidence, seed) merge exactly (:func:`merge_freq_sketches`
+    driver-side, :func:`merge_freq_sketches_agg` executor-side; the
+    streaming face is
+    :func:`~..streaming.stream.stream_freq_sketch_maintain`).
 
     Scale shape: one partial-aggregable hash aggregate; a fixed-size
     sketch per group crosses the shuffle, never the values.

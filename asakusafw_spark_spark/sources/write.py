@@ -316,9 +316,19 @@ class TransactionalOutput:
     ) -> None:
         """Stage one dataset (DirectOutputPrepare).  ``name`` may be
         nested (``rounds/r=3`` — iterative per-round outputs) but must
-        stay inside the base path."""
+        stay inside the base path and be unique within the transaction
+        (an iterative sink template that forgets its round variable
+        would silently overwrite earlier rounds' staging and then fail
+        at the second promotion — caught here instead)."""
         if os.path.isabs(name) or ".." in name.split("/"):
             raise ValueError(f"prepare: dataset name escapes base: {name!r}")
+        final = f"{self.base_path}/{name}"
+        if any(final == f for _, f in self._staged):
+            raise ValueError(
+                f"prepare: dataset {name!r} already staged in this "
+                "transaction — per-round sink templates must embed a "
+                "round-distinct variable (e.g. 'out/round={round}')"
+            )
         if self._spark is None:
             self._spark = df.sparkSession
         staging = f"{self.staging_root}/{name}"

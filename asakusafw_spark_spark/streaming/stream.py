@@ -932,9 +932,10 @@ def stream_freq_sketch_maintain(
     existing state dir with different parameters) raises rather than
     silently mis-merging.  CMS counters are deterministic for a given
     seed, so the maintained state is byte-identical to a single-pass
-    sketch over all delivered rows (asserted in tests) — which is what
-    makes replay skipping an optimization here and a correctness line
-    only for the totalCount.
+    sketch over all delivered rows (asserted in tests).  CMS folding is
+    NOT idempotent (counters ADD, unlike HLL's max-registers), so the
+    lineage-keyed replay marker is a correctness line here exactly as
+    for KLL: without it a replayed batch would double-count.
 
     Same exactly-once contract as its siblings (shared
     :func:`_run_maintain_batch`: crash healing, orphan-staging sweep,

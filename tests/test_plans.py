@@ -349,3 +349,18 @@ def test_iterative_request_stop_between_rounds(spark):
     with pytest.raises(StopRequested):
         runner.run(spark, [{}, {}, {}, {}], collect)
     assert done == [0, 1]
+
+
+def test_transactional_sink_without_round_variable_fails_fast(spark, tmp_path):
+    """A sink template that forgets its round variable would stage the
+    same dataset name every round — caught loudly at round 2's prepare,
+    before any promotion."""
+    from asakusafw_spark_spark.plans.iterative import IterativeRunner
+
+    runner = IterativeRunner()
+    runner.node("out", lambda sp, p: sp.range(3), always=True)
+    runner.sink("out", "rounds/static")  # no {r}!
+    with pytest.raises(ValueError, match="already staged"):
+        runner.run_transactional(
+            spark, [{"r": 0}, {"r": 1}], str(tmp_path / "tx")
+        )
