@@ -66,6 +66,7 @@ class _IterativeView:
     key: Sequence[str]
     param_keys: Sequence[str] = ()
     max_rows: int = 1_000_000
+    max_entries: "int | None" = None  # LRU cap on live broadcasts
 
 
 @dataclass
@@ -119,6 +120,7 @@ class IterativeRunner:
         key: Sequence[str],
         param_keys: Sequence[str] = (),
         max_rows: int = 1_000_000,
+        max_entries: "int | None" = None,
     ) -> str:
         """Register a broadcast side-input view: ``fn(spark, params)``
         returns the (TINY) DataFrame; the runner builds ONE
@@ -129,9 +131,18 @@ class IterativeRunner:
         ``MapBroadcastOnce``).  Nodes receive it as a
         ``pyspark.Broadcast`` positional arg after their input frames
         (declare via ``node(..., views=[name])``); all broadcasts are
-        released when the run finishes."""
+        released when the run finishes.
+
+        ``max_entries`` bounds the LIVE broadcasts for this view: past
+        the cap the least-recently-USED parameter value's broadcast is
+        unpersisted on eviction (a re-visited value rebuilds — one
+        extra collect, never unbounded executor memory).  Default None
+        keeps every distinct value alive for the run, right when the
+        distinct-value count is small (the common sweep shape)."""
         self.views.append(
-            _IterativeView(name, fn, list(key), list(param_keys), max_rows)
+            _IterativeView(
+                name, fn, list(key), list(param_keys), max_rows, max_entries
+            )
         )
         return name
 
@@ -240,10 +251,19 @@ class IterativeRunner:
                 (k, params.get(k)) for k in sorted(v.param_keys)
             )
             if key not in view_cache:
+                if v.max_entries is not None:
+                    # LRU eviction: dict preserves insertion order and
+                    # hits below re-insert, so the FIRST same-view key
+                    # is the least recently used
+                    live = [k for k in view_cache if k[0] == name]
+                    while len(live) >= v.max_entries:
+                        view_cache.pop(live.pop(0)).unpersist()
                 view_cache[key] = group_view(
                     v.fn(spark, params), v.key, max_rows=v.max_rows
                 )
                 view_build_counts[name] = view_build_counts.get(name, 0) + 1
+            elif v.max_entries is not None:
+                view_cache[key] = view_cache.pop(key)  # refresh recency
             return view_cache[key]
 
         for off, params in enumerate(rounds):

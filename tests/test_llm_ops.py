@@ -1082,3 +1082,55 @@ def test_apng_real_codec_frame_sampling_roundtrip(spark):
     assert len(single) == 1 and single[0][0] == 0
     w, h, rows = decode_png(single[0][1])
     assert rows[0][0] == (9, 9, 9)
+
+
+def test_apng_codec_property_roundtrip():
+    """Property (hypothesis): ANY frame stack (count, canvas, delays,
+    pixel content) survives encode → parse → per-frame standalone-PNG
+    reconstruction → decode pixel-exactly, with presentation
+    timestamps equal to the cumulative delays."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from asakusafw_spark_spark.functions import (
+        apng_frame_sampler, encode_apng,
+    )
+    from asakusafw_spark_spark.functions.png_codec import decode_png
+
+    dims = st.tuples(
+        st.integers(min_value=1, max_value=5),   # width
+        st.integers(min_value=1, max_value=4),   # height
+        st.integers(min_value=1, max_value=4),   # n frames
+        st.integers(min_value=0, max_value=2**31 - 1),  # pixel seed
+    )
+
+    @settings(
+        max_examples=25, deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(dims, st.sampled_from([30, 50, 100]))
+    def prop(d, delay):
+        w, h, n, seed = d
+        import random
+
+        rng = random.Random(seed)
+        frames = [
+            [
+                [
+                    (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+                    for _ in range(w)
+                ]
+                for _ in range(h)
+            ]
+            for _ in range(n)
+        ]
+        apng = encode_apng([(delay, f) for f in frames])
+        # sample exactly at frame starts: every frame comes back intact
+        samples = apng_frame_sampler(apng, delay)
+        assert [ts for ts, _ in samples] == [i * delay for i in range(n)]
+        for i, (_, png) in enumerate(samples):
+            dw, dh, rows = decode_png(png)
+            assert (dw, dh) == (w, h)
+            assert rows == frames[i]
+
+    prop()

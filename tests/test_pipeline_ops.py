@@ -977,3 +977,50 @@ def test_quantile_label_fixed_point(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         _quantile_label(1.5)
+
+
+def test_cms_merge_property_split_invariance(spark):
+    """Property (hypothesis): for ANY value multiset, ANY 2-way split,
+    and ANY sketch parameters, numpy-merged partial sketches are
+    byte-identical to the single-pass sketch — the randomized-input
+    class of check that caught the partsupp formula bugs."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from asakusafw_spark_spark.functions import (
+        freq_sketch_rollup, merge_freq_sketches,
+    )
+
+    params = st.tuples(
+        st.sampled_from([0.1, 0.01]),          # eps
+        st.sampled_from([0.9, 0.99]),          # confidence
+        st.integers(min_value=1, max_value=10_000),  # seed
+    )
+    values = st.lists(
+        st.sampled_from(["a", "b", "c", "dd", "ee", "f"]),
+        min_size=1, max_size=40,
+    )
+
+    @settings(
+        max_examples=6, deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(params, values, st.integers(min_value=0, max_value=40))
+    def prop(p, vals, cut):
+        eps, conf, seed = p
+        cut = min(cut, len(vals))
+        rows = [(0, v) for v in vals[:cut]] + [(1, v) for v in vals[cut:]]
+        df = spark.createDataFrame(rows, "part int, v string")
+        parts = freq_sketch_rollup(
+            df, "part", "v", eps=eps, confidence=conf, seed=seed
+        ).collect()
+        merged = merge_freq_sketches(
+            spark, [r["fsketch"] for r in parts]
+        )
+        whole = freq_sketch_rollup(
+            df.withColumn("part", F.lit(0)), "part", "v",
+            eps=eps, confidence=conf, seed=seed,
+        ).first()["fsketch"]
+        assert merged == bytes(whole)
+
+    prop()

@@ -364,3 +364,34 @@ def test_transactional_sink_without_round_variable_fails_fast(spark, tmp_path):
         runner.run_transactional(
             spark, [{"r": 0}, {"r": 1}], str(tmp_path / "tx")
         )
+
+
+def test_iterative_view_lru_eviction(spark):
+    """max_entries bounds LIVE broadcasts: the least-recently-used
+    parameter value is unpersisted on eviction, a re-visited value
+    rebuilds (one extra collect), and recency refresh keeps hot values
+    alive."""
+    from asakusafw_spark_spark.plans.iterative import IterativeRunner
+
+    runner = IterativeRunner()
+    runner.view(
+        "lk",
+        lambda sp, p: sp.createDataFrame(
+            [(1, p["m"])], "k int, m int"
+        ),
+        key=["k"],
+        param_keys=["m"],
+        max_entries=2,
+    )
+    runner.node(
+        "n",
+        lambda sp, p, lk: sp.range(1),
+        views=["lk"],
+        always=True,
+    )
+    # m sequence: 1,2,1,3 (evicts 2 — 1 was refreshed), then 1 (hit),
+    # then 2 (rebuild)
+    rounds = [{"m": m} for m in (1, 2, 1, 3, 1, 2)]
+    runner.run(spark, rounds, collect=lambda i, p, f: None)
+    # builds: m=1, m=2, m=3, m=2(rebuilt after eviction) -> 4
+    assert runner.view_build_counts == {"lk": 4}
