@@ -1523,6 +1523,30 @@ def q_funnel(spark, sf):
     return funnel(ev, ["view", "click", "purchase"])
 
 
+def q_resample_locf(spark, sf):
+    """Time-series resampling with gap filling (operators.window.
+    resample_timeseries): events bucketed into per-type 1-hour windows
+    over each type's full span — EMPTY buckets materialized with
+    zero-filled counts and last-observation-carried-forward sums (the
+    regularization every time-series consumer needs and event logs
+    never provide).  All native: one hash agg + sequence-explode grid +
+    one LOCF window pass; exact-decimal sums keep the doubles
+    bit-stable."""
+    from asakusafw_spark_spark.operators import resample_timeseries
+
+    ev = _t(spark, sf, "events").select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    return resample_timeseries(
+        ev,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        {"n_events": ("count", "value"), "sum_value": ("sum", "value")},
+        fill={"n_events": "zero", "sum_value": "locf"},
+    )
+
+
 def q_bm25(spark, sf):
     """BM25 retrieval ranking for a 3-term query over the corpus —
     per-term double scores are exact expressions over integer counts,
@@ -2497,6 +2521,75 @@ def q_streaming_distinct_sketch(spark, sf):
     return merge_distinct_sketches(
         spark.read.parquet(target), "event_type",
         out_col="n_distinct_users",
+    )
+
+
+def q_streaming_theta_maintain(spark, sf):
+    """Materialized DISTINCT COUNT WITH SET ALGEBRA maintained through
+    the streaming engine (stream_theta_sketch_maintain): events arrive
+    as two micro-batches, each folding a per-event-type THETA sketch
+    into a state table; the query then answers BOTH the per-type
+    distinct count AND each type's user overlap with the 'view' cohort
+    straight from the maintained sketch state — the cross-cohort
+    question HLL state cannot answer.  Theta sketches are exact under
+    ~2^lg_k retained entries (lg_k=14 → ~16k, far above the ~1.5k
+    distinct users per type at sf0.1), so both columns hash-match the
+    exact oracle deterministically; theta union is idempotent, so
+    re-seen users across batches fold in as no-ops."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from asakusafw_spark_spark.streaming import stream_theta_sketch_maintain
+
+    ev = _t(spark, sf, "events").select("event_id", "event_type", "user_id")
+    feed = tempfile.mkdtemp(prefix="thfeed_")
+    for i, half in enumerate(
+        [ev.filter(F.col("event_id") % 2 == 0),
+         ev.filter(F.col("event_id") % 2 == 1)]
+    ):
+        stage = tempfile.mkdtemp(prefix="thb_") + "/out"
+        half.coalesce(1).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dest = f"{feed}/{i:04d}.parquet"
+        shutil.copy(part, dest)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, event_type string, user_id long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    target = tempfile.mkdtemp(prefix="thstate_") + "/state"
+    stream_theta_sketch_maintain(
+        stream, target, "event_type", "user_id",
+        tempfile.mkdtemp(prefix="ck_th_"),
+        query_name="q_th_" + os.path.basename(feed),
+    )
+    from asakusafw_spark_spark.sources.write import HadoopFs
+
+    if not HadoopFs(spark, target).exists(target):
+        return spark.createDataFrame(
+            [], "event_type string, n_distinct_users long, "
+            "overlap_with_view long"
+        )
+    state = spark.read.parquet(target)
+    view_sk = state.filter(F.col("event_type") == "view").select(
+        F.col("sketch").alias("__view")
+    )
+    est = F.theta_sketch_estimate
+    return (
+        state.crossJoin(F.broadcast(view_sk))
+        .select(
+            "event_type",
+            est(F.col("sketch")).cast("long").alias("n_distinct_users"),
+            est(F.theta_intersection("sketch", "__view")).cast("long").alias(
+                "overlap_with_view"
+            ),
+        )
     )
 
 
@@ -4223,6 +4316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     LOCAL_VERIFY_r08 artifacts (strict value hash, sf0.01 AND
         #     sf0.1, regenerated after the round's last code change).
         "iterative_transactional_output": q_iterative_transactional_output,
+        "resample_locf": q_resample_locf,
+        "streaming_theta_maintain": q_streaming_theta_maintain,
         "audience_overlap": q_audience_overlap,
         "retention_expire": q_retention_expire,
         "output_roundtrip": q_output_roundtrip,
@@ -4272,10 +4367,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "q22_global_sales_opportunity": q22_global_sales_opportunity,
         "q4_order_priority": q4_order_priority,
+        # --- window boundary (~50): q6/q7 + the remaining 15 r05-banked
+        #     queries lead the r09 rotation ---
         "q6_forecast_revenue": q6_forecast_revenue,
         "q7_volume_shipping": q7_volume_shipping,
-        # --- window boundary (~50): the remaining 15 r05-banked
-        #     queries lead the r09 rotation ---
         "q8_market_share": q8_market_share,
         "quantile_bucket": q_quantile_bucket,
         "quantize_embeddings": q_quantize_embeddings,
@@ -4646,6 +4741,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    COUNT(DISTINCT user_id) AS n_distinct_users
             FROM events GROUP BY event_type
+        """,
+        "streaming_theta_maintain": """
+            WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+                 v AS (SELECT user_id FROM s WHERE event_type = 'view')
+            SELECT s.event_type,
+                   COUNT(*) AS n_distinct_users,
+                   COUNT(*) FILTER (WHERE v.user_id IS NOT NULL)
+                       AS overlap_with_view
+            FROM s LEFT JOIN v ON s.user_id = v.user_id
+            GROUP BY s.event_type
         """,
         "audience_overlap": """
             WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
@@ -6118,6 +6223,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_nationkey, COUNT(*) AS n_orders, 'MACHINERY' AS segment
             FROM orders JOIN customer ON c_custkey = o_custkey
             WHERE c_mktsegment = 'MACHINERY' GROUP BY c_nationkey
+        """,
+        "resample_locf": """
+            WITH sparse AS (
+                SELECT event_type,
+                       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b,
+                       COUNT(value) AS n0,
+                       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                           AS s0
+                FROM events GROUP BY 1, 2
+            ), spans AS (
+                SELECT event_type, MIN(b) AS lo, MAX(b) AS hi
+                FROM sparse GROUP BY 1
+            ), grid AS (
+                SELECT event_type, UNNEST(range(lo, hi + 1)) AS b FROM spans
+            ), filled AS (
+                SELECT g.event_type, g.b, s.n0, s.s0
+                FROM grid g LEFT JOIN sparse s
+                  ON g.event_type = s.event_type AND g.b = s.b
+            )
+            SELECT event_type,
+                   TIMESTAMP '1970-01-01 00:00:00'
+                       + b * INTERVAL 3600 SECOND AS bucket_start,
+                   TIMESTAMP '1970-01-01 00:00:00'
+                       + (b + 1) * INTERVAL 3600 SECOND AS bucket_end,
+                   COALESCE(n0, 0) AS n_events,
+                   last_value(s0 IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY b
+                       ROWS UNBOUNDED PRECEDING) AS sum_value
+            FROM filled
         """,
         "iterative_transactional_output": """
             SELECT c_nationkey, COUNT(*) AS n_orders,

@@ -31,6 +31,7 @@ from .joins import (
 from .group import summarize, fold, cogroup, group_sort, Grouping
 from .view import group_view
 from .window import (
+    resample_timeseries,
     top_k_per_group,
     rank_in_group,
     distinct_records,
@@ -67,6 +68,7 @@ __all__ = [
     "cogroup",
     "group_sort",
     "Grouping",
+    "resample_timeseries",
     "top_k_per_group",
     "rank_in_group",
     "distinct_records",

@@ -104,3 +104,123 @@ def sessionize_batch(
         *keys,
         *aggs.keys(),
     )
+
+
+def resample_timeseries(
+    df: DataFrame,
+    ts_col: str,
+    step: str,
+    keys: Sequence[str],
+    aggs: "dict[str, tuple[str, str]]",
+    fill: "dict[str, str] | None" = None,
+) -> DataFrame:
+    """Time-series resampling with GAP FILLING: bucket events into
+    fixed ``step`` windows per key, aggregate, then materialize every
+    bucket of each key's [first, last] span — including empty ones —
+    with per-column fill policies.  The regularization step every
+    downstream time-series consumer (charting, anomaly scoring, model
+    features) needs and event logs never provide.
+
+    ``step``: an interval literal (``"1 hour"``, ``"15 minutes"``).
+    ``aggs``: ``{out_col: (fn, src_col)}`` with fn ∈ count/sum/min/max/
+    avg — sums/avgs accumulate through exact decimal (order-insensitive
+    bit-stable doubles, the engine's standard money contract).
+    ``fill``: per-output policy for GAP buckets — ``"zero"`` (counts),
+    ``"locf"`` (last observation carried forward — gauges), ``"null"``
+    (default).  LOCF before a key's first observation stays NULL.
+
+    Output: ``keys…, bucket_start (timestamp), bucket_end, <aggs…>``.
+
+    Scale shape — all native, no UDF, ONE scan of the data:
+
+    1. one hash aggregate over (keys, floor(ts/step)) — partial
+       map-side combine, one shuffle of slim bucket rows;
+    2. gap rows are GENERATED (not joined): a ``lead(bucket)`` window
+       over the aggregated frame bounds each observation's trailing
+       gap, and one ``sequence``-explode emits the observed bucket
+       plus its gap buckets (aggregates masked to NULL off the
+       observed bucket) — a single lineage with no self-join and no
+       union, so the fact table is scanned exactly once (asserted by
+       the plan test); gap rows ∝ span/step per key, never data-sized;
+    3. LOCF is one window pass per key ordered by bucket
+       (``last(col, ignorenulls=True)`` over unbounded-preceding) —
+       Spark's running-frame window, linear per key.
+
+    The empty input yields an empty (fully typed) frame.  NULL key
+    rows group and grid like any other key (SQL GROUP BY semantics).
+    """
+    step_sec = F.unix_timestamp(
+        F.to_timestamp(F.lit("1970-01-01 00:00:00"))
+        + F.expr(f"INTERVAL {step}")
+    ).cast("long")
+    klist = list(keys)
+    bucket = (F.unix_timestamp(F.col(ts_col)).cast("long") / step_sec).cast(
+        "long"
+    )
+
+    fns = {
+        "count": lambda c: F.count(F.col(c)),
+        "sum": lambda c: F.sum(F.col(c).cast("decimal(27,6)")).cast("double"),
+        "min": lambda c: F.min(F.col(c)),
+        "max": lambda c: F.max(F.col(c)),
+        "avg": lambda c: (
+            F.sum(F.col(c).cast("decimal(27,6)")) / F.count(F.col(c))
+        ).cast("double"),
+    }
+    agg_exprs = []
+    for out, (fn, src) in aggs.items():
+        if fn not in fns:
+            raise ValueError(
+                f"resample_timeseries: unknown agg {fn!r} (use "
+                f"{sorted(fns)})"
+            )
+        agg_exprs.append(fns[fn](src).alias(out))
+    sparse = df.withColumn("__b", bucket).groupBy(*klist, "__b").agg(
+        *agg_exprs
+    )
+
+    lead_w = W.partitionBy(*klist).orderBy("__b")
+    with_next = sparse.withColumn("__nxt", F.lead("__b").over(lead_w))
+    observed = F.col("__b") == F.col("__bb")
+    full = with_next.select(
+        *klist,
+        F.explode(
+            F.sequence(
+                F.col("__b"),
+                F.coalesce(F.col("__nxt") - 1, F.col("__b")),
+            )
+        ).alias("__bb"),
+        "__b",
+        *list(aggs),
+    ).select(
+        *klist,
+        *[F.when(observed, F.col(out)).alias(out) for out in aggs],
+        F.col("__bb").alias("__b"),
+    )
+
+    fill = fill or {}
+    w = (
+        W.partitionBy(*klist)
+        .orderBy("__b")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out_cols = []
+    for out in aggs:
+        policy = fill.get(out, "null")
+        if policy == "zero":
+            out_cols.append(F.coalesce(F.col(out), F.lit(0)).alias(out))
+        elif policy == "locf":
+            out_cols.append(F.last(F.col(out), ignorenulls=True).over(w).alias(out))
+        elif policy == "null":
+            out_cols.append(F.col(out))
+        else:
+            raise ValueError(
+                f"resample_timeseries: unknown fill {policy!r} for {out!r} "
+                "(zero | locf | null)"
+            )
+    return full.select(
+        *klist,
+        F.timestamp_seconds(F.col("__b") * step_sec).alias("bucket_start"),
+        F.timestamp_seconds((F.col("__b") + 1) * step_sec).alias("bucket_end"),
+        *out_cols,
+    )

@@ -16,6 +16,7 @@ from .stream import (
     stream_distinct_sketch_maintain,
     stream_freq_sketch_maintain,
     stream_quantile_sketch_maintain,
+    stream_theta_sketch_maintain,
     stream_quality_monitor,
     run_available_now,
 )
@@ -34,6 +35,7 @@ __all__ = [
     "stream_distinct_sketch_maintain",
     "stream_freq_sketch_maintain",
     "stream_quantile_sketch_maintain",
+    "stream_theta_sketch_maintain",
     "stream_quality_monitor",
     "run_available_now",
 ]

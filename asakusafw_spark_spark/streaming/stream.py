@@ -990,3 +990,90 @@ def stream_freq_sketch_maintain(
         q.awaitTermination()
         return q
     return w.start()
+
+
+def stream_theta_sketch_maintain(
+    stream_df: DataFrame,
+    target_path: str,
+    group_key: "Sequence[str] | str",
+    value_col: str,
+    checkpoint_dir: str,
+    lg_k: int = 14,
+    format: str = "parquet",
+    query_name: str = "theta_maintain",
+    available_now: bool = True,
+):
+    """Streaming MATERIALIZED DISTINCT COUNT **with set algebra**:
+    every micro-batch folds a Theta sketch of ``value_col`` into a
+    per-key state table — the set-algebra member of the
+    maintained-state family (exact agg / HLL / KLL / CMS).  Unlike the
+    HLL maintainer, the maintained state answers INTERSECTION and
+    DIFFERENCE questions across keys ("users active in both cohorts")
+    via :func:`~...functions.stats.audience_overlap`-style sketch
+    pairing — and estimates are EXACT while a key's distinct count
+    stays under ~2^lg_k retained entries, which also makes this state
+    oracle-checkable against COUNT(DISTINCT).
+
+    Replay tolerance mirrors HLL: theta union is idempotent (a
+    re-delivered value's hash is already retained), so the lineage
+    marker below is an optimization and a version-history guard, not
+    the correctness line it is for KLL/CMS.
+
+    Same exactly-once contract as its siblings (shared
+    :func:`_run_maintain_batch`: crash healing, orphan-staging sweep,
+    lineage-keyed replay marker, atomic park-and-swap).  State column
+    ``sketch`` matches :func:`~...functions.stats.theta_sketch_rollup`
+    so batch and streaming theta state interoperate.
+
+    Scale shape per batch: one partial-aggregable hash-agg of the
+    batch (a KB sketch per touched key), full-outer merge against the
+    group-cardinality state frame, ``theta_union`` on matched keys —
+    cost ∝ state + churn, never stream history.
+    """
+    keys = [group_key] if isinstance(group_key, str) else list(group_key)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        base = target_path.rstrip("/")
+        batch_sk = batch_df.groupBy(*keys).agg(
+            F.theta_sketch_agg(value_col, F.lit(int(lg_k))).alias("sketch")
+        )
+
+        def compute_new_state(exists: bool) -> DataFrame:
+            if not exists:
+                return batch_sk
+            state = spark.read.format(format).load(base).select(
+                *keys, F.col("sketch").alias("__old")
+            )
+            return (
+                state.join(batch_sk, keys, "full_outer")
+                .select(
+                    *keys,
+                    F.when(
+                        F.col("__old").isNotNull()
+                        & F.col("sketch").isNotNull(),
+                        F.theta_union("__old", "sketch", F.lit(int(lg_k))),
+                    )
+                    .otherwise(F.coalesce("__old", "sketch"))
+                    .alias("sketch"),
+                )
+            )
+
+        _run_maintain_batch(
+            spark, target_path, checkpoint_dir, batch_id,
+            "__th_", format, compute_new_state,
+        )
+
+    w = (
+        stream_df.writeStream.outputMode("append")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+    )
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return w.start()

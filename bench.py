@@ -93,6 +93,8 @@ HEADLINE = [
     "k_anonymity_report",
     "zorder_roundtrip",
     "iterative_transactional_output",
+    "resample_locf",
+    "streaming_theta_maintain",
 ]
 
 

@@ -866,3 +866,71 @@ def test_stream_freq_sketch_maintain_byte_exact_and_replay(spark, tmp_path):
     add_file(2, ["hot"])
     with pytest.raises(Exception, match="incompatible"):
         run("ck2", eps=0.01)
+
+
+def test_stream_theta_sketch_maintain_set_algebra_and_replay(spark, tmp_path):
+    """Theta maintained state answers intersection/difference across
+    keys exactly (under 2^lg_k); union is idempotent so a replayed
+    delivery changes nothing; batch and streaming theta state
+    interoperate (same sketch column)."""
+    import glob as g
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from asakusafw_spark_spark.streaming import stream_theta_sketch_maintain
+
+    target = str(tmp_path / "th_state")
+    src = tmp_path / "feed"
+    src.mkdir()
+
+    def add_file(idx, rows):
+        stage = tmp_path / f"s{idx}"
+        spark.createDataFrame(rows, "g string, u long").coalesce(
+            1
+        ).write.parquet(str(stage))
+        shutil.copy(
+            g.glob(f"{stage}/part-*.parquet")[0], src / f"{idx:04d}.parquet"
+        )
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema("g string, u long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        stream_theta_sketch_maintain(
+            stream, target, "g", "u", str(tmp_path / ck),
+            query_name=f"t_th_{ck}",
+        )
+
+    # a: {0..99}, b: {50..149}; second batch re-sends half of a
+    add_file(0, [("a", u) for u in range(100)] + [("b", u) for u in range(50, 150)])
+    add_file(1, [("a", u) for u in range(50, 100)])  # pure re-sends
+    run("ck1")
+
+    state = spark.read.parquet(target)
+    est = F.theta_sketch_estimate
+    a_sk = state.filter("g='a'").select(F.col("sketch").alias("__a"))
+    got = (
+        state.filter("g='b'")
+        .crossJoin(a_sk)
+        .select(
+            est("sketch").cast("long").alias("nb"),
+            est(F.theta_intersection("sketch", "__a")).cast("long").alias("ov"),
+            est(F.theta_union("sketch", "__a")).cast("long").alias("un"),
+            est(F.theta_difference("sketch", "__a")).cast("long").alias("only_b"),
+        )
+        .first()
+    )
+    assert (got["nb"], got["ov"], got["un"], got["only_b"]) == (100, 50, 150, 50)
+
+    # replay the whole feed under the same lineage: skipped, unchanged
+    before = {r["g"]: bytes(r["sketch"]) for r in state.collect()}
+    shutil.rmtree(str(tmp_path / "ck1"))
+    run("ck1")
+    after = {
+        r["g"]: bytes(r["sketch"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert after == before

@@ -62,3 +62,61 @@ def test_sessionize_batch_gap_splits_sessions(spark):
     first = by_start[(1, ts(0))]
     # session end = last event + gap
     assert first.session_end == ts(40)
+
+
+def test_resample_timeseries_gaps_zero_and_locf(spark):
+    """Gap buckets materialize across each key's span; counts zero-fill,
+    LOCF carries the last observed aggregate, avg stays NULL in gaps;
+    pre-first-observation LOCF stays NULL; empty input yields a typed
+    empty frame."""
+    from pyspark.sql import functions as F
+
+    from asakusafw_spark_spark.operators import resample_timeseries
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:10:00", 5.0),
+         ("a", "2024-01-01 00:20:00", 7.0),
+         ("a", "2024-01-01 03:40:00", 1.0),
+         ("b", "2024-01-01 01:05:00", 2.0)],
+        "k string, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = resample_timeseries(
+        df, "ts", "1 hour", ["k"],
+        {"n": ("count", "v"), "sum_v": ("sum", "v"), "g": ("avg", "v")},
+        fill={"n": "zero", "sum_v": "locf"},
+    ).orderBy("k", "bucket_start").collect()
+    assert len(out) == 5  # a spans 4 buckets (2 empty), b spans 1
+    a = [r for r in out if r["k"] == "a"]
+    assert [r["n"] for r in a] == [2, 0, 0, 1]
+    assert [r["sum_v"] for r in a] == [12.0, 12.0, 12.0, 1.0]  # LOCF
+    assert [r["g"] for r in a] == [6.0, None, None, 1.0]  # gaps NULL
+    assert str(a[1]["bucket_start"]) == "2024-01-01 01:00:00"
+    assert str(a[1]["bucket_end"]) == "2024-01-01 02:00:00"
+
+    empty = resample_timeseries(
+        df.limit(0), "ts", "15 minutes", ["k"], {"n": ("count", "v")},
+    )
+    assert empty.count() == 0
+    assert empty.columns == ["k", "bucket_start", "bucket_end", "n"]
+
+    # scale contract: gap generation is explode-over-the-aggregate,
+    # never a self-join/union — the data is scanned exactly ONCE
+    plan = (
+        resample_timeseries(
+            df, "ts", "1 hour", ["k"],
+            {"n": ("count", "v"), "sum_v": ("sum", "v")},
+            fill={"sum_v": "locf"},
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan ") == 1
+    assert "Join" not in plan
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unknown agg"):
+        resample_timeseries(df, "ts", "1 hour", ["k"], {"x": ("median", "v")})
+    with _pt.raises(ValueError, match="unknown fill"):
+        resample_timeseries(
+            df, "ts", "1 hour", ["k"], {"n": ("count", "v")},
+            fill={"n": "interpolate"},
+        )
