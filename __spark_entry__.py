@@ -1542,8 +1542,12 @@ def q_resample_locf(spark, sf):
         "ts",
         "1 hour",
         ["event_type"],
-        {"n_events": ("count", "value"), "sum_value": ("sum", "value")},
-        fill={"n_events": "zero", "sum_value": "locf"},
+        {
+            "n_events": ("count", "value"),
+            "sum_value": ("sum", "value"),
+            "avg_value": ("avg", "value"),
+        },
+        fill={"n_events": "zero", "sum_value": "locf", "avg_value": "interp"},
     )
 
 
@@ -6230,7 +6234,9 @@ def oracle_sql() -> dict[str, str]:
                        CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b,
                        COUNT(value) AS n0,
                        CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
-                           AS s0
+                           AS s0,
+                       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                            / COUNT(value) AS a0
                 FROM events GROUP BY 1, 2
             ), spans AS (
                 SELECT event_type, MIN(b) AS lo, MAX(b) AS hi
@@ -6238,9 +6244,28 @@ def oracle_sql() -> dict[str, str]:
             ), grid AS (
                 SELECT event_type, UNNEST(range(lo, hi + 1)) AS b FROM spans
             ), filled AS (
-                SELECT g.event_type, g.b, s.n0, s.s0
+                SELECT g.event_type, g.b, s.n0, s.s0, s.a0
                 FROM grid g LEFT JOIN sparse s
                   ON g.event_type = s.event_type AND g.b = s.b
+            ), edged AS (
+                SELECT *,
+                       last_value(a0 IGNORE NULLS) OVER (
+                           PARTITION BY event_type ORDER BY b
+                           ROWS UNBOUNDED PRECEDING) AS pv,
+                       last_value(CASE WHEN a0 IS NOT NULL THEN b END
+                                  IGNORE NULLS) OVER (
+                           PARTITION BY event_type ORDER BY b
+                           ROWS UNBOUNDED PRECEDING) AS pb,
+                       first_value(a0 IGNORE NULLS) OVER (
+                           PARTITION BY event_type ORDER BY b
+                           ROWS BETWEEN CURRENT ROW
+                           AND UNBOUNDED FOLLOWING) AS nv,
+                       first_value(CASE WHEN a0 IS NOT NULL THEN b END
+                                   IGNORE NULLS) OVER (
+                           PARTITION BY event_type ORDER BY b
+                           ROWS BETWEEN CURRENT ROW
+                           AND UNBOUNDED FOLLOWING) AS nb
+                FROM filled
             )
             SELECT event_type,
                    TIMESTAMP '1970-01-01 00:00:00'
@@ -6250,8 +6275,11 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(n0, 0) AS n_events,
                    last_value(s0 IGNORE NULLS) OVER (
                        PARTITION BY event_type ORDER BY b
-                       ROWS UNBOUNDED PRECEDING) AS sum_value
-            FROM filled
+                       ROWS UNBOUNDED PRECEDING) AS sum_value,
+                   CASE WHEN a0 IS NOT NULL THEN a0
+                        ELSE pv + (nv - pv) * ((b - pb) / (nb - pb))
+                   END AS avg_value
+            FROM edged
         """,
         "iterative_transactional_output": """
             SELECT c_nationkey, COUNT(*) AS n_orders,

@@ -126,8 +126,11 @@ def resample_timeseries(
     avg — sums/avgs accumulate through exact decimal (order-insensitive
     bit-stable doubles, the engine's standard money contract).
     ``fill``: per-output policy for GAP buckets — ``"zero"`` (counts),
-    ``"locf"`` (last observation carried forward — gauges), ``"null"``
-    (default).  LOCF before a key's first observation stays NULL.
+    ``"locf"`` (last observation carried forward — gauges),
+    ``"interp"`` (linear interpolation between the surrounding
+    observations — smooth gauges; always defined because the grid
+    spans [first, last] observation, so every gap is interior; output
+    becomes double), ``"null"`` (default).
 
     Output: ``keys…, bucket_start (timestamp), bucket_end, <aggs…>``.
 
@@ -163,9 +166,13 @@ def resample_timeseries(
         "sum": lambda c: F.sum(F.col(c).cast("decimal(27,6)")).cast("double"),
         "min": lambda c: F.min(F.col(c)),
         "max": lambda c: F.max(F.col(c)),
+        # exact-decimal sum cast to double BEFORE the divide: decimal-avg
+        # return scales differ cross-engine, the double quotient of exact
+        # inputs does not (the repo's established avg contract)
         "avg": lambda c: (
-            F.sum(F.col(c).cast("decimal(27,6)")) / F.count(F.col(c))
-        ).cast("double"),
+            F.sum(F.col(c).cast("decimal(27,6)")).cast("double")
+            / F.count(F.col(c))
+        ),
     }
     agg_exprs = []
     for out, (fn, src) in aggs.items():
@@ -204,6 +211,11 @@ def resample_timeseries(
         .orderBy("__b")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    w_next = (
+        W.partitionBy(*klist)
+        .orderBy("__b")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
     out_cols = []
     for out in aggs:
         policy = fill.get(out, "null")
@@ -211,12 +223,28 @@ def resample_timeseries(
             out_cols.append(F.coalesce(F.col(out), F.lit(0)).alias(out))
         elif policy == "locf":
             out_cols.append(F.last(F.col(out), ignorenulls=True).over(w).alias(out))
+        elif policy == "interp":
+            # linear interpolation between the surrounding observations
+            # (two running-frame window passes); the EXACT expression
+            # shape — pv + (nv - pv) * ((b - pb) / (nb - pb)) — is the
+            # cross-engine determinism contract (same IEEE ops, same
+            # order, on both sides of the oracle)
+            v = F.col(out).cast("double")
+            b = F.col("__b")
+            pv = F.last(v, ignorenulls=True).over(w)
+            pb = F.last(F.when(v.isNotNull(), b), True).over(w)
+            nv = F.first(v, ignorenulls=True).over(w_next)
+            nb = F.first(F.when(v.isNotNull(), b), True).over(w_next)
+            interp = F.when(v.isNotNull(), v).otherwise(
+                pv + (nv - pv) * ((b - pb) / (nb - pb))
+            )
+            out_cols.append(interp.alias(out))
         elif policy == "null":
             out_cols.append(F.col(out))
         else:
             raise ValueError(
                 f"resample_timeseries: unknown fill {policy!r} for {out!r} "
-                "(zero | locf | null)"
+                "(zero | locf | interp | null)"
             )
     return full.select(
         *klist,

@@ -120,3 +120,27 @@ def test_resample_timeseries_gaps_zero_and_locf(spark):
             df, "ts", "1 hour", ["k"], {"n": ("count", "v")},
             fill={"n": "interpolate"},
         )
+
+
+def test_resample_timeseries_interp_fill(spark):
+    """Linear interpolation: gap values sit on the line between the
+    surrounding observations (b1 = 6 + (1-6)*1/3, b2 = 6 + (1-6)*2/3);
+    observed buckets keep their exact value."""
+    from pyspark.sql import functions as F
+
+    from asakusafw_spark_spark.operators import resample_timeseries
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:10:00", 5.0),
+         ("a", "2024-01-01 00:20:00", 7.0),
+         ("a", "2024-01-01 03:40:00", 1.0)],
+        "k string, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = resample_timeseries(
+        df, "ts", "1 hour", ["k"],
+        {"g": ("avg", "v")}, fill={"g": "interp"},
+    ).orderBy("bucket_start").collect()
+    got = [r["g"] for r in out]
+    assert got[0] == 6.0 and got[3] == 1.0
+    assert abs(got[1] - (6.0 + (1.0 - 6.0) / 3)) < 1e-12
+    assert abs(got[2] - (6.0 + (1.0 - 6.0) * 2 / 3)) < 1e-12
