@@ -144,3 +144,95 @@ def test_resample_timeseries_interp_fill(spark):
     assert got[0] == 6.0 and got[3] == 1.0
     assert abs(got[1] - (6.0 + (1.0 - 6.0) / 3)) < 1e-12
     assert abs(got[2] - (6.0 + (1.0 - 6.0) * 2 / 3)) < 1e-12
+
+
+def test_resample_timeseries_property_invariants(spark):
+    """Property (hypothesis): for ANY event set — keys, timestamps,
+    values (incl. NULLs) — the resampled grid (a) is gapless and
+    exactly spans each key's [first, last] bucket, (b) zero-filled
+    counts sum to the non-null row count per key, (c) LOCF equals the
+    most recent observed aggregate at every bucket, and (d) interp is
+    bounded by its surrounding observations (monotone segments)."""
+    import datetime
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from asakusafw_spark_spark.operators import resample_timeseries
+
+    event = st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.integers(min_value=0, max_value=600),  # minutes offset
+        st.one_of(st.none(), st.floats(min_value=-50, max_value=50,
+                                       allow_nan=False, width=16)),
+    )
+
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(st.lists(event, min_size=1, max_size=25))
+    def prop(events):
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = [
+            (k, t0 + datetime.timedelta(minutes=m), v) for k, m, v in events
+        ]
+        df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+        out = resample_timeseries(
+            df, "ts", "1 hour", ["k"],
+            {"n": ("count", "v"), "s": ("sum", "v"), "g": ("avg", "v")},
+            fill={"n": "zero", "s": "locf", "g": "interp"},
+        ).orderBy("k", "bucket_start").collect()
+
+        by_key: dict = {}
+        for r in out:
+            by_key.setdefault(r["k"], []).append(r)
+        import collections
+
+        expected_n = collections.Counter(
+            (k, m // 60) for k, m, v in events if v is not None
+        )
+        expected_keys = {k for k, _, _ in events}
+        assert set(by_key) == expected_keys  # every key appears (even all-null)
+        for k, rs in by_key.items():
+            # (a) gapless hourly span
+            starts = [r["bucket_start"] for r in rs]
+            for p, n in zip(starts, starts[1:]):
+                assert (n - p) == datetime.timedelta(hours=1)
+            # (b) counts
+            for r in rs:
+                b = int((r["bucket_start"] - t0).total_seconds()) // 3600
+                assert r["n"] == expected_n.get((k, b), 0)
+            # (c) LOCF: recompute expected sums per bucket
+            obs: dict = {}
+            for kk, m, v in events:
+                if kk == k and v is not None:
+                    obs.setdefault(m // 60, []).append(v)
+            last = None
+            for r in rs:
+                b = int((r["bucket_start"] - t0).total_seconds()) // 3600
+                if b in obs:
+                    # mirror the engine's exact-decimal(27,6) contract:
+                    # each value quantizes to 6 places (HALF_UP) before
+                    # the order-free sum
+                    import decimal as _d
+
+                    q = _d.Decimal("0.000001")
+                    last = float(sum(
+                        _d.Decimal(repr(x)).quantize(q, _d.ROUND_HALF_UP)
+                        for x in obs[b]
+                    ))
+                if last is None:
+                    assert r["s"] is None
+                else:
+                    assert r["s"] is not None and abs(r["s"] - last) < 1e-9
+            # (d) interp bounded by neighbours where defined
+            gs = [r["g"] for r in rs]
+            known = [(i, g) for i, g in enumerate(gs) if g is not None]
+            for (i1, g1), (i2, g2) in zip(known, known[1:]):
+                lo, hi = min(g1, g2), max(g1, g2)
+                for j in range(i1 + 1, i2):
+                    assert gs[j] is None or lo - 1e-9 <= gs[j] <= hi + 1e-9
+
+    prop()
