@@ -2581,18 +2581,25 @@ def q_streaming_theta_maintain(spark, sf):
             "overlap_with_view long"
         )
     state = spark.read.parquet(target)
-    view_sk = state.filter(F.col("event_type") == "view").select(
-        F.col("sketch").alias("__view")
+    # LEFT join on a constant key (not crossJoin): when the 'view'
+    # cohort is absent the crossJoin would annihilate every row, while
+    # the oracle's LEFT JOIN keeps each event_type with overlap 0.
+    view_sk = (
+        state.filter(F.col("event_type") == "view")
+        .select(F.lit(1).alias("__k"), F.col("sketch").alias("__view"))
     )
     est = F.theta_sketch_estimate
     return (
-        state.crossJoin(F.broadcast(view_sk))
+        state.withColumn("__k", F.lit(1))
+        .join(F.broadcast(view_sk), "__k", "left")
         .select(
             "event_type",
             est(F.col("sketch")).cast("long").alias("n_distinct_users"),
-            est(F.theta_intersection("sketch", "__view")).cast("long").alias(
-                "overlap_with_view"
-            ),
+            F.when(F.col("__view").isNull(), F.lit(0).cast("long"))
+            .otherwise(
+                est(F.theta_intersection("sketch", "__view")).cast("long")
+            )
+            .alias("overlap_with_view"),
         )
     )
 

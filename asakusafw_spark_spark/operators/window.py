@@ -113,6 +113,7 @@ def resample_timeseries(
     keys: Sequence[str],
     aggs: "dict[str, tuple[str, str]]",
     fill: "dict[str, str] | None" = None,
+    max_buckets_per_key: "int | None" = None,
 ) -> DataFrame:
     """Time-series resampling with GAP FILLING: bucket events into
     fixed ``step`` windows per key, aggregate, then materialize every
@@ -131,6 +132,13 @@ def resample_timeseries(
     observations — smooth gauges; always defined because the grid
     spans [first, last] observation, so every gap is interior; output
     becomes double), ``"null"`` (default).
+    ``max_buckets_per_key``: optional fail-fast cap on any single
+    gap's bucket count (and hence on every ``sequence()`` array built
+    in memory) — guards the explode's worst case (one key, huge span,
+    tiny step ⇒ span/step buckets materialized at once).  Enforced
+    executor-side via ``raise_error`` on each observation's trailing
+    gap, so the plan stays lazy; per-key totals are the sum of gaps,
+    each individually ≤ the cap.
 
     Output: ``keys…, bucket_start (timestamp), bucket_end, <aggs…>``.
 
@@ -152,14 +160,22 @@ def resample_timeseries(
     The empty input yields an empty (fully typed) frame.  NULL key
     rows group and grid like any other key (SQL GROUP BY semantics).
     """
-    step_sec = F.unix_timestamp(
-        F.to_timestamp(F.lit("1970-01-01 00:00:00"))
-        + F.expr(f"INTERVAL {step}")
+    # Step length in seconds, timezone-proof: difference of two
+    # unix_timestamps cancels whatever session-zone offset applies at
+    # the anchor (a bare unix_timestamp(epoch + INTERVAL) folds the
+    # 1970 offset of non-UTC session zones into the step).  Day-time
+    # intervals add exact microseconds, so the difference IS the step.
+    _base = F.to_timestamp(F.lit("1970-01-01 00:00:00"))
+    step_sec = (
+        F.unix_timestamp(_base + F.expr(f"INTERVAL {step}"))
+        - F.unix_timestamp(_base)
     ).cast("long")
     klist = list(keys)
-    bucket = (F.unix_timestamp(F.col(ts_col)).cast("long") / step_sec).cast(
-        "long"
-    )
+    # floor(), not cast-truncate: negative epochs (pre-1970) must land
+    # in the bucket BELOW zero like the oracle's floor(epoch/step).
+    bucket = F.floor(
+        F.unix_timestamp(F.col(ts_col)).cast("long") / step_sec
+    ).cast("long")
 
     fns = {
         "count": lambda c: F.count(F.col(c)),
@@ -189,12 +205,35 @@ def resample_timeseries(
     lead_w = W.partitionBy(*klist).orderBy("__b")
     with_next = sparse.withColumn("__nxt", F.lead("__b").over(lead_w))
     observed = F.col("__b") == F.col("__bb")
+    gap_end = F.coalesce(F.col("__nxt") - 1, F.col("__b"))
+    if max_buckets_per_key is not None:
+        # Adversarial-span guard: ONE key spanning a huge [first,last]
+        # at a tiny step makes a single sequence() emit span/step rows
+        # in one task.  Checked executor-side on each observation's
+        # trailing gap (their sum per key IS the key's bucket count),
+        # so the plan stays lazy and no extra job runs.
+        cap = int(max_buckets_per_key)
+        if cap < 1:
+            raise ValueError(
+                "resample_timeseries: max_buckets_per_key must be >= 1"
+            )
+        too_big = (gap_end - F.col("__b") + F.lit(1)) > F.lit(cap)
+        gap_end = F.when(
+            too_big,
+            F.raise_error(
+                F.lit(
+                    "resample_timeseries: a key's bucket span exceeds "
+                    f"max_buckets_per_key={cap}; widen the step, raise "
+                    "the cap, or split the key range"
+                )
+            ).cast("long"),
+        ).otherwise(gap_end)
     full = with_next.select(
         *klist,
         F.explode(
             F.sequence(
                 F.col("__b"),
-                F.coalesce(F.col("__nxt") - 1, F.col("__b")),
+                gap_end,
             )
         ).alias("__bb"),
         "__b",

@@ -139,6 +139,11 @@ class IterativeRunner:
         extra collect, never unbounded executor memory).  Default None
         keeps every distinct value alive for the run, right when the
         distinct-value count is small (the common sweep shape)."""
+        if max_entries is not None and max_entries < 1:
+            raise ValueError(
+                f"IterativeRunner.view({name!r}): max_entries must be "
+                f">= 1 (got {max_entries}); use None for no cap"
+            )
         self.views.append(
             _IterativeView(
                 name, fn, list(key), list(param_keys), max_rows, max_entries

@@ -457,6 +457,7 @@ def merge_upsert(
     delete_col: str | None = None,
     format: str = "parquet",
     evolve_schema: bool = False,
+    max_touched_partitions: int = 100_000,
     **options,
 ) -> None:
     """CDC-style merge (upsert) into a path-based dataset: rows in
@@ -474,7 +475,13 @@ def merge_upsert(
     ``partitionBy`` those values, and promotion swaps just those
     partition directories (thread-pooled renames, untouched partitions
     never read OR written) — merge cost ∝ touched partitions, the
-    Hive-dynamic-partition-overwrite shape.
+    Hive-dynamic-partition-overwrite shape.  The driver's share of that
+    cost is one collected row + a handful of FS RPCs PER TOUCHED
+    PARTITION, so ``max_touched_partitions`` (default 100k) fail-fasts
+    a full-table-churn merge before collecting (probed with
+    ``limit(n+1).count()``) and directs it to the unpartitioned
+    full-rewrite path, which is one staged write + two renames no
+    matter the partition count.
 
     PRECONDITION with ``partition_by``: every update/delete row must
     carry its key's CURRENT partition value — pruning keys off the
@@ -558,6 +565,26 @@ def merge_upsert(
         touched = None
         if parts:
             touched = updates.select(*parts).distinct()
+            # Fail-fast BEFORE collecting: the driver collects one row
+            # per touched partition and then issues per-partition FS
+            # heal/swap RPCs, so cost ∝ churn × partition granularity.
+            # A full-table-churn merge over a million-partition table
+            # would otherwise collect a million rows — refuse and point
+            # at the full-rewrite path instead (probe via limit(n+1)
+            # like group_view's cap: never counts past the cap).
+            cap = int(max_touched_partitions)
+            if cap < 1:
+                raise ValueError(
+                    "merge_upsert: max_touched_partitions must be >= 1"
+                )
+            if touched.limit(cap + 1).count() > cap:
+                raise ValueError(
+                    f"merge_upsert: updates touch more than "
+                    f"{cap} partitions of {target_path}; per-partition "
+                    "swap cost would dominate — run the unpartitioned "
+                    "full-rewrite path (partition_by=None) or raise "
+                    "max_touched_partitions"
+                )
             touched_vals = touched.collect()
             # partition-level crash healing BEFORE reading current state:
             # restore any touched partition parked by a crashed swap

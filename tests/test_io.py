@@ -827,3 +827,40 @@ def test_partsupp_property_pk_and_duck_parity(spark):
         )
 
     check()
+
+
+def test_merge_upsert_touched_partition_guard(spark, tmp_path):
+    """max_touched_partitions fail-fasts a full-table-churn partitioned
+    merge BEFORE collecting (cost model: driver work ∝ touched
+    partitions); a compliant merge under the cap proceeds, and the cap
+    validates.  The error names the full-rewrite escape hatch."""
+    import pytest
+
+    from asakusafw_spark_spark.sources.write import merge_upsert
+
+    target = str(tmp_path / "guard")
+    base = spark.createDataFrame(
+        [(k, f"p{k % 5}", float(k)) for k in range(10)],
+        "k long, part string, v double",
+    )
+    merge_upsert(target, base, "k", partition_by="part")
+    upd = spark.createDataFrame(
+        [(k, f"p{k % 5}", float(k) + 0.5) for k in range(10)],
+        "k long, part string, v double",
+    )
+    with pytest.raises(ValueError, match="full-rewrite"):
+        merge_upsert(
+            target, upd, "k", partition_by="part", max_touched_partitions=3
+        )
+    # guard refused before any mutation: state unchanged
+    got = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert got == {k: float(k) for k in range(10)}
+    merge_upsert(
+        target, upd, "k", partition_by="part", max_touched_partitions=5
+    )
+    got = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert got == {k: float(k) + 0.5 for k in range(10)}
+    with pytest.raises(ValueError, match="must be >= 1"):
+        merge_upsert(
+            target, upd, "k", partition_by="part", max_touched_partitions=0
+        )

@@ -395,3 +395,20 @@ def test_iterative_view_lru_eviction(spark):
     runner.run(spark, rounds, collect=lambda i, p, f: None)
     # builds: m=1, m=2, m=3, m=2(rebuilt after eviction) -> 4
     assert runner.view_build_counts == {"lk": 4}
+
+
+def test_iterative_view_max_entries_validates():
+    """max_entries < 1 is a configuration error surfaced at view()
+    registration with the parameter named — not an IndexError from the
+    LRU eviction loop at first build (ADVICE r08)."""
+    import pytest
+
+    from asakusafw_spark_spark.plans.iterative import IterativeRunner
+
+    r = IterativeRunner()
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="max_entries"):
+            r.view(
+                "v", lambda spark, params: None, key=["k"], max_entries=bad
+            )
+    assert r.views == []

@@ -236,3 +236,102 @@ def test_resample_timeseries_property_invariants(spark):
                     assert gs[j] is None or lo - 1e-9 <= gs[j] <= hi + 1e-9
 
     prop()
+
+
+def test_resample_timeseries_non_utc_session(spark):
+    """The step length must NOT absorb the session-zone offset at the
+    1970 anchor (ADVICE r08): in America/New_York the old expression
+    made a '1 hour' step 21600s; in a positive-offset zone it went
+    negative and broke F.sequence.  Bucketing must be identical to the
+    UTC session's."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from asakusafw_spark_spark.operators import resample_timeseries
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:10:00", 5.0),
+         ("a", "2024-01-01 03:40:00", 1.0)],
+        "k string, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ref = resample_timeseries(
+        df, "ts", "1 hour", ["k"], {"n": ("count", "v")}, fill={"n": "zero"}
+    ).orderBy("bucket_start").collect()
+    assert len(ref) == 4
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    for tz in ("America/New_York", "Asia/Tokyo"):
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        try:
+            got = resample_timeseries(
+                df, "ts", "1 hour", ["k"], {"n": ("count", "v")},
+                fill={"n": "zero"},
+            ).orderBy("bucket_start").collect()
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev)
+        # string literals parse in the session zone, so the wall-clock
+        # buckets shift — but the step must stay one hour and the grid
+        # gapless with identical counts
+        assert [r["n"] for r in got] == [r["n"] for r in ref]
+        starts = [r["bucket_start"] for r in got]
+        assert all(
+            (b - a) == datetime.timedelta(hours=1)
+            for a, b in zip(starts, starts[1:])
+        )
+
+
+def test_resample_timeseries_negative_epoch_floor(spark):
+    """Pre-1970 timestamps floor DOWN like the oracle's
+    floor(epoch/step): 1969-12-31 23:30 belongs to the 23:00 bucket,
+    not 1970-01-01 00:00 (ADVICE r08 cast-truncate bug)."""
+    from pyspark.sql import functions as F
+
+    from asakusafw_spark_spark.operators import resample_timeseries
+
+    df = spark.createDataFrame(
+        [("a", "1969-12-31 23:30:00", 1.0),
+         ("a", "1970-01-01 00:30:00", 2.0)],
+        "k string, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = resample_timeseries(
+        df, "ts", "1 hour", ["k"], {"n": ("count", "v")}, fill={"n": "zero"}
+    ).orderBy("bucket_start").collect()
+    assert [str(r["bucket_start"]) for r in out] == [
+        "1969-12-31 23:00:00",
+        "1970-01-01 00:00:00",
+    ]
+    assert all(r["bucket_start"] <= df.collect()[0]["ts"] or i > 0
+               for i, r in enumerate(out))
+    assert [r["n"] for r in out] == [1, 1]
+
+
+def test_resample_timeseries_max_buckets_guard(spark):
+    """The adversarial-span guard: a key whose gap would explode more
+    than max_buckets_per_key rows fails fast (executor-side
+    raise_error), a compliant frame passes through unchanged, and the
+    cap validates."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from asakusafw_spark_spark.operators import resample_timeseries
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 1.0),
+         ("a", "2024-03-01 00:00:00", 2.0)],  # ~60 days → 5184001 seconds
+        "k string, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(Exception, match="max_buckets_per_key"):
+        resample_timeseries(
+            df, "ts", "1 second", ["k"], {"n": ("count", "v")},
+            max_buckets_per_key=10_000,
+        ).collect()
+    ok = resample_timeseries(
+        df, "ts", "1 day", ["k"], {"n": ("count", "v")}, fill={"n": "zero"},
+        max_buckets_per_key=100,
+    ).collect()
+    assert len(ok) == 61
+    with pytest.raises(ValueError, match="max_buckets_per_key"):
+        resample_timeseries(
+            df, "ts", "1 hour", ["k"], {"n": ("count", "v")},
+            max_buckets_per_key=0,
+        )
