@@ -4313,29 +4313,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries, so dict ORDER decides which queries get a fresh
     # oracle row (run tools/staleness.py for the schedule).
     return {
-        # --- r08 window head (50 = 1 new + 6 edited + 14 + 29):
-        #     1. the round-8 addition (iterative x transactional
-        #        Direct I/O composition) — never driver-checked;
-        #     2. queries riding code EDITED in r08 (audience_overlap
-        #        guard+persist, expire_partitions guard, Transactional
-        #        Output sweep/commit, _run_maintain_batch path
-        #        normalization, IterativeRunner refactor);
-        #     3. the 14 r04-stale trivial queries (VERDICT r07 Next #1 —
-        #        at the staleness boundary, rotated in);
-        #     4. 29 of the 44 r05-banked queries (oldest remaining).
+        # --- r09 window head (50 = 17 + 2 + 31):
+        #     1. the 17 r05-stale queries (VERDICT r08 Next #1 — at the
+        #        3-round staleness boundary, rotated in);
+        #     2. queries riding code EDITED in r09 (resample_timeseries
+        #        timezone/floor fixes + span guard; theta-maintain
+        #        empty-cohort left join);
+        #     3. 31 of the 47-query r06 block that crosses the boundary
+        #        this round, merge_upsert first (its guard changed in
+        #        r09).  The remaining 16 r06 queries sit immediately
+        #        after the window and complete the rotation in r10.
         #     Everything outside the window is covered by the committed
-        #     LOCAL_VERIFY_r08 artifacts (strict value hash, sf0.01 AND
+        #     LOCAL_VERIFY_r09 artifacts (strict value hash, sf0.01 AND
         #     sf0.1, regenerated after the round's last code change).
-        "iterative_transactional_output": q_iterative_transactional_output,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "quantile_bucket": q_quantile_bucket,
+        "quantize_embeddings": q_quantize_embeddings,
+        "redact": q_redact,
+        "retention": q_retention,
+        "scd2_apply": q_scd2_apply,
+        "scrub_spans": q_scrub_spans,
+        "similarity_quantized_topk": q_similarity_quantized,
+        "snapshot_diff": q_snapshot_diff,
+        "streaming_dedup_ingest": q_streaming_dedup_ingest,
+        "text_index_search": q_text_index_search,
+        "tfidf": q_tfidf,
+        "unpivot_measures": q_unpivot,
+        "vocab_top_k": q_vocab_top_k,
+        "winsorize": q_winsorize,
         "resample_locf": q_resample_locf,
         "streaming_theta_maintain": q_streaming_theta_maintain,
+        "merge_upsert": q_merge_upsert,
+        "approx_distinct": q_approx_distinct,
+        "approx_percentile": q_approx_percentile,
+        "branch": q_branch,
+        "bucketed_join": q_bucketed_join,
+        "cogroup_chunked": q_cogroup_chunked,
+        "contamination_check": q_contamination_check,
+        "convert": q_convert,
+        "corpus_stats": q_corpus_stats,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash_groups": q_dedup_simhash_groups,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "embedding_centroids": q_embedding_centroids,
+        "embedding_dup_clusters": q_embedding_dup_clusters,
+        "extend": q_extend,
+        "extract": q_extract,
+        "flatten_structs": q_flatten_struct,
+        "fold_partial": q_fold_partial,
+        "group_view_lookup": q_group_view_lookup,
+        "hadoop_input_newapi": q_hadoop_input_newapi,
+        "master_branch": q_master_branch,
+        "master_check_found": q_master_check_found,
+        "master_check_missed": q_master_check_missed,
+        "master_join": q_master_join,
+        "master_join_missed": q_master_join_missed,
+        "master_join_update": q_master_join_update,
+        "master_selection_custom_fn": q_master_selection_custom_fn,
+        "master_selection_ordering": q_master_selection_ordering,
+        "project": q_project,
+        "q11_important_stock": q11_important_stock,
+        "q16_parts_supplier_relationship": q16_parts_supplier_relationship,
+        # --- r10 rotation head: the 16-query r06 overflow ---
+        "q20_potential_promotion": q20_potential_promotion,
+        "q9_product_type_profit": q9_product_type_profit,
+        "restructure": q_restructure,
+        "sample_stratified": q_sample_stratified,
+        "similarity_bruteforce_topk": q_similarity_bruteforce,
+        "similarity_ivf": q_similarity_ivf,
+        "similarity_lsh_ann": q_similarity_lsh_ann,
+        "similarity_near_dup": q_similarity_near_dup,
+        "split": q_split,
+        "streaming_cdc_upsert": q_streaming_cdc_upsert,
+        "text_analysis": q_text_analysis,
+        "text_repetition": q_text_repetition,
+        "text_simhash": q_text_simhash,
+        "token_budget": q_token_budget,
+        "train_val_split": q_train_val_split,
+        "update": q_update,
+        # --- covered by LOCAL_VERIFY at both SFs ---
+        "iterative_transactional_output": q_iterative_transactional_output,
         "audience_overlap": q_audience_overlap,
         "retention_expire": q_retention_expire,
         "output_roundtrip": q_output_roundtrip,
         "streaming_incremental_agg": q_streaming_incremental_agg,
         "streaming_distinct_sketch": q_streaming_distinct_sketch,
         "iterative_rounds": q_iterative_rounds,
-        # --- the 14 r04-stale trivial queries (rotated per VERDICT) ---
         "checkpoint": q_checkpoint,
         "logging": q_logging,
         "direct_input": q_direct_input,
@@ -4350,7 +4415,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_total": q_running_total,
         "percentile_agg": q_percentile_agg,
         "pivot_agg": q_pivot_agg,
-        # --- r05-banked block, first 29 (staleness order) ---
         "analyze_table": q_analyze_table,
         "bloom_join": q_bloom_join,
         "bm25": q_bm25,
@@ -4378,26 +4442,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "q22_global_sales_opportunity": q22_global_sales_opportunity,
         "q4_order_priority": q4_order_priority,
-        # --- window boundary (~50): q6/q7 + the remaining 15 r05-banked
-        #     queries lead the r09 rotation ---
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q8_market_share": q8_market_share,
-        "quantile_bucket": q_quantile_bucket,
-        "quantize_embeddings": q_quantize_embeddings,
-        "redact": q_redact,
-        "retention": q_retention,
-        "scd2_apply": q_scd2_apply,
-        "scrub_spans": q_scrub_spans,
-        "similarity_quantized_topk": q_similarity_quantized,
-        "snapshot_diff": q_snapshot_diff,
-        "streaming_dedup_ingest": q_streaming_dedup_ingest,
-        "text_index_search": q_text_index_search,
-        "tfidf": q_tfidf,
-        "unpivot_measures": q_unpivot,
-        "vocab_top_k": q_vocab_top_k,
-        "winsorize": q_winsorize,
-        # --- fresher tail (r06/r07-green; LOCAL_VERIFY covered) ---
         "hadoop_output_newapi": q_hadoop_output_newapi,
         "cli_roundtrip": q_cli_roundtrip,
         "heavy_hitters": q_heavy_hitters,
@@ -4444,53 +4488,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summarize_q1": q_summarize_q1,
         "top_k_per_group": q_topk,
         "training_pipeline": q_training_pipeline,
-        "approx_distinct": q_approx_distinct,
-        "approx_percentile": q_approx_percentile,
-        "branch": q_branch,
-        "bucketed_join": q_bucketed_join,
-        "cogroup_chunked": q_cogroup_chunked,
-        "contamination_check": q_contamination_check,
-        "convert": q_convert,
-        "corpus_stats": q_corpus_stats,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash_groups": q_dedup_simhash_groups,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "embedding_centroids": q_embedding_centroids,
-        "embedding_dup_clusters": q_embedding_dup_clusters,
-        "extend": q_extend,
-        "extract": q_extract,
-        "flatten_structs": q_flatten_struct,
-        "fold_partial": q_fold_partial,
-        "group_view_lookup": q_group_view_lookup,
-        "hadoop_input_newapi": q_hadoop_input_newapi,
-        "master_branch": q_master_branch,
-        "master_check_found": q_master_check_found,
-        "master_check_missed": q_master_check_missed,
-        "master_join": q_master_join,
-        "master_join_missed": q_master_join_missed,
-        "master_join_update": q_master_join_update,
-        "master_selection_custom_fn": q_master_selection_custom_fn,
-        "master_selection_ordering": q_master_selection_ordering,
-        "merge_upsert": q_merge_upsert,
-        "project": q_project,
-        "q11_important_stock": q11_important_stock,
-        "q16_parts_supplier_relationship": q16_parts_supplier_relationship,
-        "q20_potential_promotion": q20_potential_promotion,
-        "q9_product_type_profit": q9_product_type_profit,
-        "restructure": q_restructure,
-        "sample_stratified": q_sample_stratified,
-        "similarity_bruteforce_topk": q_similarity_bruteforce,
-        "similarity_ivf": q_similarity_ivf,
-        "similarity_lsh_ann": q_similarity_lsh_ann,
-        "similarity_near_dup": q_similarity_near_dup,
-        "split": q_split,
-        "streaming_cdc_upsert": q_streaming_cdc_upsert,
-        "text_analysis": q_text_analysis,
-        "text_repetition": q_text_repetition,
-        "text_simhash": q_text_simhash,
-        "token_budget": q_token_budget,
-        "train_val_split": q_train_val_split,
-        "update": q_update,
     }
 
 
