@@ -442,6 +442,13 @@ def flow(sf_dir):
     )
     if r.returncode != 0:
         raise RuntimeError(f"cli_roundtrip launcher failed: {r.stderr[-2000:]}")
+    if "output save: 5 records" not in r.stderr:
+        # job-end per-output counter line (OutputCounters parity) —
+        # part of the launcher contract since r09
+        raise RuntimeError(
+            f"cli_roundtrip: missing output-counter log line in stderr: "
+            f"{r.stderr[-500:]}"
+        )
     return spark.read.parquet(out_dir)
 
 

@@ -20,6 +20,7 @@ Public surface:
 """
 
 from .session import get_spark, engine_builder
+from .listener import OutputCounters
 
-__all__ = ["get_spark", "engine_builder"]
+__all__ = ["get_spark", "engine_builder", "OutputCounters"]
 __version__ = "0.1.0"

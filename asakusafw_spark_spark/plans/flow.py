@@ -151,17 +151,38 @@ class FlowGraph:
             get(s.input)
         return frames
 
-    def run(self, spark: SparkSession, max_concurrent_sinks: int = 4) -> None:
+    def run(
+        self,
+        spark: SparkSession,
+        max_concurrent_sinks: int = 4,
+        counters=None,
+    ) -> None:
         """Build lineages and fire all sinks concurrently (Job.scala:25-37
-        analogue; Spark's scheduler accepts concurrent jobs)."""
+        analogue; Spark's scheduler accepts concurrent jobs).
+
+        ``counters``: an :class:`~..listener.OutputCounters` — every
+        sink's input frame is instrumented with a record counter
+        (``df.observe``, collected during the sink's own action — zero
+        extra jobs) and a job-end summary is logged after all sinks
+        complete, the reference's ``listener/OutputCounters.scala``
+        behavior.  Works for ANY sink action, not just the built-in
+        writers."""
         frames = self.build(spark)
-        if len(self._sinks) == 1:
-            s = self._sinks[0]
-            s.action(frames[s.input])
-            return
-        with ThreadPoolExecutor(max_workers=max_concurrent_sinks) as pool:
-            futures = [
-                pool.submit(s.action, frames[s.input]) for s in self._sinks
-            ]
-            for f in futures:
-                f.result()  # propagate failures
+        if counters is not None:
+            frames = dict(frames)
+            for s in self._sinks:
+                frames[s.input] = counters.observe(s.name, frames[s.input])
+        try:
+            if len(self._sinks) == 1:
+                s = self._sinks[0]
+                s.action(frames[s.input])
+                return
+            with ThreadPoolExecutor(max_workers=max_concurrent_sinks) as pool:
+                futures = [
+                    pool.submit(s.action, frames[s.input]) for s in self._sinks
+                ]
+                for f in futures:
+                    f.result()  # propagate failures
+        finally:
+            if counters is not None:
+                counters.log()

@@ -99,8 +99,26 @@ def main(argv: "list[str] | None" = None) -> int:
     if ns.shuffle_partitions is not None:
         builder_kwargs["shuffle_partitions"] = ns.shuffle_partitions
     spark = engine_builder(**builder_kwargs).getOrCreate()
+    from .listener import OutputCounters
+
+    counters = OutputCounters()
     try:
-        flow.run(spark, max_concurrent_sinks=ns.max_concurrent_sinks)
+        flow.run(
+            spark,
+            max_concurrent_sinks=ns.max_concurrent_sinks,
+            counters=counters,
+        )
+        # job-end per-output summary on stderr (OutputCounters.scala
+        # parity) — flow.run already logged via the package logger; the
+        # CLI also prints so operators see it without logging config
+        for name, st in sorted(counters.report().items()):
+            rec = st.get("records")
+            print(
+                f"output {name}: "
+                + ("?" if rec is None else str(rec))
+                + " records",
+                file=sys.stderr,
+            )
     finally:
         spark.stop()
     return 0

@@ -126,6 +126,8 @@ def write_flat(
     mode: str = "overwrite",
     partition_by: Sequence[str] | None = None,
     delete_patterns: Sequence[str] | None = None,
+    counters=None,
+    sink_name: str | None = None,
     **options,
 ) -> None:
     """Flat output: dataset files under ``base_path`` (``*`` in the
@@ -138,7 +140,15 @@ def write_flat(
     replace one slice of a mixed directory; plain ``mode="overwrite"``
     already clears everything.  Patterns resolving outside ``base_path``
     are rejected (same guard as the grouped writer's path grammar).
+
+    ``counters``: an :class:`~..listener.OutputCounters` — records ride
+    ``df.observe`` during the write (no extra job), bytes/files come
+    from one post-write FS listing (reference
+    ``listener/OutputCounters.scala`` job-end metrics).  ``sink_name``
+    labels the counter (default: the base path).
     """
+    if counters is not None:
+        df = counters.observe(sink_name or base_path, df)
     if delete_patterns:
         fs = HadoopFs(df.sparkSession, base_path)
         base = base_path.rstrip("/")
@@ -159,6 +169,10 @@ def write_flat(
     if format == "csv":
         options.setdefault("header", True)
     w.options(**options).format(format).save(base_path)
+    if counters is not None:
+        counters.record_files(
+            sink_name or base_path, df.sparkSession, base_path
+        )
 
 
 def write_grouped(
@@ -168,6 +182,8 @@ def write_grouped(
     ordering: Ordering = (),
     format: str = "csv",
     max_records_per_file: int | None = None,
+    counters=None,
+    sink_name: str | None = None,
     **options,
 ) -> list[str]:
     """Grouped output: one file per distinct generated path, records
@@ -183,6 +199,8 @@ def write_grouped(
     """
     if isinstance(pattern, str):
         pattern = OutputPattern(pattern)
+    if counters is not None:
+        df = counters.observe(sink_name or base_path, df)
     pathed = df.withColumn(_PATH_COL, pattern.column(df))
     sort_cols = [F.col(_PATH_COL)] + [
         F.col(c).asc() if d == "asc" else F.col(c).desc() for c, d in ordering
@@ -245,7 +263,18 @@ def write_grouped(
             for out in pool.map(promote, entries):
                 written.extend(out)
     fs.delete(staging)
-    return sorted(written)
+    written = sorted(written)
+    if counters is not None:
+        # bytes from the PROMOTED files only (the base dir may hold
+        # other datasets) — one getFileStatus per written file
+        counters.record_sizes(
+            sink_name or base_path,
+            [
+                (rel, fs.filesize(f"{base_path}/{rel}") or 0)
+                for rel in written
+            ],
+        )
+    return written
 
 
 class TransactionalOutput:
@@ -265,12 +294,14 @@ class TransactionalOutput:
         base_path: str,
         tx_id: str | None = None,
         spark: SparkSession | None = None,
+        counters=None,
     ):
         self.base_path = base_path
         self.tx_id = tx_id or f"tx_{int(time.time() * 1000)}"
         self._staged: list[tuple[str, str]] = []  # (staging dir, final dir)
         self._committed = False
         self._spark = spark
+        self._counters = counters
 
     @property
     def staging_root(self) -> str:
@@ -332,7 +363,10 @@ class TransactionalOutput:
         if self._spark is None:
             self._spark = df.sparkSession
         staging = f"{self.staging_root}/{name}"
-        write_flat(df, staging, format=format, mode="overwrite", **options)
+        write_flat(
+            df, staging, format=format, mode="overwrite",
+            counters=self._counters, sink_name=name, **options,
+        )
         self._staged.append((staging, f"{self.base_path}/{name}"))
 
     def commit(self) -> None:
@@ -348,6 +382,8 @@ class TransactionalOutput:
         fs.write_text(f"{self.base_path}/_TRANSACTION_SUCCESS", self.tx_id + "\n")
         fs.delete(self.staging_root)
         self._committed = True
+        if self._counters is not None:
+            self._counters.log()
 
     def abort(self) -> None:
         fs = self._fs()

@@ -864,3 +864,88 @@ def test_merge_upsert_touched_partition_guard(spark, tmp_path):
         merge_upsert(
             target, upd, "k", partition_by="part", max_touched_partitions=0
         )
+
+
+def test_output_counters_flat_grouped_transactional(spark, tmp_path):
+    """OutputCounters parity (reference listener/OutputCounters.scala):
+    write_flat / write_grouped / TransactionalOutput.prepare each report
+    exact record counts (via df.observe — no extra job) plus byte/file
+    counts from the written path; FlowGraph.run instruments every sink
+    and logs at job end; duplicate sink names refuse."""
+    import pytest
+
+    from asakusafw_spark_spark import OutputCounters
+    from asakusafw_spark_spark.sources.write import (
+        TransactionalOutput,
+        write_flat,
+        write_grouped,
+    )
+
+    df = spark.createDataFrame(
+        [(k, f"g{k % 3}", float(k)) for k in range(20)],
+        "k long, g string, v double",
+    )
+
+    c = OutputCounters()
+    write_flat(df, str(tmp_path / "flat"), counters=c, sink_name="flat")
+    write_grouped(
+        df, str(tmp_path / "grp"), "out-{g}.csv", ordering=[("k", "asc")],
+        counters=c, sink_name="grp",
+    )
+    with TransactionalOutput(str(tmp_path / "tx"), counters=c) as tx:
+        tx.prepare("a", df.filter("k < 5"))
+        tx.prepare("b", df.filter("k >= 5"))
+    rep = c.report()
+    assert rep["flat"]["records"] == 20 and rep["flat"]["files"] >= 1
+    assert rep["flat"]["bytes"] > 0
+    assert rep["grp"]["records"] == 20 and rep["grp"]["files"] == 3
+    assert rep["a"]["records"] == 5 and rep["b"]["records"] == 15
+    logged = c.log()
+    assert logged == rep
+
+    with pytest.raises(ValueError, match="unique"):
+        c.observe("flat", df)
+
+    # an observed-but-never-written sink must not hang report()
+    c2 = OutputCounters()
+    c2.observe("never", df)
+    assert "records" not in c2.report().get("never", {})
+
+    # FlowGraph-level wiring: every sink counted, any action shape
+    from asakusafw_spark_spark.plans.flow import FlowGraph
+
+    g = FlowGraph()
+    g.source("src", lambda s: df)
+    g.op("small", "src", lambda s, d: d.filter("k < 8"))
+    got = {}
+    g.sink("all_rows", "src", lambda d: got.__setitem__("all", d.count()))
+    g.sink("small_rows", "small", lambda d: got.__setitem__("small", d.count()))
+    c3 = OutputCounters()
+    g.run(spark, counters=c3)
+    rep3 = c3.report()
+    assert rep3["all_rows"]["records"] == 20
+    assert rep3["small_rows"]["records"] == 8
+
+
+def test_output_counters_log_lines(spark, caplog):
+    """The job-end summary logs one line per sink with records and
+    bytes — the reference listener's log shape."""
+    import logging
+
+    from asakusafw_spark_spark import OutputCounters
+    from asakusafw_spark_spark.sources.write import write_flat
+    import tempfile
+
+    df = spark.range(7).withColumnRenamed("id", "k")
+    c = OutputCounters()
+    with caplog.at_level(logging.INFO, logger="asakusafw_spark_spark.output"):
+        write_flat(
+            df, tempfile.mkdtemp(prefix="cnt_") + "/d",
+            counters=c, sink_name="result",
+        )
+        c.log()
+    lines = [r.message for r in caplog.records]
+    assert any(
+        l.startswith("output result: 7 records") and "bytes" in l
+        for l in lines
+    )
