@@ -418,10 +418,11 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 8,
-    nprobe: int = 4,
+    n_centroids: int = 16,
+    nprobe: int = 8,
     quantizer: str = "kmeans",
     quantized: bool = False,
+    rerank: int | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: the corpus is coarse-quantized into
     ``n_centroids`` inverted lists (each vector assigned to its nearest
@@ -431,15 +432,19 @@ def ivf_topk(
     outside the probed lists are missed — documented ANN semantics,
     recall grows with ``nprobe``.
 
-    Defaults are the MEASURED recall story (tools/ann_recall.py:
-    kmeans @ nprobe=4 ≈ 0.76 recall@10 vs 0.35 at nprobe=1): the
-    quantizer cost is one bounded 4,096-row driver sample + a few
-    local k-means rounds (one-off, independent of corpus size), and
-    probe cost scales LINEARLY in ``nprobe`` — each query scores
-    ``nprobe/n_centroids`` of the corpus, so nprobe=4 of 8 lists reads
-    half the lists a brute-force scan would.  Raise ``n_centroids``
-    with corpus size (cost per query ~ nprobe × corpus/n_centroids)
-    to keep the scored candidate set flat.
+    Defaults are the MEASURED recall/cost frontier (tools/ann_recall.py,
+    BASELINE.md ann_recall table): per-query cost is the corpus
+    fraction scored, ``nprobe/n_centroids``.  At EQUAL 0.50 cost,
+    finer lists win — kmeans 16 lists @ nprobe=8 ≈ 0.84 recall@10 vs
+    0.76 for 8 @ 4 (the pre-r09 default), so 16/8 is the default.
+    Clearing the ~0.9 production bar on these (weakly clustered)
+    embeddings takes 24/16 ≈ 0.92 at 0.67 cost or 16/12 ≈ 0.95 at
+    0.75 cost — recall here is bounded by candidate coverage, so pay
+    nprobe, not scoring precision.  The quantizer cost is one bounded
+    4,096-row driver sample + a few local k-means rounds (one-off,
+    independent of corpus size).  Raise ``n_centroids`` with corpus
+    size (cost per query ~ nprobe × corpus/n_centroids) to keep the
+    scored candidate set flat.
 
     ``quantizer``: ``"kmeans"`` (default) runs sampled spherical
     k-means (:func:`_kmeans_centroids`) for balanced lists and the
@@ -459,7 +464,28 @@ def ivf_topk(
     4×-smaller codes and score with exact int64 dot products (the
     recall delta of the int8 scoring alone is ~0.98 vs float, see
     tools/ann_recall.py).
+
+    ``rerank=m`` (with ``quantized=True``) adds the classic two-stage
+    retrieval: stage 1 scores int8 codes inside the probed lists and
+    keeps each query's top ``m×k`` CANDIDATES; stage 2 joins those
+    slim (query_id, neighbor_id) pairs back to the float vectors and
+    re-scores exactly, returning the exact-cosine top k.  Candidate
+    coverage (what nprobe bought) is unchanged; the int8 scoring
+    error — the only approximation the codes introduce — is removed
+    for the winners, at the cost of one keyed join over m×k rows per
+    query (never corpus-sized).  ``rerank`` without ``quantized`` is
+    a no-op (stage-1 scores are already exact float cosine) and
+    raises to keep the cost model honest.
     """
+    if rerank is not None:
+        if not quantized:
+            raise ValueError(
+                "ivf_topk: rerank without quantized=True is a no-op "
+                "(float stage-1 scores are already exact) — drop rerank "
+                "or set quantized=True"
+            )
+        if rerank < 1:
+            raise ValueError("ivf_topk: rerank must be >= 1")
     if quantizer == "kmeans":
         cents = _kmeans_centroids(corpus, n_centroids, id_col, vec_col)
     elif quantizer == "ids":
@@ -494,8 +520,34 @@ def ivf_topk(
         .select("query_id", "neighbor_id", "sim")
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (
+    stage1_k = k if rerank is None else rerank * k
+    top = (
         scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= stage1_k)
+        .drop("rn")
+    )
+    if rerank is None:
+        return top
+    # stage 2: exact float re-score of the ≤ m×k candidates per query —
+    # slim id-pair join back to the float vectors, never corpus-sized
+    fv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__c_fvec")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q_fvec")
+    )
+    exact = (
+        top.drop("sim")
+        .join(fv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "sim",
+            cosine_similarity(F.col("__q_fvec"), F.col("__c_fvec")),
+        )
+        .select("query_id", "neighbor_id", "sim")
+    )
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .drop("rn")
     )

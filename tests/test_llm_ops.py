@@ -1134,3 +1134,33 @@ def test_apng_codec_property_roundtrip():
             assert rows == frames[i]
 
     prop()
+
+
+def test_ivf_rerank_two_stage(vecs):
+    """rerank=m with quantized=True: same candidate coverage as the
+    plain quantized probe, but winners re-scored with exact float
+    cosine — sims must equal the float path's sims for the same pairs;
+    rerank without quantized refuses (no-op cost honesty); rerank < 1
+    refuses."""
+    import pytest
+
+    from asakusafw_spark_spark.functions import ivf_topk
+
+    queries = vecs.limit(3)
+    flt = ivf_topk(vecs, queries, k=5, n_centroids=4, nprobe=4)
+    two = ivf_topk(
+        vecs, queries, k=5, n_centroids=4, nprobe=4,
+        quantized=True, rerank=3,
+    )
+    fsims = {(r.query_id, r.neighbor_id): r.sim for r in flt.collect()}
+    tsims = {(r.query_id, r.neighbor_id): r.sim for r in two.collect()}
+    # nprobe=4 of 4 lists = full coverage → identical pairs, and the
+    # re-ranked sims are the exact float values (not int8 approximations)
+    assert set(tsims) == set(fsims)
+    for pair, s in tsims.items():
+        assert abs(s - fsims[pair]) < 1e-9
+
+    with pytest.raises(ValueError, match="quantized=True"):
+        ivf_topk(vecs, queries, k=5, rerank=3)
+    with pytest.raises(ValueError, match="rerank must be"):
+        ivf_topk(vecs, queries, k=5, quantized=True, rerank=0)

@@ -62,13 +62,34 @@ def main() -> None:
             ivf_topk(emb, queries, k=k, n_centroids=n_c, nprobe=nprobe, quantizer="ids")
         )
         print(f"ivf-ids n_centroids={n_c} nprobe={nprobe}: recall@{k} = {recall(a, exact):.3f}")
-    for n_c, nprobe in ((8, 1), (8, 2), (8, 4), (16, 4)):
+    # recall/cost frontier (VERDICT r08 Next #7): cost = fraction of
+    # the corpus each query scores = nprobe / n_centroids; production
+    # ANN targets ~0.9 recall — find the cheapest row that clears it
+    for n_c, nprobe in (
+        (8, 1), (8, 2), (8, 4), (16, 4),
+        (16, 8), (32, 8), (32, 16), (64, 16),
+    ):
         a = truth_sets(
             ivf_topk(emb, queries, k=k, n_centroids=n_c, nprobe=nprobe, quantizer="kmeans")
         )
-        print(f"ivf-kmeans n_centroids={n_c} nprobe={nprobe}: recall@{k} = {recall(a, exact):.3f}")
+        print(
+            f"ivf-kmeans n_centroids={n_c} nprobe={nprobe}: recall@{k} = "
+            f"{recall(a, exact):.3f}  (cost {nprobe / n_c:.2f} corpus)"
+        )
     a = truth_sets(ivf_topk(emb, queries, k=k))
     print(f"ivf DEFAULTS (kmeans, 8 lists, nprobe 4): recall@{k} = {recall(a, exact):.3f}")
+    # two-stage: int8 probe (4x smaller bytes) + exact float re-rank of
+    # the top 3k candidates — recall loss vs float probing should vanish
+    for n_c, nprobe in ((16, 8), (32, 8)):
+        a = truth_sets(
+            ivf_topk(emb, queries, k=k, n_centroids=n_c, nprobe=nprobe,
+                     quantizer="kmeans", quantized=True, rerank=3)
+        )
+        print(
+            f"ivf-kmeans+int8+rerank3 n_centroids={n_c} nprobe={nprobe}: "
+            f"recall@{k} = {recall(a, exact):.3f}  (cost {nprobe / n_c:.2f} "
+            "corpus at int8 bytes)"
+        )
 
     # int8-quantized exact scan: the 4×-smaller-bytes path — recall loss
     # here is pure quantization error, not candidate pruning

@@ -1,25 +1,29 @@
 #!/usr/bin/env python3
-"""One-off sf1-scale spot-check for the partsupp composites
-(VERDICT r07 Next #7).
+"""sf1-scale spot-check sweep (VERDICT r07 Next #7, widened per r08
+Next #2 from the 5 partsupp composites to a ~20-query sweep of the
+highest-traffic surfaces).
 
-The partsupp relation is DERIVED arithmetic (sources/tpch.py), and the
-r07 hypothesis run proved its bug class is SCALE-DEPENDENT (collisions
-appear only at particular supplier counts; the lgK=12 HLL incident was
-the same shape).  The driver ships no sf1 testdata, so this tool
-synthesizes sf1-scale inputs ONCE (Spark writes parquet; both engines
-then read the identical bytes — no dual-engine generation arithmetic to
-trust) and funnels the five partsupp composites through the standard
-verify_local oracle gate at S=10,000 suppliers / P=200,000 parts /
-6M lineitems — 10× the largest regularly-verified scale.
+Scale-dependent VALUE bugs are the live bug class (the lgK=12 HLL
+incident; the partsupp formula falsified twice by hypothesis at
+specific supplier counts; the r08 resample-quantization falsification)
+and the regular oracle only sees sf0.1.  The driver ships no sf1
+testdata, so this tool synthesizes sf1-scale inputs ONCE (Spark writes
+parquet; both engines then read the identical bytes — no dual-engine
+generation arithmetic to trust) and funnels the sweep through the
+standard verify_local oracle gate at 10× the largest regularly-
+verified scale: S=10,000 suppliers / P=200,000 parts / 6M lineitems /
+1M events / 50k documents / 150k customers.
 
 Usage: python tools/sf1_partsupp_check.py [--keep] [out.json]
-Writes a LOCAL_VERIFY-shaped report (default LOCAL_VERIFY_sf1_partsupp.json).
+Writes a LOCAL_VERIFY-shaped report (default LOCAL_VERIFY_sf1.json).
 
 Value shapes mirror the driver testdata (same columns, same vocabulary:
-NATION_k / Brand#k / 'red widget' names / 1995-2001 dates) with
-deterministic mod-arithmetic distributions, so every composite's filter
-selects a non-trivial slice.  lineitem's (l_partkey, l_suppkey) pairs
-are generated WITH the partsupp formula so the q9/q20 fact-to-partsupp
+NATION_k / Brand#k / 'red widget' names / 1995-2001 dates / the events
+view-click-signup-purchase-error types / word-salad documents with
+deterministic exact- and near-duplicates) with deterministic
+mod-arithmetic distributions, so every query's filter selects a
+non-trivial slice.  lineitem's (l_partkey, l_suppkey) pairs are
+generated WITH the partsupp formula so the q9/q20 fact-to-partsupp
 joins exercise real matches at sf1 cardinality.
 """
 
@@ -35,14 +39,35 @@ sys.path.insert(0, REPO)
 
 SF1_DIR = "/tmp/spark_graft_sf1_synth"
 QUERIES = [
+    # partsupp composites (the original r07 check — derived arithmetic)
     "q2_min_cost_supplier",
     "q9_product_type_profit",
     "q11_important_stock",
     "q16_parts_supplier_relationship",
     "q20_potential_promotion",
+    # TPC-H composites (multi-join + exact-decimal aggregation)
+    "summarize_q1",
+    "q5_local_supplier_volume",
+    "q18_large_volume_customer",
+    # events surfaces (sessionization / state / time-series)
+    "funnel",
+    "retention",
+    "incremental_agg",
+    "scd2_apply",
+    "resample_locf",
+    # lineitem quantile surface (the label-precision bug class)
+    "winsorize",
+    # documents surfaces (dedup family + ranking)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_incremental",
+    "tfidf",
+    "bm25",
 ]
 
 P, S, O, L, C = 200_000, 10_000, 1_500_000, 6_000_000, 150_000
+EV, DOCS, USERS = 1_000_000, 50_000, 15_000
 
 REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 ADJS = ["small", "red", "blue", "hot", "green", "large"]
@@ -159,17 +184,90 @@ def generate(spark) -> None:
         ),
         "lineitem",
     )
+    write(
+        spark.range(C).select(
+            k.alias("c_custkey"),
+            F.format_string("Customer#%09d", k).alias("c_name"),
+            (k % 25).cast("int").alias("c_nationkey"),
+            (((k * 41 + 7) % 1_100_000 - 100_000) / 100.0).alias("c_acctbal"),
+            arr(
+                ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+                 "MACHINERY"]
+            )[((k * 3) % 5).cast("int")].alias("c_mktsegment"),
+        ),
+        "customer",
+    )
+    # events: driver vocabulary (view/click/signup/purchase/error,
+    # 2024-01 timestamps, '{"k": N}' props), 1M rows / 15k users
+    write(
+        spark.range(EV).select(
+            k.alias("event_id"),
+            F.timestamp_seconds(
+                F.lit(1_704_067_200) + (k * 37) % 2_592_000
+            ).alias("ts"),
+            ((k * 31) % USERS).alias("user_id"),
+            arr(["view", "click", "signup", "purchase", "error"])[
+                ((k * 7) % 5).cast("int")
+            ].alias("event_type"),
+            (((k * 53) % 100_000) / 100.0).alias("value"),
+            F.format_string('{"k": %d}', (k % 100).cast("int")).alias("props"),
+        ),
+        "events",
+    )
+    # documents: word-salad text over the driver's vocabulary with
+    # DETERMINISTIC duplicates — k%5==4 reuses seed k-4 (exact dup of
+    # that doc's text), k%7==6 (and not already an exact dup) reuses
+    # seed k-6 plus an appended token (near dup) — so the dedup family
+    # exercises real matches at 50k-doc cardinality
+    vocab = ["key", "agg", "row", "scan", "slow", "fast", "table", "value",
+             "part", "hash", "merge", "batch", "spark", "a", "the",
+             "window", "order", "data", "column", "join", "small", "line",
+             "customer", "query", "group", "big", "vector", "stream",
+             "filter", "lineitem"]
+    seed = (
+        F.when(k % 5 == 4, k - 4)
+        .when(k % 7 == 6, k - 6)
+        .otherwise(k)
+    )
+    n_words = (F.lit(20) + (seed * 7) % 180).cast("int")
+    vocab_arr = arr(vocab)
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), n_words),
+            lambda i: F.element_at(
+                vocab_arr,
+                ((seed * 13 + i.cast("long") * 17) % 30 + 1).cast("int"),
+            ),
+        ),
+        " ",
+    )
+    text = F.concat(
+        body,
+        F.when((k % 7 == 6) & ~(k % 5 == 4), F.lit(" extra token"))
+        .otherwise(F.lit("")),
+    )
+    write(
+        spark.range(DOCS).select(
+            k.alias("doc_id"),
+            text.alias("text"),
+            arr(["en", "fr", "de", "es", "zh"])[((k * 11) % 5).cast("int")]
+            .alias("lang"),
+            F.concat(F.lit("src"), (k % 20).cast("string")).alias("source"),
+            F.length(text).alias("n_chars"),
+        ),
+        "documents",
+    )
 
 
 def main() -> int:
     args = [a for a in sys.argv[1:]]
     keep = "--keep" in args
     args = [a for a in args if a != "--keep"]
-    out = args[0] if args else "LOCAL_VERIFY_sf1_partsupp.json"
+    out = args[0] if args else "LOCAL_VERIFY_sf1.json"
 
     from asakusafw_spark_spark.session import engine_builder
 
-    if not os.path.exists(f"{SF1_DIR}/lineitem.parquet"):
+    if not os.path.exists(f"{SF1_DIR}/documents.parquet"):
         print(f"generating sf1-scale tables under {SF1_DIR} ...")
         spark = engine_builder(app_name="sf1_gen").getOrCreate()
         spark.sparkContext.setLogLevel("ERROR")
