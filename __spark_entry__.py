@@ -4303,6 +4303,66 @@ def q_embedding_dup_clusters(spark, sf):
     return dup_clusters(pairs, nodes=emb.select("vec_id"), node_col="vec_id")
 
 
+def q_pagerank(spark, sf):
+    """Fixed-point PageRank (functions/graph.py) over the bidirectional
+    customer<->supplier shipment graph (an edge per distinct pair where
+    customer c bought a part shipped by supplier s, plus the reverse —
+    the random walk alternates sides of the bipartite graph, so ranks
+    have real dynamics): 3 iterations, damping 85%, scale 1e12.  Every
+    step is integer floor-division arithmetic on BIGINTs, so the DuckDB
+    twin (the same iterations unrolled as CTEs) matches bit-for-bit —
+    the determinism contract that makes an ITERATIVE algorithm strict-
+    value-hash oracle-able.  Reference parity: the iterative-batch
+    round loop (SURVEY §3.3) as a data-parallel workload."""
+    from asakusafw_spark_spark.functions import pagerank
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    fwd = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return pagerank(edges, iterations=3)
+
+
+def _pagerank_oracle_sql(iterations: int = 3, damping: int = 85,
+                         scale: int = 10**12) -> str:
+    """Unroll the fixed-point PageRank iterations as DuckDB CTEs —
+    `//` (DuckDB) and `DIV` (Spark) are the same floor division on
+    non-negative BIGINTs, so the hashes agree exactly."""
+    n_sub = "(SELECT COUNT(*) FROM nodes)"
+    base = f"({scale} * {100 - damping}) // (100 * {n_sub})"
+    ctes = [
+        """e0 AS (
+            SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        )""",
+        "edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)",
+        "outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        f"r0 AS (SELECT node, {scale} // {n_sub} AS rank FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""c{i} AS (
+            SELECT e.dst AS node,
+                   CAST(SUM(r.rank // d.outdeg) AS BIGINT) AS contrib
+            FROM edges e
+            JOIN r{i - 1} r ON e.src = r.node
+            JOIN outdeg d ON e.src = d.src
+            GROUP BY e.dst
+        )""")
+        ctes.append(f"""r{i} AS (
+            SELECT n.node,
+                   {base} + ({damping} * COALESCE(c.contrib, 0)) // 100 AS rank
+            FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r{iterations}"
+    )
+
+
 def _duck_near_dup_sql(threshold: float = 0.9, planes: int = 6) -> str:
     bucket = _duck_bucket_expr("embedding", planes)
     return f"""
@@ -4325,10 +4385,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #        3-round staleness boundary, rotated in);
         #     2. queries riding code EDITED in r09 (resample_timeseries
         #        timezone/floor fixes + span guard; theta-maintain
-        #        empty-cohort left join);
-        #     3. 31 of the 47-query r06 block that crosses the boundary
+        #        empty-cohort left join) plus the NEW r09 operator
+        #        (pagerank — first driver row);
+        #     3. 30 of the 47-query r06 block that crosses the boundary
         #        this round, merge_upsert first (its guard changed in
-        #        r09).  The remaining 16 r06 queries sit immediately
+        #        r09).  The remaining 17 r06 queries sit immediately
         #        after the window and complete the rotation in r10.
         #     Everything outside the window is covered by the committed
         #     LOCAL_VERIFY_r09 artifacts (strict value hash, sf0.01 AND
@@ -4352,6 +4413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "resample_locf": q_resample_locf,
         "streaming_theta_maintain": q_streaming_theta_maintain,
+        "pagerank": q_pagerank,
         "merge_upsert": q_merge_upsert,
         "approx_distinct": q_approx_distinct,
         "approx_percentile": q_approx_percentile,
@@ -4500,6 +4562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pagerank": _pagerank_oracle_sql(iterations=3),
         "flagship_revenue_per_nation": """
             SELECT n_name,
                    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,

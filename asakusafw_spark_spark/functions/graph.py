@@ -1,0 +1,127 @@
+"""Iterative link-analysis over an edge table: fixed-point PageRank.
+
+The engine already has the CONNECTIVITY side of graph processing
+(large-star/small-star connected components in :mod:`.dedup`); this
+module adds the CENTRALITY side — PageRank over an arbitrary directed
+edge DataFrame, the canonical iterative-batch workload (each iteration
+is one join + one aggregation, the exact shape the reference's
+iterative-batch extension schedules round by round).
+
+Determinism contract (what makes a cross-engine value-hash oracle
+possible for an iterative float algorithm): ranks are FIXED-POINT
+integers — ``scale`` units represent probability 1.0 — and every step
+is integer arithmetic with floor division:
+
+    rank0(v)   = scale DIV N
+    contrib(v) = SUM over in-edges (u, v) of rank(u) DIV outdeg(u)
+    rank'(v)   = (scale * (100 - damping)) DIV (100 * N)
+               + (damping * contrib(v)) DIV 100
+
+(``damping`` is an integer percentage.)  Floor division on
+non-negative integers is identical in every engine, so a DuckDB twin
+unrolling the same iterations matches bit-for-bit — no IEEE
+reduction-order caveats.  The quantization error is < iterations x
+(in-degree + 2) units, i.e. < 1e-9 of total mass at the default
+scale; dangling-node mass is dropped (the standard simplification —
+documented, and identical on both sides).
+
+Scale shape (100 TB): the edge table is deduplicated, joined ONCE with
+out-degrees, hash-partitioned by ``src`` and persisted — every
+iteration then reuses that partitioning for its join (only the slim
+(node, rank) frame reshuffles) and runs one map-side-combined
+aggregation by ``dst``.  Per-iteration lineage is cut by persisting
+the new ranks and unpersisting the old, so 50 iterations do not build
+a 50-deep plan.  Driver-side state is two scalars (N and the base
+term).
+
+Reference parity: extensions/iterativebatch (IterativeBatchExecutor
+round loop) — this is the same per-round recompute schedule expressed
+as a data-parallel loop; SURVEY.md §3.3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: int = 85,
+    scale: int = 10**12,
+    num_partitions: "int | None" = None,
+) -> DataFrame:
+    """PageRank over directed ``edges`` → ``(node, rank)`` with
+    ``rank`` a fixed-point BIGINT (``scale`` = mass 1.0; divide by
+    ``scale`` for the float value).  Duplicate edges count once;
+    self-loops participate like any edge.  See the module docstring
+    for the exact integer-arithmetic contract.
+    """
+    if iterations < 1:
+        raise ValueError("pagerank: iterations must be >= 1")
+    if not (0 <= damping <= 100):
+        raise ValueError("pagerank: damping must be an integer percent 0..100")
+    if scale < 10**6:
+        raise ValueError("pagerank: scale must be >= 1e6 (quantization)")
+
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct()
+    if num_partitions:
+        e = e.repartition(num_partitions, "src")
+    else:
+        e = e.repartition("src")
+
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # one persisted, src-partitioned (src, dst, outdeg) frame: every
+    # iteration's join reuses this partitioning — only the slim rank
+    # frame moves
+    linked = e.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = nodes.count()
+    if n == 0:
+        linked.unpersist()
+        nodes.unpersist()
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
+
+    base = (scale * (100 - damping)) // (100 * n)  # python ints: exact
+    ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("rank"))
+    ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+    ranks.count()
+
+    for _ in range(iterations):
+        contribs = (
+            linked.join(ranks, linked["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank DIV outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        new_ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(base).cast("long")
+                + F.expr(f"({damping} * coalesce(contrib, 0L)) DIV 100")
+            ).cast("long").alias("rank"),
+        )
+        new_ranks = new_ranks.persist(StorageLevel.MEMORY_AND_DISK)
+        new_ranks.count()  # materialize, then cut the old lineage
+        ranks.unpersist()
+        ranks = new_ranks
+
+    linked.unpersist()
+    nodes.unpersist()
+    return ranks

@@ -1,0 +1,113 @@
+"""Fixed-point PageRank (functions/graph.py): known-graph values,
+guard honesty, and the EXACT-match property against a pure-Python
+integer-arithmetic reference — the determinism contract says every
+engine computing the spec gets bit-identical BIGINT ranks, so the
+assertion is ``==`` on dicts, no tolerances."""
+
+import random
+
+import pytest
+
+from asakusafw_spark_spark.functions import pagerank
+
+SCALE = 10**12
+
+
+def pagerank_py(edge_list, iterations=5, damping=85, scale=SCALE):
+    """Reference implementation of the module's integer-arithmetic
+    spec, driven by plain Python ints (arbitrary precision — any
+    silent overflow or float sneaking into the Spark path diverges)."""
+    es = sorted(set(edge_list))
+    nodes = sorted({u for u, _ in es} | {v for _, v in es})
+    n = len(nodes)
+    outdeg = {}
+    for u, _ in es:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    base = (scale * (100 - damping)) // (100 * n)
+    rank = {v: scale // n for v in nodes}
+    for _ in range(iterations):
+        contrib = {v: 0 for v in nodes}
+        for u, v in es:
+            contrib[v] += rank[u] // outdeg[u]
+        rank = {v: base + (damping * contrib[v]) // 100 for v in nodes}
+    return rank
+
+
+def test_pagerank_cycle_uniform(spark):
+    """A directed cycle is perfectly symmetric: every node holds
+    exactly scale // n forever (no quantization drift — the fixed
+    point of the integer recurrence)."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"]
+    )
+    out = {r.node: r.rank for r in pagerank(edges, iterations=7).collect()}
+    assert out == {"a": SCALE // 3, "b": SCALE // 3, "c": SCALE // 3}
+
+
+def test_pagerank_star_center_dominates(spark):
+    """Hub-and-spoke with backlinks: the hub collects both spokes'
+    full contribution each round; spokes split the hub's."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "a"), ("c", "a")], ["src", "dst"]
+    )
+    out = {r.node: r.rank for r in pagerank(edges, iterations=5).collect()}
+    assert out["a"] > out["b"] == out["c"]
+    assert out == pagerank_py(
+        [("a", "b"), ("a", "c"), ("b", "a"), ("c", "a")], iterations=5
+    )
+
+
+def test_pagerank_duplicate_edges_count_once(spark):
+    """The spec dedupes: repeating an edge 5x must not change outdeg
+    or contributions."""
+    once = spark.createDataFrame([("a", "b"), ("b", "a")], ["src", "dst"])
+    many = spark.createDataFrame(
+        [("a", "b")] * 5 + [("b", "a")] * 3, ["src", "dst"]
+    )
+    r1 = {r.node: r.rank for r in pagerank(once, iterations=4).collect()}
+    r2 = {r.node: r.rank for r in pagerank(many, iterations=4).collect()}
+    assert r1 == r2
+
+
+def test_pagerank_dangling_mass_drops(spark):
+    """a->b with no out-edge from b: b's mass leaves the system (the
+    documented simplification), so total rank shrinks monotonically
+    but stays positive and matches the reference exactly."""
+    el = [("a", "b")]
+    edges = spark.createDataFrame(el, ["src", "dst"])
+    out = {r.node: r.rank for r in pagerank(edges, iterations=3).collect()}
+    assert out == pagerank_py(el, iterations=3)
+    assert sum(out.values()) < SCALE
+
+
+def test_pagerank_guards(spark):
+    edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(edges, iterations=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(edges, damping=101)
+    with pytest.raises(ValueError, match="scale"):
+        pagerank(edges, scale=10)
+
+
+def test_pagerank_property_exact_match(spark):
+    """Random digraphs (self-loops, dangling nodes, multi-edges,
+    disconnected parts): Spark == pure-Python reference EXACTLY.
+    Seeded trials instead of hypothesis: each trial costs Spark jobs,
+    and the input space is homogeneous (edge sets), so a fixed sweep
+    over sizes x densities x seeds covers the same ground without
+    shrinking machinery."""
+    for seed, n_nodes, n_edges, iters in [
+        (1, 5, 8, 3),
+        (2, 12, 25, 4),
+        (3, 8, 40, 2),   # dense, multi-edges certain
+        (4, 20, 12, 3),  # sparse, disconnected + dangling certain
+    ]:
+        rng = random.Random(seed)
+        el = [
+            (f"n{rng.randrange(n_nodes)}", f"n{rng.randrange(n_nodes)}")
+            for _ in range(n_edges)
+        ]
+        df = spark.createDataFrame(el, ["src", "dst"])
+        got = {r.node: r.rank for r in pagerank(df, iterations=iters).collect()}
+        assert got == pagerank_py(el, iterations=iters), (seed, el)
