@@ -4326,6 +4326,44 @@ def q_pagerank(spark, sf):
     return pagerank(edges, iterations=3)
 
 
+def q_bpe_pair_counts(spark, sf):
+    """The BPE-training inner-loop statistic (functions/bpe.py):
+    adjacent-symbol pair frequencies over the corpus word histogram,
+    weighted by word count — characters + '</w>' end-of-word marker at
+    step 0.  One corpus scan → word hash-agg → native zip_with pair
+    expansion → pair hash-agg; the DuckDB twin substr-walks each word.
+    This is the step whose DISTRIBUTION is the whole point of training
+    a tokenizer on 100 TB; the merge loop reuses it per round."""
+    from asakusafw_spark_spark.functions import (
+        bpe_pair_counts, initial_symbols, word_histogram,
+    )
+
+    hist = word_histogram(_t(spark, sf, "documents")).select(
+        initial_symbols("word").alias("syms"), "wcount"
+    )
+    return bpe_pair_counts(hist)
+
+
+def q_bpe_tokenize(spark, sf):
+    """End-to-end tokenizer lifecycle: TRAIN 24 BPE merges on the
+    documents corpus (iterative pair-count → argmax → native merge
+    fold, all on the word histogram), then APPLY the learned table to
+    the same corpus (Arrow-batched pair-priority encoder) → per-doc
+    BPE token counts.  Deterministic (integer counts + total argmax
+    tiebreak) but the iterative argmax is not SQL-expressible, so this
+    carries the weaker rows-only driver check; the merge table itself
+    is pinned exactly against a pure-Python reference in
+    tests/test_bpe.py, and the inner-loop statistic has the strict
+    `bpe_pair_counts` oracle."""
+    from asakusafw_spark_spark.functions import bpe_apply, bpe_train
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    merges = bpe_train(docs, num_merges=24)
+    return bpe_apply(docs, merges).select(
+        "doc_id", F.size("bpe_tokens").cast("long").alias("n_bpe_tokens")
+    )
+
+
 def _pagerank_oracle_sql(iterations: int = 3, damping: int = 85,
                          scale: int = 10**12) -> str:
     """Unroll the fixed-point PageRank iterations as DuckDB CTEs —
@@ -4385,11 +4423,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #        3-round staleness boundary, rotated in);
         #     2. queries riding code EDITED in r09 (resample_timeseries
         #        timezone/floor fixes + span guard; theta-maintain
-        #        empty-cohort left join) plus the NEW r09 operator
-        #        (pagerank — first driver row);
-        #     3. 30 of the 47-query r06 block that crosses the boundary
+        #        empty-cohort left join) plus the NEW r09 operators
+        #        (pagerank, bpe_pair_counts, bpe_tokenize — first
+        #        driver rows);
+        #     3. 28 of the 47-query r06 block that crosses the boundary
         #        this round, merge_upsert first (its guard changed in
-        #        r09).  The remaining 17 r06 queries sit immediately
+        #        r09).  The remaining 19 r06 queries sit immediately
         #        after the window and complete the rotation in r10.
         #     Everything outside the window is covered by the committed
         #     LOCAL_VERIFY_r09 artifacts (strict value hash, sf0.01 AND
@@ -4414,6 +4453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_locf": q_resample_locf,
         "streaming_theta_maintain": q_streaming_theta_maintain,
         "pagerank": q_pagerank,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "bpe_tokenize": q_bpe_tokenize,
         "merge_upsert": q_merge_upsert,
         "approx_distinct": q_approx_distinct,
         "approx_percentile": q_approx_percentile,
@@ -4563,6 +4604,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "pagerank": _pagerank_oracle_sql(iterations=3),
+        # bpe_tokenize: deliberately NO oracle — iterative argmax is not
+        # SQL-expressible; rows-only driver check + exact pytest pin
+        "bpe_pair_counts": r"""
+            WITH w AS (
+              SELECT t.tok AS word
+              FROM documents, unnest(string_split_regex(trim(text), '\s+')) AS t(tok)
+              WHERE t.tok <> ''
+            ), hist AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
+            chpairs AS (
+              SELECT substr(word, g.i, 1) AS "left",
+                     substr(word, g.i + 1, 1) AS "right", c
+              FROM hist, unnest(generate_series(1, length(word) - 1)) AS g(i)
+              UNION ALL
+              SELECT substr(word, length(word), 1), '</w>', c FROM hist
+            )
+            SELECT "left", "right", CAST(SUM(c) AS BIGINT) AS pair_count
+            FROM chpairs GROUP BY 1, 2
+        """,
         "flagship_revenue_per_nation": """
             SELECT n_name,
                    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,

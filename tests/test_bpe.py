@@ -1,0 +1,150 @@
+"""Distributed BPE (functions/bpe.py): the paper's canonical merges,
+exact-match property vs a pure-Python reference trainer, encoder/
+trainer self-consistency, and guard honesty."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from asakusafw_spark_spark.functions import bpe_apply, bpe_train
+
+EOW = "</w>"
+
+
+def bpe_train_py(texts, num_merges, min_pair_count=2):
+    """Pure-Python reference of the module's spec: word histogram →
+    per-merge (weighted pair counts, argmax with count-desc/left-asc/
+    right-asc tiebreak, greedy left-to-right merge)."""
+    hist = {}
+    for t in texts:
+        for w in (t or "").split():
+            hist[w] = hist.get(w, 0) + 1
+    syms = {w: tuple(list(w) + [EOW]) for w in hist}
+    merges = []
+    for _ in range(num_merges):
+        pc = {}
+        for w, c in hist.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] = pc.get((s[i], s[i + 1]), 0) + c
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if best[1] < min_pair_count:
+            break
+        (l, r), _ = best
+        merges.append((l, r))
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = tuple(out)
+    return merges, syms
+
+
+def test_bpe_paper_merges(spark):
+    """Sennrich et al.'s worked example: {low x5, lower x2, newest x6,
+    widest x3} — first merges must be (e,s), (es,t), (est,</w>) in that
+    order (the famous 'es' from newest+widest)."""
+    text = ("low " * 5 + "lower " * 2 + "newest " * 6 + "widest " * 3).strip()
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    m = bpe_train(df, num_merges=5)
+    got = [(r.left, r.right) for r in m.orderBy("merge_rank").collect()]
+    assert got[:3] == [("e", "s"), ("es", "t"), ("est", EOW)]
+    assert m.orderBy("merge_rank").collect()[0].merged == "es"
+
+
+def test_bpe_train_property_exact_match(spark):
+    """Random word-salad corpora (repeats guaranteed by a tiny
+    alphabet): Spark merge table == pure-Python reference EXACTLY —
+    integer counts + total tiebreak leave zero engine freedom.  Seeded
+    sweep instead of hypothesis: each trial costs a Spark train loop."""
+    for seed, n_docs, n_merges in [(11, 4, 6), (12, 8, 10), (13, 2, 12)]:
+        rng = random.Random(seed)
+        words = [
+            "".join(rng.choice("abc") for _ in range(rng.randrange(1, 5)))
+            for _ in range(12)
+        ]
+        texts = [
+            " ".join(rng.choice(words) for _ in range(rng.randrange(3, 15)))
+            for _ in range(n_docs)
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        got = [
+            (r.left, r.right)
+            for r in bpe_train(df, num_merges=n_merges, checkpoint_every=3)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        want, _ = bpe_train_py(texts, n_merges)
+        assert got == want, (seed, got, want)
+
+
+def test_bpe_apply_matches_training_state(spark):
+    """Encoder/trainer consistency: applying the learned table to the
+    training corpus reproduces, word for word, the trainer's final
+    symbol state (pair-priority replay == training-order replay)."""
+    texts = ["the cat sat on the mat", "the cat ate the rat", "a cat"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    m = bpe_train(df, num_merges=8)
+    want_merges, want_syms = bpe_train_py(texts, 8)
+    assert [(r.left, r.right) for r in m.orderBy("merge_rank").collect()] \
+        == want_merges
+
+    out = {
+        r.doc_id: r.bpe_tokens
+        for r in bpe_apply(df, m).select("doc_id", "bpe_tokens").collect()
+    }
+    for i, t in enumerate(texts):
+        want = [s for w in t.split() for s in want_syms[w]]
+        assert out[i] == want, (i, out[i], want)
+
+
+def test_bpe_apply_edge_cases(spark):
+    """Unseen words fall back toward characters; empty/null/whitespace
+    text → empty token array; list-of-pairs merges accepted."""
+    df = spark.createDataFrame(
+        [(1, "zzzz"), (2, ""), (3, None), (4, "   ")],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: r.bpe_tokens
+        for r in bpe_apply(df, [("z", "z")]).collect()
+    }
+    assert out[1] == ["zz", "zz", EOW]  # greedy left-to-right, no overlap
+    assert out[2] == [] and out[3] == [] and out[4] == []
+
+
+def test_bpe_guards(spark):
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="num_merges"):
+        bpe_train(df, num_merges=0)
+    with pytest.raises(ValueError, match="min_pair_count"):
+        bpe_train(df, num_merges=1, min_pair_count=0)
+    big = spark.createDataFrame(
+        [(i, chr(97 + i % 26), chr(97 + (i + 1) % 26), "x")
+         for i in range(5)],
+        ["merge_rank", "left", "right", "merged"],
+    )
+    with pytest.raises(ValueError, match="max_merges"):
+        bpe_apply(df, big, max_merges=3)
+
+
+def test_bpe_early_stop(spark):
+    """min_pair_count binds: a corpus where every pair occurs once
+    yields zero merges (and an empty, correctly-typed table)."""
+    df = spark.createDataFrame([(1, "ab cd ef")], ["doc_id", "text"])
+    m = bpe_train(df, num_merges=10, min_pair_count=2)
+    assert m.count() == 0
+    assert [f.name for f in m.schema.fields] \
+        == ["merge_rank", "left", "right", "merged"]
