@@ -4326,6 +4326,62 @@ def q_pagerank(spark, sf):
     return pagerank(edges, iterations=3)
 
 
+def q_bfs_levels(spark, sf):
+    """Multi-source BFS distance (functions/graph.py bfs_levels) over
+    the bidirectional customer<->supplier shipment graph, sources = the
+    suppliers of one nation (NATION_7): hop count from the cohort, 4
+    rounds.  Frontier iteration Spark-side; the DuckDB twin unrolls the
+    equivalent level-wise relaxation (min(level, in-neighbor+1) per
+    round) — exact integers, strict hash oracle.  The DISTANCE member
+    of the graph family (components = connectivity, pagerank =
+    centrality)."""
+    from asakusafw_spark_spark.functions import bfs_levels
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    fwd = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sup = _t(spark, sf, "supplier")
+    nat = _t(spark, sf, "nation").where(F.col("n_name") == "NATION_7")
+    sources = sup.join(nat, sup.s_nationkey == nat.n_nationkey).select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node")
+    )
+    return bfs_levels(edges, sources, max_iters=4)
+
+
+def _bfs_oracle_sql(max_iters: int = 4) -> str:
+    """Level-wise relaxation unrolled as CTEs: l_k(v) = min(l_{k-1}(v),
+    1 + min over in-edges).  Computes the same fixed point as the
+    engine's frontier BFS; exact integer levels."""
+    ctes = [
+        """e0 AS (
+            SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        )""",
+        "edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)",
+        """l0 AS (
+            SELECT DISTINCT 's' || s_suppkey AS node, CAST(0 AS BIGINT) AS level
+            FROM supplier JOIN nation ON n_nationkey = s_nationkey
+            WHERE n_name = 'NATION_7'
+        )""",
+    ]
+    for i in range(1, max_iters + 1):
+        ctes.append(f"""l{i} AS (
+            SELECT node, CAST(MIN(level) AS BIGINT) AS level FROM (
+                SELECT node, level FROM l{i - 1}
+                UNION ALL
+                SELECT e.dst AS node, p.level + 1 AS level
+                FROM edges e JOIN l{i - 1} p ON e.src = p.node
+            ) u GROUP BY node
+        )""")
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, level FROM l{max_iters}"
+
+
 def q_bpe_pair_counts(spark, sf):
     """The BPE-training inner-loop statistic (functions/bpe.py):
     adjacent-symbol pair frequencies over the corpus word histogram,
@@ -4424,11 +4480,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     2. queries riding code EDITED in r09 (resample_timeseries
         #        timezone/floor fixes + span guard; theta-maintain
         #        empty-cohort left join) plus the NEW r09 operators
-        #        (pagerank, bpe_pair_counts, bpe_tokenize — first
-        #        driver rows);
-        #     3. 28 of the 47-query r06 block that crosses the boundary
+        #        (pagerank, bfs_levels, bpe_pair_counts, bpe_tokenize —
+        #        first driver rows);
+        #     3. 27 of the 47-query r06 block that crosses the boundary
         #        this round, merge_upsert first (its guard changed in
-        #        r09).  The remaining 19 r06 queries sit immediately
+        #        r09).  The remaining 20 r06 queries sit immediately
         #        after the window and complete the rotation in r10.
         #     Everything outside the window is covered by the committed
         #     LOCAL_VERIFY_r09 artifacts (strict value hash, sf0.01 AND
@@ -4453,6 +4509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_locf": q_resample_locf,
         "streaming_theta_maintain": q_streaming_theta_maintain,
         "pagerank": q_pagerank,
+        "bfs_levels": q_bfs_levels,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_tokenize": q_bpe_tokenize,
         "merge_upsert": q_merge_upsert,
@@ -4604,6 +4661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "pagerank": _pagerank_oracle_sql(iterations=3),
+        "bfs_levels": _bfs_oracle_sql(max_iters=4),
         # bpe_tokenize: deliberately NO oracle — iterative argmax is not
         # SQL-expressible; rows-only driver check + exact pytest pin
         "bpe_pair_counts": r"""

@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "bfs_levels"]
 
 
 def pagerank(
@@ -125,3 +125,70 @@ def pagerank(
     linked.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def bfs_levels(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    max_iters: int = 10,
+) -> DataFrame:
+    """Multi-source BFS → ``(node, level)``: the minimum hop count from
+    any node in ``sources`` (level 0), following directed edges, out to
+    ``max_iters`` hops; unreached nodes are absent.  Levels are exact
+    integers, so — like :func:`pagerank` — a DuckDB twin unrolling the
+    same relaxation rounds hash-matches exactly.
+
+    Scale shape: FRONTIER iteration, not full relaxation — round i
+    joins only the level-(i-1) frontier (nodes first reached last
+    round) against the edge table, anti-joins the visited set, and
+    stops early when the frontier empties.  Each round is one shuffle
+    join + one anti-join; the visited set is persisted per round with
+    the previous generation unpersisted, so lineage stays shallow.
+    Frontier BFS computes the same fixed point as the oracle's
+    level-wise relaxation: a node's level is the round that first
+    reaches it.
+
+    Reference parity: the other canonical iterative-batch workload
+    (SURVEY §3.3) — connected components (functions/dedup.py) covers
+    undirected connectivity; this covers directed distance.
+    """
+    if max_iters < 0:
+        raise ValueError("bfs_levels: max_iters must be >= 0")
+    e = edges.select(
+        F.col(src).alias("__s__"), F.col(dst).alias("__d__")
+    ).distinct()
+    e = e.repartition("__s__").persist(StorageLevel.MEMORY_AND_DISK)
+
+    visited = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("level", F.lit(0).cast("long"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    visited.count()
+    frontier = visited.select("node")
+
+    for i in range(1, max_iters + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["__s__"])
+            .select(F.col("__d__").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("level", F.lit(i).cast("long"))
+        )
+        nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
+        if nxt.count() == 0:
+            nxt.unpersist()
+            break
+        new_visited = visited.union(nxt).persist(StorageLevel.MEMORY_AND_DISK)
+        new_visited.count()
+        visited.unpersist()
+        nxt.unpersist()
+        visited = new_visited
+        frontier = visited.where(F.col("level") == i).select("node")
+
+    e.unpersist()
+    return visited

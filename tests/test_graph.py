@@ -111,3 +111,96 @@ def test_pagerank_property_exact_match(spark):
         df = spark.createDataFrame(el, ["src", "dst"])
         got = {r.node: r.rank for r in pagerank(df, iterations=iters).collect()}
         assert got == pagerank_py(el, iterations=iters), (seed, el)
+
+
+def bfs_py(edge_list, sources, max_iters):
+    es = sorted(set(edge_list))
+    level = {s: 0 for s in set(sources)}
+    frontier = set(sources)
+    for i in range(1, max_iters + 1):
+        nxt = {
+            v for u, v in es if u in frontier and v not in level
+        }
+        if not nxt:
+            break
+        for v in nxt:
+            level[v] = i
+        frontier = nxt
+    return level
+
+
+def test_bfs_levels_chain_and_direction(spark):
+    """a->b->c->d chain from {a}: exact hop counts; edges are DIRECTED
+    (d never reaches back); max_iters truncates the frontier."""
+    from asakusafw_spark_spark.functions import bfs_levels
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"]
+    )
+    srcs = spark.createDataFrame([("a",)], ["node"])
+    out = {r.node: r.level for r in bfs_levels(edges, srcs).collect()}
+    assert out == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+    # reverse source: nothing downstream of d
+    srcs_d = spark.createDataFrame([("d",)], ["node"])
+    assert {r.node: r.level
+            for r in bfs_levels(edges, srcs_d).collect()} == {"d": 0}
+
+    # truncation at 2 hops
+    out2 = {r.node: r.level
+            for r in bfs_levels(edges, srcs, max_iters=2).collect()}
+    assert out2 == {"a": 0, "b": 1, "c": 2}
+
+    # max_iters=0: sources only
+    out0 = {r.node: r.level
+            for r in bfs_levels(edges, srcs, max_iters=0).collect()}
+    assert out0 == {"a": 0}
+
+
+def test_bfs_levels_multi_source_min(spark):
+    """Two sources: every node takes the MIN distance over sources —
+    and a node that is itself a source stays level 0 even with
+    in-edges."""
+    from asakusafw_spark_spark.functions import bfs_levels
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("z", "c"), ("c", "a")], ["src", "dst"]
+    )
+    srcs = spark.createDataFrame([("a",), ("z",)], ["node"])
+    out = {r.node: r.level for r in bfs_levels(edges, srcs).collect()}
+    assert out == {"a": 0, "z": 0, "b": 1, "c": 1}
+
+
+def test_bfs_levels_property_exact_match(spark):
+    """Random digraphs x random source sets: Spark frontier BFS ==
+    pure-Python reference exactly (integer levels, no tolerances)."""
+    from asakusafw_spark_spark.functions import bfs_levels
+
+    for seed, n_nodes, n_edges, n_src, iters in [
+        (21, 10, 18, 1, 5),
+        (22, 15, 30, 3, 3),
+        (23, 8, 6, 2, 10),  # sparse: unreached nodes certain
+    ]:
+        rng = random.Random(seed)
+        el = [
+            (f"n{rng.randrange(n_nodes)}", f"n{rng.randrange(n_nodes)}")
+            for _ in range(n_edges)
+        ]
+        node_pool = sorted({u for u, _ in el} | {v for _, v in el})
+        srcs = rng.sample(node_pool, min(n_src, len(node_pool)))
+        edf = spark.createDataFrame(el, ["src", "dst"])
+        sdf = spark.createDataFrame([(s,) for s in srcs], ["node"])
+        got = {
+            r.node: r.level
+            for r in bfs_levels(edf, sdf, max_iters=iters).collect()
+        }
+        assert got == bfs_py(el, srcs, iters), (seed, el, srcs)
+
+
+def test_bfs_levels_guard(spark):
+    from asakusafw_spark_spark.functions import bfs_levels
+
+    edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    srcs = spark.createDataFrame([("a",)], ["node"])
+    with pytest.raises(ValueError, match="max_iters"):
+        bfs_levels(edges, srcs, max_iters=-1)
