@@ -4303,6 +4303,26 @@ def q_embedding_dup_clusters(spark, sf):
     return dup_clusters(pairs, nodes=emb.select("vec_id"), node_col="vec_id")
 
 
+def _shipment_edges(o, li):
+    """Bidirectional customer<->supplier edges in ONE pass over the
+    lineitem-orders join: each fact row explodes to both directions
+    (a fwd-frame union would run the join twice)."""
+    c = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(c.alias("src"), s.alias("dst")),
+                    F.struct(s.alias("src"), c.alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+    )
+
+
 def q_pagerank(spark, sf):
     """Fixed-point PageRank (functions/graph.py) over the bidirectional
     customer<->supplier shipment graph (an edge per distinct pair where
@@ -4318,11 +4338,7 @@ def q_pagerank(spark, sf):
 
     o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
-    fwd = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-    )
-    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = _shipment_edges(o, li)
     return pagerank(edges, iterations=3)
 
 
@@ -4339,13 +4355,7 @@ def q_bfs_levels(spark, sf):
 
     o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
-    fwd = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-    )
-    edges = fwd.union(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    edges = _shipment_edges(o, li)
     sup = _t(spark, sf, "supplier")
     nat = _t(spark, sf, "nation").where(F.col("n_name") == "NATION_7")
     sources = sup.join(nat, sup.s_nationkey == nat.n_nationkey).select(

@@ -29,10 +29,10 @@ Scale shape (100 TB): the edge table is deduplicated, joined ONCE with
 out-degrees, hash-partitioned by ``src`` and persisted — every
 iteration then reuses that partitioning for its join (only the slim
 (node, rank) frame reshuffles) and runs one map-side-combined
-aggregation by ``dst``.  Per-iteration lineage is cut by persisting
-the new ranks and unpersisting the old, so 50 iterations do not build
-a 50-deep plan.  Driver-side state is two scalars (N and the base
-term).
+aggregation by ``dst``.  Lineage is cut by persisting the rank frame
+every ``materialize_every`` rounds (and at the end), so 50 iterations
+neither build a 50-deep plan nor pay an eager job per round.
+Driver-side state is two scalars (N and the base term).
 
 Reference parity: extensions/iterativebatch (IterativeBatchExecutor
 round loop) — this is the same per-round recompute schedule expressed
@@ -55,6 +55,7 @@ def pagerank(
     damping: int = 85,
     scale: int = 10**12,
     num_partitions: "int | None" = None,
+    materialize_every: int = 5,
 ) -> DataFrame:
     """PageRank over directed ``edges`` → ``(node, rank)`` with
     ``rank`` a fixed-point BIGINT (``scale`` = mass 1.0; divide by
@@ -97,10 +98,9 @@ def pagerank(
 
     base = (scale * (100 - damping)) // (100 * n)  # python ints: exact
     ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("rank"))
-    ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
-    ranks.count()
+    last_persisted = None
 
-    for _ in range(iterations):
+    for i in range(iterations):
         contribs = (
             linked.join(ranks, linked["src"] == ranks["node"])
             .select(
@@ -110,17 +110,24 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
         )
-        new_ranks = nodes.join(contribs, "node", "left").select(
+        ranks = nodes.join(contribs, "node", "left").select(
             "node",
             (
                 F.lit(base).cast("long")
                 + F.expr(f"({damping} * coalesce(contrib, 0L)) DIV 100")
             ).cast("long").alias("rank"),
         )
-        new_ranks = new_ranks.persist(StorageLevel.MEMORY_AND_DISK)
-        new_ranks.count()  # materialize, then cut the old lineage
-        ranks.unpersist()
-        ranks = new_ranks
+        # materialize every few rounds (and always at the end, so the
+        # returned frame survives unpersisting its inputs): a handful
+        # of lazy join+agg layers is cheaper for Catalyst than an
+        # eager job + cache hop PER iteration — at bench scale that
+        # halved wall-clock
+        if (i + 1) % materialize_every == 0 or i == iterations - 1:
+            ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+            ranks.count()
+            if last_persisted is not None:
+                last_persisted.unpersist()
+            last_persisted = ranks
 
     linked.unpersist()
     nodes.unpersist()
@@ -162,33 +169,43 @@ def bfs_levels(
     ).distinct()
     e = e.repartition("__s__").persist(StorageLevel.MEMORY_AND_DISK)
 
-    visited = (
+    l0 = (
         sources.select(F.col(node_col).alias("node"))
         .distinct()
         .withColumn("level", F.lit(0).cast("long"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    visited.count()
-    frontier = visited.select("node")
+    l0.count()
+    # one persisted frame PER LEVEL: the anti-join sees the lazy union
+    # of already-materialized frames (cheap), and no per-round
+    # visited-union job is paid — one count per round total
+    levels = [l0]
+    frontier = l0.select("node")
 
     for i in range(1, max_iters + 1):
+        visited_nodes = levels[0].select("node")
+        for lv in levels[1:]:
+            visited_nodes = visited_nodes.union(lv.select("node"))
         nxt = (
             frontier.join(e, frontier["node"] == e["__s__"])
             .select(F.col("__d__").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(visited_nodes, "node", "left_anti")
             .withColumn("level", F.lit(i).cast("long"))
         )
         nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
         if nxt.count() == 0:
             nxt.unpersist()
             break
-        new_visited = visited.union(nxt).persist(StorageLevel.MEMORY_AND_DISK)
-        new_visited.count()
-        visited.unpersist()
-        nxt.unpersist()
-        visited = new_visited
-        frontier = visited.where(F.col("level") == i).select("node")
+        levels.append(nxt)
+        frontier = nxt.select("node")
 
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    for lv in levels:
+        lv.unpersist()
     e.unpersist()
-    return visited
+    return out
