@@ -95,6 +95,14 @@ HEADLINE = [
     "iterative_transactional_output",
     "resample_locf",
     "streaming_theta_maintain",
+    # round-9 additions (appended): the BPE-training inner-loop
+    # statistic.  pagerank / bfs_levels / bpe_tokenize are deliberately
+    # NOT benched: they are iterative MULTI-JOB operators (per-round
+    # materializations), so single-query wall-clock mixes job-count
+    # overhead with data throughput — their scale posture is measured
+    # by tools/ (timings in BASELINE.md) and their correctness by the
+    # strict oracles.
+    "bpe_pair_counts",
 ]
 
 

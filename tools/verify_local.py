@@ -82,6 +82,13 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
+    # bound the oracle engine: heavyweight twins (minhash-in-SQL over
+    # sf1-scale documents) must SPILL, not trip the OOM killer — an
+    # OOM kill takes the whole sweep down with no FAIL row (observed:
+    # the r09 sf1 sweep died silently at 89 GB on dedup_incremental)
+    con.execute("SET memory_limit = '48GB'")
+    con.execute("SET temp_directory = '/tmp/duckdb_verify_spill'")
+    con.execute("SET preserve_insertion_order = false")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
