@@ -48,6 +48,7 @@ __all__ = [
     "bpe_pair_counts",
     "bpe_train",
     "bpe_apply",
+    "bpe_detokenize",
 ]
 
 EOW = "</w>"
@@ -264,3 +265,19 @@ def bpe_apply(
         df.schema.fields + [T.StructField(out_col, T.ArrayType(T.StringType()))]
     )
     return df.mapInPandas(run, schema=schema)
+
+
+def bpe_detokenize(
+    df: DataFrame,
+    tokens_col: str = "bpe_tokens",
+    out_col: str = "text",
+) -> DataFrame:
+    """Inverse of :func:`bpe_apply`: BPE symbol array → whitespace-
+    joined text (concatenate symbols, turn each ``</w>`` end-of-word
+    marker into a space, trim).  Pure native expressions — one
+    projection, no Python, no shuffle.  Exact roundtrip for any text
+    whose words are whitespace-separated (the tokenizer's
+    normalization: runs of whitespace collapse to single spaces)."""
+    joined = F.array_join(F.col(tokens_col), "")
+    text = F.trim(F.regexp_replace(joined, EOW, " "))
+    return df.withColumn(out_col, text)

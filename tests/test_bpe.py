@@ -148,3 +148,25 @@ def test_bpe_early_stop(spark):
     assert m.count() == 0
     assert [f.name for f in m.schema.fields] \
         == ["merge_rank", "left", "right", "merged"]
+
+
+def test_bpe_detokenize_roundtrip(spark):
+    """apply → detokenize reproduces the whitespace-normalized text
+    exactly (for ANY merge table — segmentation never loses bytes),
+    via pure native expressions."""
+    from asakusafw_spark_spark.functions import bpe_detokenize
+
+    texts = ["the cat  sat ", "lowest newest", "", None, "  "]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    m = bpe_train(df.where(F.col("text").isNotNull()), num_merges=6)
+    out = {
+        r.doc_id: r.rt
+        for r in bpe_detokenize(
+            bpe_apply(df, m), out_col="rt"
+        ).select("doc_id", "rt").collect()
+    }
+    assert out[0] == "the cat sat"   # whitespace normalized
+    assert out[1] == "lowest newest"
+    assert out[2] == "" and out[3] == "" and out[4] == ""
