@@ -442,14 +442,28 @@ def flow(sf_dir):
     )
     if r.returncode != 0:
         raise RuntimeError(f"cli_roundtrip launcher failed: {r.stderr[-2000:]}")
-    if "output save: 5 records" not in r.stderr:
-        # job-end per-output counter line (OutputCounters parity) —
-        # part of the launcher contract since r09
+    # job-end per-output counter line (OutputCounters parity) — part of
+    # the launcher contract since r09.  The COUNT is checked against
+    # the rows actually read back, not hardcoded, so the query stays
+    # valid on degenerate inputs (robustness sweep runs it on empty
+    # tables, where the counter correctly logs 0)
+    import re
+
+    m = re.search(r"output save: (\d+) records", r.stderr)
+    if m is None:
         raise RuntimeError(
             f"cli_roundtrip: missing output-counter log line in stderr: "
             f"{r.stderr[-500:]}"
         )
-    return spark.read.parquet(out_dir)
+    out = spark.read.parquet(out_dir)
+    logged = int(m.group(1))
+    actual = out.count()
+    if logged != actual:
+        raise RuntimeError(
+            f"cli_roundtrip: counter logged {logged} records but the "
+            f"sink holds {actual}"
+        )
+    return out
 
 
 def q_k_anonymity_report(spark, sf):
@@ -4342,6 +4356,26 @@ def q_pagerank(spark, sf):
     return pagerank(edges, iterations=3)
 
 
+def q_pagerank_personalized(spark, sf):
+    """Personalized PageRank (random walk with restart) from the
+    NATION_7 supplier cohort over the bidirectional shipment graph:
+    teleport and initial mass only on the cohort — the standard
+    relatedness-to-a-seed-set ranking (recommendations, entity
+    expansion).  Same fixed-point BIGINT contract as `pagerank`, so the
+    DuckDB unrolled twin matches bit-for-bit."""
+    from asakusafw_spark_spark.functions import pagerank
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = _shipment_edges(o, li)
+    sup = _t(spark, sf, "supplier")
+    nat = _t(spark, sf, "nation").where(F.col("n_name") == "NATION_7")
+    sources = sup.join(nat, sup.s_nationkey == nat.n_nationkey).select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node")
+    )
+    return pagerank(edges, iterations=3, sources=sources)
+
+
 def q_bfs_levels(spark, sf):
     """Multi-source BFS distance (functions/graph.py bfs_levels) over
     the bidirectional customer<->supplier shipment graph, sources = the
@@ -4431,12 +4465,13 @@ def q_bpe_tokenize(spark, sf):
 
 
 def _pagerank_oracle_sql(iterations: int = 3, damping: int = 85,
-                         scale: int = 10**12) -> str:
+                         scale: int = 10**12,
+                         personalized: bool = False) -> str:
     """Unroll the fixed-point PageRank iterations as DuckDB CTEs —
     `//` (DuckDB) and `DIV` (Spark) are the same floor division on
-    non-negative BIGINTs, so the hashes agree exactly."""
-    n_sub = "(SELECT COUNT(*) FROM nodes)"
-    base = f"({scale} * {100 - damping}) // (100 * {n_sub})"
+    non-negative BIGINTs, so the hashes agree exactly.  With
+    ``personalized``, teleport mass and initial mass go only to the
+    NATION_7 supplier cohort (the engine query's source set)."""
     ctes = [
         """e0 AS (
             SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
@@ -4444,9 +4479,40 @@ def _pagerank_oracle_sql(iterations: int = 3, damping: int = 85,
         )""",
         "edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)",
         "outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
-        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
-        f"r0 AS (SELECT node, {scale} // {n_sub} AS rank FROM nodes)",
     ]
+    if personalized:
+        ctes += [
+            """srcs AS (
+                SELECT DISTINCT 's' || s_suppkey AS node
+                FROM supplier JOIN nation ON n_nationkey = s_nationkey
+                WHERE n_name = 'NATION_7'
+            )""",
+            """nodes AS (
+                SELECT src AS node FROM edges
+                UNION SELECT dst FROM edges
+                UNION SELECT node FROM srcs
+            )""",
+        ]
+        n_sub = "(SELECT COUNT(*) FROM srcs)"
+        base = (
+            f"CASE WHEN s.node IS NOT NULL THEN "
+            f"({scale} * {100 - damping}) // (100 * {n_sub}) ELSE 0 END"
+        )
+        src_join = "LEFT JOIN srcs s ON n.node = s.node"
+        ctes.append(f"""r0 AS (
+            SELECT n.node,
+                   CASE WHEN s.node IS NOT NULL
+                        THEN {scale} // {n_sub} ELSE 0 END AS rank
+            FROM nodes n {src_join}
+        )""")
+    else:
+        ctes.append(
+            "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)"
+        )
+        n_sub = "(SELECT COUNT(*) FROM nodes)"
+        base = f"({scale} * {100 - damping}) // (100 * {n_sub})"
+        src_join = ""
+        ctes.append(f"r0 AS (SELECT node, {scale} // {n_sub} AS rank FROM nodes)")
     for i in range(1, iterations + 1):
         ctes.append(f"""c{i} AS (
             SELECT e.dst AS node,
@@ -4459,7 +4525,7 @@ def _pagerank_oracle_sql(iterations: int = 3, damping: int = 85,
         ctes.append(f"""r{i} AS (
             SELECT n.node,
                    {base} + ({damping} * COALESCE(c.contrib, 0)) // 100 AS rank
-            FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
+            FROM nodes n LEFT JOIN c{i} c ON n.node = c.node {src_join}
         )""")
     return (
         "WITH " + ",\n".join(ctes)
@@ -4490,11 +4556,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     2. queries riding code EDITED in r09 (resample_timeseries
         #        timezone/floor fixes + span guard; theta-maintain
         #        empty-cohort left join) plus the NEW r09 operators
-        #        (pagerank, bfs_levels, bpe_pair_counts, bpe_tokenize —
-        #        first driver rows);
-        #     3. 27 of the 47-query r06 block that crosses the boundary
+        #        (pagerank, pagerank_personalized, bfs_levels,
+        #        bpe_pair_counts, bpe_tokenize — first driver rows);
+        #     3. 26 of the 47-query r06 block that crosses the boundary
         #        this round, merge_upsert first (its guard changed in
-        #        r09).  The remaining 20 r06 queries sit immediately
+        #        r09).  The remaining 21 r06 queries sit immediately
         #        after the window and complete the rotation in r10.
         #     Everything outside the window is covered by the committed
         #     LOCAL_VERIFY_r09 artifacts (strict value hash, sf0.01 AND
@@ -4519,6 +4585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_locf": q_resample_locf,
         "streaming_theta_maintain": q_streaming_theta_maintain,
         "pagerank": q_pagerank,
+        "pagerank_personalized": q_pagerank_personalized,
         "bfs_levels": q_bfs_levels,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_tokenize": q_bpe_tokenize,
@@ -4671,6 +4738,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "pagerank": _pagerank_oracle_sql(iterations=3),
+        "pagerank_personalized": _pagerank_oracle_sql(
+            iterations=3, personalized=True
+        ),
         "bfs_levels": _bfs_oracle_sql(max_iters=4),
         # bpe_tokenize: deliberately NO oracle — iterative argmax is not
         # SQL-expressible; rows-only driver check + exact pytest pin

@@ -56,12 +56,27 @@ def pagerank(
     scale: int = 10**12,
     num_partitions: "int | None" = None,
     materialize_every: int = 5,
+    sources: "DataFrame | None" = None,
+    node_col: str = "node",
 ) -> DataFrame:
     """PageRank over directed ``edges`` → ``(node, rank)`` with
     ``rank`` a fixed-point BIGINT (``scale`` = mass 1.0; divide by
     ``scale`` for the float value).  Duplicate edges count once;
     self-loops participate like any edge.  See the module docstring
     for the exact integer-arithmetic contract.
+
+    ``sources`` switches to PERSONALIZED PageRank (random walk with
+    restart): the teleport term and the initial mass go only to the
+    source cohort —
+
+        rank0(v)  = scale DIV |S|            if v in S else 0
+        rank'(v)  = [v in S] * (scale * (100 - damping)) DIV (100 * |S|)
+                  + (damping * contrib(v)) DIV 100
+
+    — the standard relatedness-to-a-cohort ranking (recommendations,
+    seed-expansion), same integer determinism contract.  Sources not
+    present in any edge still appear in the output (they hold teleport
+    mass).
     """
     if iterations < 1:
         raise ValueError("pagerank: iterations must be >= 1")
@@ -84,20 +99,44 @@ def pagerank(
     # frame moves
     linked = e.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
 
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
     )
+    if sources is not None:
+        src_nodes = sources.select(F.col(node_col).alias("node")).distinct()
+        nodes = nodes.union(src_nodes)  # isolated sources stay ranked
+    nodes = nodes.distinct().persist(StorageLevel.MEMORY_AND_DISK)
     n = nodes.count()
     if n == 0:
         linked.unpersist()
         nodes.unpersist()
         return nodes.withColumn("rank", F.lit(0).cast("long"))
 
-    base = (scale * (100 - damping)) // (100 * n)  # python ints: exact
-    ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("rank"))
+    if sources is None:
+        base = (scale * (100 - damping)) // (100 * n)  # python ints: exact
+        base_col = F.lit(base).cast("long")
+        ranks = nodes.select(
+            "node", F.lit(scale // n).cast("long").alias("rank")
+        )
+    else:
+        s_count = src_nodes.count()
+        if s_count == 0:
+            raise ValueError("pagerank: sources is empty")
+        base_s = (scale * (100 - damping)) // (100 * s_count)
+        flagged = nodes.join(
+            src_nodes.withColumn("__is_src__", F.lit(True)), "node", "left"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        nodes.unpersist()
+        nodes = flagged
+        base_col = F.when(
+            F.col("__is_src__"), F.lit(base_s).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        ranks = nodes.select(
+            "node",
+            F.when(F.col("__is_src__"), F.lit(scale // s_count).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("rank"),
+        )
     last_persisted = None
 
     for i in range(iterations):
@@ -113,7 +152,7 @@ def pagerank(
         ranks = nodes.join(contribs, "node", "left").select(
             "node",
             (
-                F.lit(base).cast("long")
+                base_col
                 + F.expr(f"({damping} * coalesce(contrib, 0L)) DIV 100")
             ).cast("long").alias("rank"),
         )

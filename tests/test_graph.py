@@ -204,3 +204,61 @@ def test_bfs_levels_guard(spark):
     srcs = spark.createDataFrame([("a",)], ["node"])
     with pytest.raises(ValueError, match="max_iters"):
         bfs_levels(edges, srcs, max_iters=-1)
+
+
+def ppr_py(edge_list, srcs, iterations=3, damping=85, scale=SCALE):
+    es = sorted(set(edge_list))
+    nodes = sorted({u for u, _ in es} | {v for _, v in es} | set(srcs))
+    S = set(srcs)
+    outdeg = {}
+    for u, _ in es:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    base_s = (scale * (100 - damping)) // (100 * len(S))
+    rank = {v: (scale // len(S) if v in S else 0) for v in nodes}
+    for _ in range(iterations):
+        contrib = {v: 0 for v in nodes}
+        for u, v in es:
+            contrib[v] += rank[u] // outdeg[u]
+        rank = {
+            v: (base_s if v in S else 0) + (damping * contrib[v]) // 100
+            for v in nodes
+        }
+    return rank
+
+
+def test_pagerank_personalized_exact_and_semantics(spark):
+    """PPR: teleport/init mass only on the cohort; isolated sources
+    stay ranked; nodes far from the cohort get 0 at round 1; exact ==
+    vs the reference on random graphs."""
+    el = [("a", "b"), ("b", "c"), ("c", "a"), ("x", "y")]
+    edf = spark.createDataFrame(el, ["src", "dst"])
+    sdf = spark.createDataFrame([("a",), ("lonely",)], ["node"])
+    got = {
+        r.node: r.rank
+        for r in pagerank(edf, iterations=2, sources=sdf).collect()
+    }
+    assert got == ppr_py(el, ["a", "lonely"], iterations=2)
+    assert "lonely" in got and got["lonely"] > 0   # isolated source kept
+    assert got["x"] == 0 and got["y"] == 0         # unreachable from cohort
+    assert got["a"] > got["b"] > 0                 # mass radiates outward
+
+    for seed in (41, 42):
+        rng = random.Random(seed)
+        el = [
+            (f"n{rng.randrange(9)}", f"n{rng.randrange(9)}")
+            for _ in range(16)
+        ]
+        pool = sorted({u for u, _ in el} | {v for _, v in el})
+        srcs = rng.sample(pool, 2)
+        got = {
+            r.node: r.rank
+            for r in pagerank(
+                spark.createDataFrame(el, ["src", "dst"]),
+                iterations=3,
+                sources=spark.createDataFrame([(s,) for s in srcs], ["node"]),
+            ).collect()
+        }
+        assert got == ppr_py(el, srcs, iterations=3), (seed, el, srcs)
+
+    with pytest.raises(ValueError, match="sources"):
+        pagerank(edf, sources=sdf.where("node = 'zzz'"))
