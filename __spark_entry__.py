@@ -4376,6 +4376,21 @@ def q_pagerank_personalized(spark, sf):
     return pagerank(edges, iterations=3, sources=sources)
 
 
+def q_triangle_count(spark, sf):
+    """Triangle count (functions/graph.py) of the embedding near-dup
+    graph (cosine_near_dup pairs at threshold 0.45 / 2 planes — the
+    same generator as embedding_dup_clusters): every triangle is three
+    pairwise-agreeing near-dups, so the count measures duplicate-
+    cluster density.  Degree-oriented wedge join Spark-side (m^1.5
+    bound, hub-safe); the DuckDB twin counts a<b<c closed triples —
+    orientation-independent, same exact integer."""
+    from asakusafw_spark_spark.functions import cosine_near_dup, triangle_count
+
+    emb = _t(spark, sf, "embeddings")
+    pairs = cosine_near_dup(emb, threshold=0.45, planes=2)
+    return triangle_count(pairs, src="id_a", dst="id_b")
+
+
 def q_bfs_levels(spark, sf):
     """Multi-source BFS distance (functions/graph.py bfs_levels) over
     the bidirectional customer<->supplier shipment graph, sources = the
@@ -4557,10 +4572,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #        timezone/floor fixes + span guard; theta-maintain
         #        empty-cohort left join) plus the NEW r09 operators
         #        (pagerank, pagerank_personalized, bfs_levels,
-        #        bpe_pair_counts, bpe_tokenize — first driver rows);
-        #     3. 26 of the 47-query r06 block that crosses the boundary
+        #        triangle_count, bpe_pair_counts, bpe_tokenize — first
+        #        driver rows);
+        #     3. 25 of the 47-query r06 block that crosses the boundary
         #        this round, merge_upsert first (its guard changed in
-        #        r09).  The remaining 21 r06 queries sit immediately
+        #        r09).  The remaining 22 r06 queries sit immediately
         #        after the window and complete the rotation in r10.
         #     Everything outside the window is covered by the committed
         #     LOCAL_VERIFY_r09 artifacts (strict value hash, sf0.01 AND
@@ -4587,6 +4603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "pagerank_personalized": q_pagerank_personalized,
         "bfs_levels": q_bfs_levels,
+        "triangle_count": q_triangle_count,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_tokenize": q_bpe_tokenize,
         "merge_upsert": q_merge_upsert,
@@ -4742,6 +4759,17 @@ def oracle_sql() -> dict[str, str]:
             iterations=3, personalized=True
         ),
         "bfs_levels": _bfs_oracle_sql(max_iters=4),
+        # triangle count over the near-dup pair graph: pairs already
+        # come id_a < id_b from the generator, so they ARE the
+        # canonical undirected edges; count closed a<b<c triples
+        "triangle_count": f"""
+            WITH p AS ({_duck_near_dup_sql(threshold=0.45, planes=2)}),
+            ce AS (SELECT DISTINCT id_a AS a, id_b AS b FROM p)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM ce e1
+            JOIN ce e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN ce e3 ON e3.a = e1.b AND e3.b = e2.b
+        """,
         # bpe_tokenize: deliberately NO oracle — iterative argmax is not
         # SQL-expressible; rows-only driver check + exact pytest pin
         "bpe_pair_counts": r"""

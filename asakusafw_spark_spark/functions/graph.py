@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
-__all__ = ["pagerank", "bfs_levels"]
+__all__ = ["pagerank", "bfs_levels", "triangle_count"]
 
 
 def pagerank(
@@ -248,3 +248,84 @@ def bfs_levels(
         lv.unpersist()
     e.unpersist()
     return out
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact triangle count of the UNDIRECTED simple graph induced by
+    ``edges`` (direction ignored, duplicates and self-loops dropped) →
+    a single-row ``(n_triangles)`` frame.  The motif member of the
+    graph family; on a dedup-pair graph it measures duplicate-cluster
+    density (every 3-clique is three pairwise near-dups agreeing).
+
+    Scale shape — DEGREE ORIENTATION (the standard m^1.5 bound): each
+    edge is directed from its (degree, id)-smaller endpoint to the
+    larger, so every wedge is built from the LOW-degree side — a
+    degree-D hub contributes O(D) oriented out-edges only if nothing
+    cheaper closes the wedge, bounding the wedge join to O(m^1.5)
+    regardless of hubs (a node-id orientation would explode a popular
+    hub into O(D^2) wedges).  One join builds wedges, one equi-join
+    closes them: because orientation follows the same total order used
+    to order the wedge pair, the closing edge (v, w) is oriented
+    exactly v→w — a plain equi-join, no OR-of-directions.
+
+    The count is orientation-independent, so the DuckDB twin uses the
+    simple a<b<c three-way join — same number, strict hash oracle.
+    """
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.where(a != b)
+        .select(
+            F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    deg_a = deg.select(
+        F.col("node").alias("__na__"), F.col("deg").alias("deg_a")
+    )
+    deg_b = deg.select(
+        F.col("node").alias("__nb__"), F.col("deg").alias("deg_b")
+    )
+    keyed = (
+        und.join(deg_a, und["a"] == deg_a["__na__"])
+        .join(deg_b, und["b"] == deg_b["__nb__"])
+        .select(
+            "a", "b",
+            F.struct(
+                F.col("deg_a").alias("d"), F.col("a").alias("n")
+            ).alias("ka"),
+            F.struct(
+                F.col("deg_b").alias("d"), F.col("b").alias("n")
+            ).alias("kb"),
+        )
+    )
+    oriented = keyed.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("kv"),
+    )
+    o1 = oriented.select(
+        F.col("u"), F.col("v").alias("w1"), F.col("kv").alias("k1")
+    )
+    o2 = oriented.select(
+        F.col("u"), F.col("v").alias("w2"), F.col("kv").alias("k2")
+    )
+    wedges = o1.join(o2, "u").where(F.col("k1") < F.col("k2")).select(
+        F.col("w1").alias("x"), F.col("w2").alias("y")
+    )
+    closing = oriented.select(
+        F.col("u").alias("x"), F.col("v").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    return tri

@@ -262,3 +262,47 @@ def test_pagerank_personalized_exact_and_semantics(spark):
 
     with pytest.raises(ValueError, match="sources"):
         pagerank(edf, sources=sdf.where("node = 'zzz'"))
+
+
+def tri_py(edge_list):
+    import itertools
+
+    ce = {tuple(sorted(e)) for e in edge_list if e[0] != e[1]}
+    nodes = sorted({x for e in ce for x in e})
+    return sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in ce and (a, c) in ce and (b, c) in ce
+    )
+
+
+def test_triangle_count_semantics_and_exact(spark):
+    """Direction ignored, duplicates/self-loops dropped, K4 has 4
+    triangles, and random graphs match brute force exactly (the
+    degree-oriented wedge join must count each triangle exactly once
+    regardless of hub structure)."""
+    from asakusafw_spark_spark.functions import triangle_count
+
+    def count(el):
+        df = spark.createDataFrame(el, ["src", "dst"])
+        return triangle_count(df).collect()[0].n_triangles
+
+    assert count([("a", "b"), ("b", "c"), ("c", "a")]) == 1
+    # reverse duplicates + self-loop: still exactly 1
+    assert count(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "a")]
+    ) == 1
+    assert count([("a", "b"), ("b", "c")]) == 0
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    assert count(k4) == 4
+    # hub star (no triangles despite a degree-7 hub)
+    star = [("h", f"s{i}") for i in range(7)]
+    assert count(star) == 0
+
+    for seed in (51, 52, 53):
+        rng = random.Random(seed)
+        el = [
+            (f"n{rng.randrange(9)}", f"n{rng.randrange(9)}")
+            for _ in range(24)
+        ]
+        assert count(el) == tri_py(el), (seed, el)
