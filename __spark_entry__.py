@@ -4031,7 +4031,8 @@ def _duck_sig_terms(k: int = 8, seed: int = 42) -> str:
     return "[" + ", ".join(terms) + "]"
 
 
-def _duck_minhash_lsh_sql(threshold: float = 0.5, k: int = 8, bands: int = 4) -> str:
+def _duck_minhash_lsh_sql(threshold: float = 0.5, k: int = 8, bands: int = 4,
+                          max_bucket: int = 500) -> str:
     r = k // bands
     band_rows = ", ".join(
         "{{'band': {b}, 'key': CAST(sig[{i1}] AS VARCHAR) || ':' || "
@@ -4046,9 +4047,15 @@ def _duck_minhash_lsh_sql(threshold: float = 0.5, k: int = 8, bands: int = 4) ->
                    s -> CAST('0x' || substr(md5(s),1,15) AS BIGINT) % {MERSENNE_P}) AS hs
           FROM base),
         sigs AS (SELECT id, shingles, {_duck_sig_terms(k)} AS sig FROM hashed),
-        banded AS (
+        banded0 AS (
           SELECT id, shingles, bk.band AS band, bk.key AS key
           FROM sigs, UNNEST([{band_rows}]) AS t(bk)),
+        -- oversized-bucket cap (mirrors minhash_lsh_pairs max_bucket)
+        bkeep AS (
+          SELECT band, key FROM banded0
+          GROUP BY band, key HAVING COUNT(*) <= {max_bucket}),
+        banded AS (
+          SELECT banded0.* FROM banded0 JOIN bkeep USING (band, key)),
         cand AS (
           SELECT a.id AS id_a, b.id AS id_b,
                  any_value(a.shingles) AS sh_a, any_value(b.shingles) AS sh_b
@@ -4065,7 +4072,8 @@ def _duck_minhash_lsh_sql(threshold: float = 0.5, k: int = 8, bands: int = 4) ->
     """
 
 
-def _duck_incremental_sql(threshold: float = 0.5, k: int = 8, bands: int = 4) -> str:
+def _duck_incremental_sql(threshold: float = 0.5, k: int = 8, bands: int = 4,
+                          max_bucket: int = 500) -> str:
     """dedup_against_corpus (even ids = history, odd ids = batch) in DuckDB."""
     r = k // bands
     band_rows = ", ".join(
@@ -4081,9 +4089,16 @@ def _duck_incremental_sql(threshold: float = 0.5, k: int = 8, bands: int = 4) ->
                    s -> CAST('0x' || substr(md5(s),1,15) AS BIGINT) % {MERSENNE_P}) AS hs
           FROM base),
         sigs AS (SELECT id, shingles, {_duck_sig_terms(k)} AS sig FROM hashed),
-        banded AS (
+        banded0 AS (
           SELECT id, shingles, bk.band AS band, bk.key AS key
           FROM sigs, UNNEST([{band_rows}]) AS t(bk)),
+        -- oversized-bucket cap across history + batch (mirrors
+        -- dedup_against_corpus max_bucket)
+        bkeep AS (
+          SELECT band, key FROM banded0
+          GROUP BY band, key HAVING COUNT(*) <= {max_bucket}),
+        banded AS (
+          SELECT banded0.* FROM banded0 JOIN bkeep USING (band, key)),
         cand AS (
           SELECT a.id AS old_id, b.id AS new_id,
                  any_value(a.shingles) AS sh_a, any_value(b.shingles) AS sh_b

@@ -162,6 +162,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     seed: int = 42,
+    max_bucket: "int | None" = 500,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH: shingle → k-minhash →
     ``bands`` band-buckets → equi-join on (band, band-key) → exact
@@ -175,9 +176,24 @@ def minhash_lsh_pairs(
     re-joined only onto the (much smaller) deduped candidate-pair list
     for exact verification.  No cross join anywhere; skewed buckets are
     split by AQE.
+
+    ``max_bucket`` (ON by default — the analog of
+    :func:`ngram_jaccard_pairs`' doc-freq cap): a (band, key) bucket
+    holding more than this many documents is DROPPED before the join.
+    An oversized bucket means that band key carries no discriminative
+    power — low-entropy corpora can put thousands of documents in one
+    bucket, and the join is quadratic PER BUCKET (the r09 sf1 sweep
+    caught exactly this: a synthetic low-diversity corpus drove both
+    engines quadratic).  Real near-dups above threshold almost always
+    agree on several bands, so they still pair via their other, smaller
+    buckets; pairs matching ONLY through a mega-bucket are lost — a
+    documented approximation.  ``max_bucket=None`` restores the exact
+    quadratic behavior.
     """
     if k % bands != 0:
         raise ValueError("bands must divide k")
+    if max_bucket is not None and max_bucket < 2:
+        raise ValueError("max_bucket must be >= 2 (or None)")
     r = k // bands
     df = ensure_parallelism(df)
     # The shingle set feeds THREE consumers (signature + both sides of
@@ -208,6 +224,15 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    if max_bucket is not None:
+        keep = (
+            banded.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("__n__"))
+            .filter(F.col("__n__") <= max_bucket)
+            .select("band", "key")
+        )
+        banded = banded.join(keep, ["band", "key"], "left_semi")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -833,11 +858,18 @@ def dedup_against_corpus(
     bands: int = 4,
     threshold: float = 0.5,
     seed: int = 42,
+    max_bucket: "int | None" = 500,
 ) -> DataFrame:
     """Incremental ingestion dedup: drop new documents that near-match
     the EXISTING corpus (MinHash-LSH candidates, exact-Jaccard verify,
     ``jaccard ≥ threshold`` ⇒ drop).  Returns the surviving new rows,
     all columns preserved.
+
+    ``max_bucket`` drops (band, key) buckets holding more than this
+    many documents ACROSS history + batch before the candidate join —
+    see :func:`minhash_lsh_pairs` for the rationale (non-discriminative
+    mega-buckets drive the join quadratic; the r09 sf1 sweep caught a
+    low-entropy corpus doing exactly that in both engines).
 
     This is the production shape whole-corpus :func:`dedup_corpus`
     can't serve: a daily batch must not re-pair the full history with
@@ -867,11 +899,25 @@ def dedup_against_corpus(
         seed=seed,
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
+    hist_rows = _band_rows(index, k, bands)
+    new_rows = _band_rows(new_index, k, bands)
+    if max_bucket is not None:
+        if max_bucket < 2:
+            raise ValueError("max_bucket must be >= 2 (or None)")
+        keep = (
+            hist_rows.select("band", "key")
+            .unionAll(new_rows.select("band", "key"))
+            .groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("__n__"))
+            .filter(F.col("__n__") <= max_bucket)
+            .select("band", "key")
+        )
+        hist_rows = hist_rows.join(keep, ["band", "key"], "left_semi")
+        new_rows = new_rows.join(keep, ["band", "key"], "left_semi")
     cand = (
-        _band_rows(index, k, bands)
-        .alias("a")
+        hist_rows.alias("a")
         .join(
-            _band_rows(new_index, k, bands).alias("b"),
+            new_rows.alias("b"),
             on=[F.col("a.band") == F.col("b.band"), F.col("a.key") == F.col("b.key")],
         )
         .select(F.col("a.id").alias("old_id"), F.col("b.id").alias("new_id"))

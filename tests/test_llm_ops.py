@@ -1245,3 +1245,48 @@ def test_ivf_rerank_two_stage(vecs):
         ivf_topk(vecs, queries, k=5, rerank=3)
     with pytest.raises(ValueError, match="rerank must be"):
         ivf_topk(vecs, queries, k=5, quantized=True, rerank=0)
+
+
+def test_minhash_lsh_max_bucket_cap(spark):
+    """Oversized-bucket cap (r09, caught by the sf1 sweep): N identical
+    docs put all their band keys in one size-N mega-bucket — with
+    max_bucket < N those keys are dropped (no pairs, join stays
+    sub-quadratic); max_bucket=None restores the exact N*(N-1)/2; and a
+    NORMAL-sized near-dup pair is unaffected by the cap."""
+    import pytest
+
+    from asakusafw_spark_spark.functions import minhash_lsh_pairs
+    from asakusafw_spark_spark.functions.dedup import dedup_against_corpus
+
+    clones = [(i, "alpha beta gamma delta epsilon zeta") for i in range(10)]
+    pair = [
+        (100, "one two three four five six seven"),
+        (101, "one two three four five six eight"),
+    ]
+    df = spark.createDataFrame(clones + pair, ["doc_id", "text"])
+
+    capped = minhash_lsh_pairs(df, threshold=0.5, max_bucket=5).collect()
+    got = {(r.id_a, r.id_b) for r in capped}
+    assert (100, 101) in got              # small bucket untouched
+    assert all(a >= 100 for a, _ in got)  # mega-bucket pairs gone
+
+    exact = minhash_lsh_pairs(df, threshold=0.5, max_bucket=None).collect()
+    clone_pairs = {(r.id_a, r.id_b) for r in exact if r.id_a < 100}
+    assert len(clone_pairs) == 45         # 10*9/2, all restored
+
+    # incremental face: history = clones (even ids), batch = one clone
+    hist = df.where("doc_id < 10 and doc_id % 2 = 0")
+    batch = spark.createDataFrame(
+        [(999, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    kept_capped = dedup_against_corpus(
+        batch, corpus=hist, threshold=0.5, max_bucket=4
+    ).count()
+    kept_exact = dedup_against_corpus(
+        batch, corpus=hist, threshold=0.5, max_bucket=None
+    ).count()
+    assert kept_capped == 1   # mega-bucket dropped -> no match -> kept
+    assert kept_exact == 0    # exact mode still drops the clone
+
+    with pytest.raises(ValueError, match="max_bucket"):
+        minhash_lsh_pairs(df, max_bucket=1)
