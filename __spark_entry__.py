@@ -4056,17 +4056,23 @@ def _duck_minhash_lsh_sql(threshold: float = 0.5, k: int = 8, bands: int = 4,
           GROUP BY band, key HAVING COUNT(*) <= {max_bucket}),
         banded AS (
           SELECT banded0.* FROM banded0 JOIN bkeep USING (band, key)),
+        -- ids only through the candidate aggregate (shingle LISTS per
+        -- candidate pair inside a GROUP BY are non-spillable and blew
+        -- the 48GB oracle budget at sf1); lists re-join at scoring
+        -- time, where the filter consumes the join stream
         cand AS (
-          SELECT a.id AS id_a, b.id AS id_b,
-                 any_value(a.shingles) AS sh_a, any_value(b.shingles) AS sh_b
+          SELECT a.id AS id_a, b.id AS id_b
           FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
           WHERE a.id < b.id GROUP BY 1, 2),
         scored AS (
-          SELECT id_a, id_b,
-                 CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
-                 CAST(len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+          SELECT c.id_a, c.id_b,
+                 CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+                 CAST(len(sa.shingles) + len(sb.shingles)
+                      - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
                    AS jac
-          FROM cand)
+          FROM cand c
+          JOIN sigs sa ON sa.id = c.id_a
+          JOIN sigs sb ON sb.id = c.id_b)
         SELECT id_a, id_b, round(jac, 6) AS jaccard
         FROM scored WHERE jac >= {threshold}
     """
@@ -4100,14 +4106,16 @@ def _duck_incremental_sql(threshold: float = 0.5, k: int = 8, bands: int = 4,
         banded AS (
           SELECT banded0.* FROM banded0 JOIN bkeep USING (band, key)),
         cand AS (
-          SELECT a.id AS old_id, b.id AS new_id,
-                 any_value(a.shingles) AS sh_a, any_value(b.shingles) AS sh_b
+          SELECT a.id AS old_id, b.id AS new_id
           FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
           WHERE a.id % 2 = 0 AND b.id % 2 = 1 GROUP BY 1, 2),
         matched AS (
-          SELECT DISTINCT new_id FROM cand
-          WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
-                CAST(len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))
+          SELECT DISTINCT c.new_id FROM cand c
+          JOIN sigs sa ON sa.id = c.old_id
+          JOIN sigs sb ON sb.id = c.new_id
+          WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+                CAST(len(sa.shingles) + len(sb.shingles)
+                     - len(list_intersect(sa.shingles, sb.shingles))
                      AS DOUBLE) >= {threshold})
         SELECT doc_id, lang, source, n_chars FROM documents
         WHERE doc_id % 2 = 1
