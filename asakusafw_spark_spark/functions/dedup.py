@@ -226,10 +226,13 @@ def minhash_lsh_pairs(
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
     if max_bucket is not None:
+        # __n__ >= 2 is semantically free (a singleton bucket yields no
+        # pairs) and prunes the majority of banded rows — typically most
+        # buckets — from BOTH sides of the candidate self-join shuffle.
         keep = (
             banded.groupBy("band", "key")
             .agg(F.count(F.lit(1)).alias("__n__"))
-            .filter(F.col("__n__") <= max_bucket)
+            .filter((F.col("__n__") >= 2) & (F.col("__n__") <= max_bucket))
             .select("band", "key")
         )
         banded = banded.join(keep, ["band", "key"], "left_semi")
@@ -904,12 +907,14 @@ def dedup_against_corpus(
     if max_bucket is not None:
         if max_bucket < 2:
             raise ValueError("max_bucket must be >= 2 (or None)")
+        # __n__ >= 2 is free: a bucket seen once total has only one side
+        # populated, so the history x batch join emits nothing for it.
         keep = (
             hist_rows.select("band", "key")
             .unionAll(new_rows.select("band", "key"))
             .groupBy("band", "key")
             .agg(F.count(F.lit(1)).alias("__n__"))
-            .filter(F.col("__n__") <= max_bucket)
+            .filter((F.col("__n__") >= 2) & (F.col("__n__") <= max_bucket))
             .select("band", "key")
         )
         hist_rows = hist_rows.join(keep, ["band", "key"], "left_semi")
