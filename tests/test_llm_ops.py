@@ -1290,3 +1290,31 @@ def test_minhash_lsh_max_bucket_cap(spark):
 
     with pytest.raises(ValueError, match="max_bucket"):
         minhash_lsh_pairs(df, max_bucket=1)
+
+
+def test_minhash_cap_generous_equals_exact(spark):
+    """A cap larger than every bucket must be output-identical to
+    max_bucket=None — pins that the keep-filter's singleton-bucket prune
+    (``__n__ >= 2``) is semantics-free: a bucket with one member can
+    never produce a candidate pair."""
+    from asakusafw_spark_spark.functions import minhash_lsh_pairs
+
+    words = ["red", "blue", "green", "cat", "dog", "sun", "moon", "tree"]
+    docs = [
+        (i, " ".join(words[(i + j) % len(words)] for j in range(6)))
+        for i in range(40)
+    ]
+    # a couple of genuine near-dup pairs
+    docs += [(100, "river stone cloud light wind rain"),
+             (101, "river stone cloud light wind snow")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    capped = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(df, threshold=0.3, max_bucket=10_000).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(df, threshold=0.3, max_bucket=None).collect()
+    }
+    assert capped == exact and capped  # identical and non-trivial
