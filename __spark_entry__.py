@@ -3580,8 +3580,10 @@ def q_streaming_dedup_ingest(spark, sf):
     the corpus arrives as a 2-file stream, each micro-batch dedupes
     against a static index of the even-id history, survivors append.
     Batch boundaries cannot change the survivor set (static index,
-    per-doc decisions), so the read-back equals the batch
-    ``dedup_incremental`` oracle exactly."""
+    per-doc decisions, and the oversized-bucket cap counts HISTORY rows
+    only — a batch-inclusive count would make admission depend on
+    micro-batch size, the divergence the r09 sf1 sweep caught), so the
+    read-back equals the batch ``dedup_incremental`` oracle exactly."""
     import glob
     import os
     import shutil
@@ -4098,10 +4100,13 @@ def _duck_incremental_sql(threshold: float = 0.5, k: int = 8, bands: int = 4,
         banded0 AS (
           SELECT id, shingles, bk.band AS band, bk.key AS key
           FROM sigs, UNNEST([{band_rows}]) AS t(bk)),
-        -- oversized-bucket cap across history + batch (mirrors
-        -- dedup_against_corpus max_bucket)
+        -- oversized-bucket cap over HISTORY rows only (mirrors
+        -- dedup_against_corpus max_bucket: batch rows don't count, so
+        -- admission is micro-batch-boundary-independent); batch rows in
+        -- buckets with no history presence drop out too (no match
+        -- possible)
         bkeep AS (
-          SELECT band, key FROM banded0
+          SELECT band, key FROM banded0 WHERE id % 2 = 0
           GROUP BY band, key HAVING COUNT(*) <= {max_bucket}),
         banded AS (
           SELECT banded0.* FROM banded0 JOIN bkeep USING (band, key)),

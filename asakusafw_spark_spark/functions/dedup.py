@@ -869,10 +869,16 @@ def dedup_against_corpus(
     all columns preserved.
 
     ``max_bucket`` drops (band, key) buckets holding more than this
-    many documents ACROSS history + batch before the candidate join —
-    see :func:`minhash_lsh_pairs` for the rationale (non-discriminative
+    many HISTORY documents before the candidate join — see
+    :func:`minhash_lsh_pairs` for the rationale (non-discriminative
     mega-buckets drive the join quadratic; the r09 sf1 sweep caught a
-    low-entropy corpus doing exactly that in both engines).
+    low-entropy corpus doing exactly that in both engines).  The count
+    deliberately ignores the batch's own rows: each document's
+    admission decision then depends only on (document, index), so the
+    survivor set is identical however a stream slices the batch into
+    micro-batches (the property :func:`streaming.stream_dedup_ingest`'s
+    oracle relies on), and per-batch-row join fan-out is still
+    <= max_bucket.
 
     This is the production shape whole-corpus :func:`dedup_corpus`
     can't serve: a daily batch must not re-pair the full history with
@@ -907,14 +913,20 @@ def dedup_against_corpus(
     if max_bucket is not None:
         if max_bucket < 2:
             raise ValueError("max_bucket must be >= 2 (or None)")
-        # __n__ >= 2 is free: a bucket seen once total has only one side
-        # populated, so the history x batch join emits nothing for it.
+        # HISTORY-ONLY bucket counts.  Counting the batch's own rows
+        # into the cap made each doc's admission depend on what else
+        # happened to arrive in the same micro-batch — the r09 sf1
+        # streaming sweep caught stream_dedup_ingest diverging from its
+        # whole-batch oracle for exactly this reason.  Against a fixed
+        # index the per-doc decision is now batch-size-independent, and
+        # the join fan-out is still bounded: <= max_bucket candidate
+        # rows per batch band row.  The semi-join also drops batch rows
+        # whose bucket has NO history presence (no match possible), so
+        # only joinable band rows ride the shuffle.
         keep = (
-            hist_rows.select("band", "key")
-            .unionAll(new_rows.select("band", "key"))
-            .groupBy("band", "key")
+            hist_rows.groupBy("band", "key")
             .agg(F.count(F.lit(1)).alias("__n__"))
-            .filter((F.col("__n__") >= 2) & (F.col("__n__") <= max_bucket))
+            .filter(F.col("__n__") <= max_bucket)
             .select("band", "key")
         )
         hist_rows = hist_rows.join(keep, ["band", "key"], "left_semi")

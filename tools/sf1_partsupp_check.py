@@ -1,7 +1,9 @@
 #!/usr/bin/env python3
 """sf1-scale spot-check sweep (VERDICT r07 Next #7, widened per r08
-Next #2 from the 5 partsupp composites to a ~20-query sweep of the
-highest-traffic surfaces).
+Next #2 from the 5 partsupp composites to a 20-query sweep of the
+highest-traffic surfaces, then again in r09 to ~40 queries spanning
+graph, simhash/substring/LM/postings text ops, session/streaming
+maintainers, and the embeddings similarity family).
 
 Scale-dependent VALUE bugs are the live bug class (the lgK=12 HLL
 incident; the partsupp formula falsified twice by hypothesis at
@@ -12,7 +14,7 @@ parquet; both engines then read the identical bytes — no dual-engine
 generation arithmetic to trust) and funnels the sweep through the
 standard verify_local oracle gate at 10× the largest regularly-
 verified scale: S=10,000 suppliers / P=200,000 parts / 6M lineitems /
-1M events / 50k documents / 150k customers.
+1M events / 50k documents / 150k customers / 20k embeddings.
 
 Usage: python tools/sf1_partsupp_check.py [--keep] [out.json]
 Writes a LOCAL_VERIFY-shaped report (default LOCAL_VERIFY_sf1.json).
@@ -64,10 +66,39 @@ QUERIES = [
     "dedup_incremental",
     "tfidf",
     "bm25",
+    # r09 widening: graph ops (iterative fixed-point arithmetic whose
+    # determinism contract is exactly the scale-sensitive class)
+    "pagerank",
+    "pagerank_personalized",
+    "bfs_levels",
+    "triangle_count",
+    # more documents surfaces (simhash family, substring dedup, LM,
+    # postings index, packing)
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "scrub_spans",
+    "lm_score",
+    "vocab_top_k",
+    "text_index_search",
+    "pack_sequences",
+    # events surfaces (session windows, running frames, batch-replay
+    # streaming maintainers)
+    "sessionize",
+    "moving_avg",
+    "streaming_dedup_ingest",
+    "streaming_theta_maintain",
+    # embeddings surfaces (exact + quantized top-k, centroids,
+    # cosine dup clusters)
+    "similarity_bruteforce_topk",
+    "similarity_quantized_topk",
+    "quantize_embeddings",
+    "embedding_centroids",
+    "embedding_dup_clusters",
 ]
 
 P, S, O, L, C = 200_000, 10_000, 1_500_000, 6_000_000, 150_000
 EV, DOCS, USERS = 1_000_000, 50_000, 15_000
+EMB = 20_000
 
 REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 ADJS = ["small", "red", "blue", "hot", "green", "large"]
@@ -257,6 +288,34 @@ def generate(spark) -> None:
         ),
         "documents",
     )
+    # embeddings: driver schema (vec_id BIGINT, embedding FLOAT[64],
+    # label INT, 10 labels) at 10x rows.  Deterministic integer
+    # arithmetic: label-dependent cluster center + per-vector noise, so
+    # centroid / dup-cluster / top-k queries see real structure; k%5==4
+    # reuses seed k-4 with a tiny perturbation (near-duplicate vectors
+    # for the cosine-dup family).  Spark writes the file once and both
+    # engines read the identical bytes.
+    vseed = F.when(k % 5 == 4, k - 4).otherwise(k)
+    vlabel = ((k * 3) % 10).cast("int")
+    vperturb = F.when(k % 5 == 4, (k % 7).cast("double") / 997.0).otherwise(
+        F.lit(0.0)
+    )
+    write(
+        spark.range(EMB).select(
+            k.alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda j: (
+                    ((vlabel.cast("long") * 31 + j.cast("long") * 17) % 21 - 10)
+                    / 10.0
+                    + (((vseed * 13 + j.cast("long") * 7) % 201) - 100) / 500.0
+                    + vperturb
+                ).cast("float"),
+            ).alias("embedding"),
+            vlabel.alias("label"),
+        ),
+        "embeddings",
+    )
 
 
 def main() -> int:
@@ -267,7 +326,7 @@ def main() -> int:
 
     from asakusafw_spark_spark.session import engine_builder
 
-    if not os.path.exists(f"{SF1_DIR}/documents.parquet"):
+    if not os.path.exists(f"{SF1_DIR}/embeddings.parquet"):
         print(f"generating sf1-scale tables under {SF1_DIR} ...")
         spark = engine_builder(app_name="sf1_gen").getOrCreate()
         spark.sparkContext.setLogLevel("ERROR")
