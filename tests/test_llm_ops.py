@@ -1292,6 +1292,56 @@ def test_minhash_lsh_max_bucket_cap(spark):
         minhash_lsh_pairs(df, max_bucket=1)
 
 
+def test_dedup_against_corpus_batch_slicing_invariant(spark):
+    """The survivor set of incremental dedup must not depend on how the
+    batch is sliced into micro-batches — the contract
+    stream_dedup_ingest's whole-batch oracle relies on.  The r09 sf1
+    sweep caught the old history+batch bucket count violating exactly
+    this (smaller slices -> smaller buckets -> fewer capped keys ->
+    more matches); the cap now counts history only.  Constructed so the
+    cap BINDS: 8 history clones > max_bucket=6."""
+    from asakusafw_spark_spark.functions import build_dedup_index
+    from asakusafw_spark_spark.functions.dedup import dedup_against_corpus
+
+    hist_docs = [(i, "alpha beta gamma delta epsilon zeta") for i in range(8)]
+    hist_docs += [(20 + i, f"solo{i} text one two three four five") for i in range(4)]
+    batch_docs = [
+        (101, "alpha beta gamma delta epsilon zeta"),   # clone of mega-group
+        (102, "solo1 text one two three four five"),    # clone of a solo doc
+        (103, "completely different words here now ok"),
+        (104, "solo3 text one two three four five"),
+        (105, "alpha beta gamma delta epsilon eta"),    # near-dup of mega-group
+        (106, "nothing matches this document at all"),
+    ]
+    hist = spark.createDataFrame(hist_docs, ["doc_id", "text"])
+    index = build_dedup_index(hist)
+    batch = spark.createDataFrame(batch_docs, ["doc_id", "text"])
+
+    whole = {
+        r.doc_id
+        for r in dedup_against_corpus(batch, index=index, max_bucket=6).collect()
+    }
+    # every partition of the batch into slices must reproduce `whole`
+    slicings = [
+        [[101, 102], [103, 104], [105, 106]],
+        [[101], [102], [103], [104], [105], [106]],
+        [[101, 103, 105], [102, 104, 106]],
+    ]
+    for slices in slicings:
+        got = set()
+        for ids in slices:
+            part = batch.filter(F.col("doc_id").isin(ids))
+            got |= {
+                r.doc_id
+                for r in dedup_against_corpus(
+                    part, index=index, max_bucket=6
+                ).collect()
+            }
+        assert got == whole, (slices, got, whole)
+    # sanity: the construction is non-trivial (some dropped, some kept)
+    assert whole and whole != {d for d, _ in batch_docs}
+
+
 def test_minhash_cap_generous_equals_exact(spark):
     """A cap larger than every bucket must be output-identical to
     max_bucket=None — pins that the keep-filter's singleton-bucket prune
