@@ -3648,7 +3648,9 @@ def q_dedup_simhash_groups(spark, sf):
 def q_dedup_simhash_pairs(spark, sf):
     from asakusafw_spark_spark.functions import simhash_pairs
 
-    return simhash_pairs(_t(spark, sf, "documents"), bits=32, max_hamming=3)
+    # defaults: bits=64 (16-bit chunks), max_bucket=500 — the
+    # scale-safe configuration the r09 sf1 crash mandated
+    return simhash_pairs(_t(spark, sf, "documents"), max_hamming=3)
 
 
 def q_similarity_bruteforce(spark, sf):
@@ -4146,23 +4148,43 @@ def _duck_ngram_jaccard_sql(threshold: float = 0.3, max_doc_freq: int = 5) -> st
     """
 
 
-def _duck_simhash_expr(bits: int = 32) -> str:
-    terms = []
-    for b in range(bits):
-        vote = (
-            f"list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 "
+def _duck_simhash_sql(bits: int = 64, table: str = "documents") -> str:
+    """``SELECT doc_id, <sketch> AS sh FROM <table>`` — the DuckDB twin
+    of :func:`asakusafw_spark_spark.functions.simhash` (two independent
+    32-bit md5 halves per token; sketch assembled from exact 32-bit
+    half-sums with the signed-hi recombine so bit 63 never overflows a
+    BIGINT; integer ops only → bit-identical across engines)."""
+
+    def vote(lst: str, b: int) -> str:
+        return (
+            f"list_sum(list_transform({lst}, h -> CASE WHEN (h >> {b}) & 1 = 1 "
             f"THEN 1 ELSE -1 END))"
         )
-        terms.append(f"(CASE WHEN {vote} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)")
-    return " + ".join(terms)
 
-
-_DUCK_TOKEN_HASHES = f"""
-    SELECT doc_id, list_transform(
-             string_split_regex(trim(text), '\\s+'),
-             s -> CAST('0x' || substr(md5(s),1,15) AS BIGINT) % {MERSENNE_P}) AS hs
-    FROM documents
-"""
+    lo = " + ".join(
+        f"(CASE WHEN {vote('hs1', b)} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)"
+        for b in range(min(bits, 32))
+    )
+    hashes = f"""
+        SELECT doc_id,
+               list_transform(string_split_regex(trim(text), '\\s+'),
+                 s -> CAST('0x' || substr(md5(s),1,8) AS BIGINT)) AS hs1,
+               list_transform(string_split_regex(trim(text), '\\s+'),
+                 s -> CAST('0x' || substr(md5(s),9,8) AS BIGINT)) AS hs2
+        FROM {table}
+    """
+    if bits <= 32:
+        return f"SELECT doc_id, {lo} AS sh FROM ({hashes})"
+    hi = " + ".join(
+        f"(CASE WHEN {vote('hs2', b)} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits - 32)
+    )
+    return f"""
+        SELECT doc_id,
+               (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+                 * 4294967296 + lo AS sh
+        FROM (SELECT doc_id, {lo} AS lo, {hi} AS hi FROM ({hashes}))
+    """
 
 
 def _duck_lang_hits() -> tuple[str, str]:
@@ -4487,24 +4509,120 @@ def q_bpe_pair_counts(spark, sf):
     return bpe_pair_counts(hist)
 
 
+#: Pinned 24-merge BPE table: the EXACT output of
+#: ``bpe_train(documents@sf0.01, num_merges=24)`` (training itself is
+#: pinned == against a pure-Python reference in tests/test_bpe.py and
+#: its inner-loop statistic has the strict `bpe_pair_counts` oracle).
+#: Pinning the table as literals makes APPLICATION — which is fully
+#: deterministic — strictly oracle-checkable in SQL (VERDICT r09 #5).
+_BPE_PINNED_MERGES = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"), ("o", "w"),
+    ("ow", "</w>"), ("o", "r"), ("s", "t"), ("h", "</w>"), ("a", "t"),
+    ("l", "u"), ("i", "n"), ("a", "</w>"), ("g", "</w>"), ("y", "</w>"),
+    ("a", "r"), ("p", "ar"), ("t", "</w>"), ("i", "n</w>"), ("j", "o"),
+    ("jo", "in</w>"), ("a", "s"), ("as", "h</w>"), ("h", "ash</w>"),
+]
+
+
 def q_bpe_tokenize(spark, sf):
-    """End-to-end tokenizer lifecycle: TRAIN 24 BPE merges on the
-    documents corpus (iterative pair-count → argmax → native merge
-    fold, all on the word histogram), then APPLY the learned table to
-    the same corpus (Arrow-batched pair-priority encoder) → per-doc
-    BPE token counts.  Deterministic (integer counts + total argmax
-    tiebreak) but the iterative argmax is not SQL-expressible, so this
-    carries the weaker rows-only driver check; the merge table itself
-    is pinned exactly against a pure-Python reference in
-    tests/test_bpe.py, and the inner-loop statistic has the strict
-    `bpe_pair_counts` oracle."""
-    from asakusafw_spark_spark.functions import bpe_apply, bpe_train
+    """BPE tokenizer APPLICATION at corpus scale: encode every document
+    with a pinned 24-merge table (the Arrow-batched pair-priority
+    encoder, functions/bpe.py) → per-doc BPE token counts.  The DuckDB
+    twin replays the same priority loop as a recursive CTE over the
+    DISTINCT word set (find lowest-rank adjacent pair → greedy
+    left-to-right merge pass → repeat to fixpoint), so the strict
+    value-hash covers the full encode semantics — merge priority,
+    non-overlapping greedy passes, '</w>' handling, char fallback."""
+    from asakusafw_spark_spark.functions import bpe_apply
 
     docs = _t(spark, sf, "documents").select("doc_id", "text")
-    merges = bpe_train(docs, num_merges=24)
-    return bpe_apply(docs, merges).select(
+    return bpe_apply(docs, _BPE_PINNED_MERGES).select(
         "doc_id", F.size("bpe_tokens").cast("long").alias("n_bpe_tokens")
     )
+
+
+def _duck_bpe_apply_sql(merges: "list[tuple[str, str]]") -> str:
+    """DuckDB twin of ``bpe_apply`` with a LITERAL merge table: a
+    recursive CTE over the distinct word set replays the encoder's
+    priority loop exactly — each step finds the lowest-rank merge
+    whose pair is adjacent somewhere in the symbol list, applies it in
+    ONE greedy left-to-right non-overlapping pass, and recurses until
+    no table pair is present.
+
+    The greedy pass is expressed positionally: for ``l != r`` adjacent
+    matches can never overlap, so every match merges; for ``l == r``
+    (runs like 'aaa') a match at position i merges iff its offset from
+    the start of the run of ``l`` symbols is even — the pigeonhole
+    form of "merge unless the previous position already merged".
+    Output: per-doc total symbol count, joined back through each
+    document's (non-distinct) word list."""
+
+    def sel(i: str) -> str:
+        rs = (
+            f"(1 + coalesce(list_max(list_filter(range(1, {i}), "
+            f"j -> syms[j] <> l)), 0))"
+        )
+        return (
+            f"(syms[{i}] = l AND syms[{i}+1] = r AND "
+            f"(l <> r OR (({i} - {rs}) % 2 = 0)))"
+        )
+
+    rank_whens = " ".join(
+        f"WHEN syms[i] = '{l}' AND syms[i+1] = '{r}' THEN {k}"
+        for k, (l, r) in enumerate(merges)
+    )
+    best = (
+        f"list_min(list_transform(range(1, len(syms)), "
+        f"i -> CASE {rank_whens} END))"
+    )
+    l_of = "CASE br " + " ".join(
+        f"WHEN {k} THEN '{l}'" for k, (l, _) in enumerate(merges)
+    ) + " END"
+    r_of = "CASE br " + " ".join(
+        f"WHEN {k} THEN '{r}'" for k, (_, r) in enumerate(merges)
+    ) + " END"
+    merged = (
+        "list_filter(list_transform(range(1, len(syms) + 1), i -> "
+        f"CASE WHEN {sel('i')} THEN l || r "
+        f"WHEN i > 1 AND {sel('(i-1)')} THEN NULL "
+        "ELSE syms[i] END), x -> x IS NOT NULL)"
+    )
+    return rf"""
+        WITH RECURSIVE
+        w AS (
+          SELECT DISTINCT t.tok AS word
+          FROM documents, unnest(string_split_regex(trim(text), '\s+')) AS t(tok)
+          WHERE t.tok <> ''
+        ),
+        enc AS (
+          SELECT word,
+                 list_append(list_transform(range(1, length(word) + 1),
+                                            i -> substr(word, i, 1)),
+                             '</w>') AS syms
+          FROM w
+          UNION ALL
+          SELECT word, {merged} AS syms
+          FROM (
+            SELECT word, syms, {l_of} AS l, {r_of} AS r
+            FROM (SELECT word, syms, {best} AS br FROM enc)
+            WHERE br IS NOT NULL
+          )
+        ),
+        final AS (
+          SELECT word, len(syms) AS n_syms FROM enc WHERE {best} IS NULL
+        ),
+        doc_words AS (
+          SELECT doc_id, t.tok AS word
+          FROM documents, unnest(string_split_regex(trim(text), '\s+')) AS t(tok)
+          WHERE t.tok <> ''
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(SUM(f.n_syms), 0) AS BIGINT) AS n_bpe_tokens
+        FROM documents d
+        LEFT JOIN doc_words dw ON dw.doc_id = d.doc_id
+        LEFT JOIN final f ON f.word = dw.word
+        GROUP BY d.doc_id
+    """
 
 
 def _pagerank_oracle_sql(iterations: int = 3, damping: int = 85,
@@ -4798,8 +4916,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN ce e2 ON e2.a = e1.a AND e2.b > e1.b
             JOIN ce e3 ON e3.a = e1.b AND e3.b = e2.b
         """,
-        # bpe_tokenize: deliberately NO oracle — iterative argmax is not
-        # SQL-expressible; rows-only driver check + exact pytest pin
+        "bpe_tokenize": _duck_bpe_apply_sql(_BPE_PINNED_MERGES),
         "bpe_pair_counts": r"""
             WITH w AS (
               SELECT t.tok AS word
@@ -6477,22 +6594,23 @@ def oracle_sql() -> dict[str, str]:
         "streaming_cdc_upsert": _MERGE_ORACLE,
         "dedup_ngram_jaccard": _duck_ngram_jaccard_sql(threshold=0.3),
         "text_simhash": f"""
-            SELECT doc_id, {_duck_simhash_expr(32)} AS simhash
-            FROM ({_DUCK_TOKEN_HASHES})
+            SELECT doc_id, sh AS simhash FROM ({_duck_simhash_sql(64)})
         """,
         "dedup_simhash_groups": f"""
-            WITH s AS (SELECT doc_id, {_duck_simhash_expr(32)} AS simhash
-                       FROM ({_DUCK_TOKEN_HASHES}))
-            SELECT simhash, MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
+            WITH s AS ({_duck_simhash_sql(64)})
+            SELECT sh AS simhash, MIN(doc_id) AS keeper_id,
+                   COUNT(*) AS dup_count
             FROM s GROUP BY 1 HAVING COUNT(*) >= 2
         """,
         "dedup_simhash_pairs": f"""
-            WITH s AS (SELECT doc_id, {_duck_simhash_expr(32)} AS sh
-                       FROM ({_DUCK_TOKEN_HASHES})),
-            ch AS (SELECT doc_id, sh, i, (sh >> (i * 8)) & 255 AS cv
+            WITH s AS ({_duck_simhash_sql(64)}),
+            ch AS (SELECT doc_id, sh, i, (sh >> (i * 16)) & 65535 AS cv
                    FROM s, (SELECT unnest(range(0, 4)) AS i)),
+            keep AS (SELECT i, cv FROM ch GROUP BY i, cv
+                     HAVING COUNT(*) BETWEEN 2 AND 500),
+            chk AS (SELECT * FROM ch WHERE (i, cv) IN (SELECT (i, cv) FROM keep)),
             cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                     FROM ch a JOIN ch b ON a.i = b.i AND a.cv = b.cv
+                     FROM chk a JOIN chk b ON a.i = b.i AND a.cv = b.cv
                      WHERE a.doc_id < b.doc_id)
             SELECT id_a, id_b,
                    CAST(bit_count(xor(sa.sh, sb.sh)) AS BIGINT) AS hamming

@@ -129,12 +129,14 @@ def _parse_avi(data: bytes):
         raise ValueError("avi: not a RIFF/AVI file")
     (riff_size,) = struct.unpack_from("<I", data, 4)
     end = min(8 + riff_size, len(data))
-    frames: list[bytes] = []
+    raw_frames: list[tuple[int, bytes]] = []  # (stream no, payload)
     frame_ms: float | None = None
     usec_per_frame: float | None = None
+    strh_seen = 0
+    vids_stream: int | None = None  # stream index = strh order in hdrl
 
     def scan(pos: int, stop: int) -> None:
-        nonlocal frame_ms, usec_per_frame
+        nonlocal frame_ms, usec_per_frame, strh_seen, vids_stream
         for tag, p, size in _walk(data, pos, stop):
             if tag == b"LIST":
                 kind = data[p:p + 4]
@@ -147,18 +149,29 @@ def _parse_avi(data: bytes):
                     usec_per_frame = float(uspf)
             elif tag == b"strh" and size >= 32:
                 if data[p:p + 4] == b"vids":
+                    # a second video stream would silently interleave
+                    # two timelines into one — corrupt by our contract
+                    if vids_stream is not None:
+                        raise ValueError("avi: multiple 'vids' streams")
+                    vids_stream = strh_seen
                     scale, rate = struct.unpack_from("<II", data, p + 20)
                     if rate > 0 and scale > 0:
                         frame_ms = 1000.0 * scale / rate
+                strh_seen += 1
             elif tag[2:4] in (b"dc", b"db") and tag[:2].isdigit():
-                frames.append(data[p:p + size])
-            # everything else (idx1, JUNK, INFO…) skipped
+                raw_frames.append((int(tag[:2]), data[p:p + size]))
+            # everything else (idx1, JUNK, audio '01wb'…) skipped
 
     scan(12, end)
     if frame_ms is None:
         if usec_per_frame is None:
             raise ValueError("avi: no video stream header (strh 'vids')")
         frame_ms = usec_per_frame / 1000.0
+    # keep only the video stream's chunks (audio/extra streams carry
+    # their own NN prefix); headerless fallback keeps everything
+    frames = [
+        f for sn, f in raw_frames if vids_stream is None or sn == vids_stream
+    ]
     return frames, frame_ms
 
 

@@ -242,18 +242,27 @@ def bpe_apply(
         return syms
 
     import pandas as pd
+    import re
+
+    # Same tokenizer as word_histogram/tokens(): Java regex \s+ is the
+    # ASCII class [ \t\n\x0B\f\r] — Python's str.split() additionally
+    # splits on Unicode whitespace (NBSP, U+2028, …), which would make a
+    # word that was ONE unit at training time several units at apply
+    # time, degrading it to character fallback.
+    _ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     def run(batches):
         cache: dict = {}
         for pdf in batches:
             toks = []
             for t in pdf[text_col]:
-                if t is None or not str(t).strip():
+                if t is None:
                     toks.append([])
                     continue
                 row: list = []
-                for w in str(t).split():
-                    row.extend(encode_word(w, cache))
+                for w in _ws.split(str(t)):
+                    if w:
+                        row.extend(encode_word(w, cache))
                 toks.append(row)
             pdf = pdf.copy()
             pdf[out_col] = pd.Series(toks, index=pdf.index, dtype=object)

@@ -24,6 +24,25 @@ from .text import tokens, fingerprint
 #: Mersenne prime 2^31-1: permutation modulus (a*h+b stays < 2^62).
 MERSENNE_P = 2_147_483_647
 
+#: Monotonic suffix for CollectMetrics names (must be unique per plan).
+_OBS_SEQ = __import__("itertools").count()
+
+
+def _observe_cap(counts: DataFrame, family: str, max_bucket: int) -> DataFrame:
+    """Attach a named observation to a bucket-counts frame so silent
+    recall loss from the ``max_bucket`` keep-filter is detectable in
+    production: ``dropped_buckets`` / ``largest_bucket`` metrics are
+    computed for free during the query's own action and surface through
+    the Spark UI / ``QueryExecutionListener`` — no extra job, no extra
+    scan (the cap trades recall for survival; this makes the trade
+    observable instead of silent).
+    """
+    return counts.observe(
+        f"{family}_bucket_cap_{next(_OBS_SEQ)}",
+        F.sum((F.col("__n__") > max_bucket).cast("long")).alias("dropped_buckets"),
+        F.max("__n__").alias("largest_bucket"),
+    )
+
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Spread compute-heavy per-row work across the cluster.
@@ -229,12 +248,17 @@ def minhash_lsh_pairs(
         # __n__ >= 2 is semantically free (a singleton bucket yields no
         # pairs) and prunes the majority of banded rows — typically most
         # buckets — from BOTH sides of the candidate self-join shuffle.
-        keep = (
-            banded.groupBy("band", "key")
-            .agg(F.count(F.lit(1)).alias("__n__"))
-            .filter((F.col("__n__") >= 2) & (F.col("__n__") <= max_bucket))
-            .select("band", "key")
+        # banded feeds three consumers (keep aggregate + both join
+        # sides) — persist so the band explode runs once.
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        counts = _observe_cap(
+            banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__n__")),
+            "minhash_lsh",
+            max_bucket,
         )
+        keep = counts.filter(
+            (F.col("__n__") >= 2) & (F.col("__n__") <= max_bucket)
+        ).select("band", "key")
         banded = banded.join(keep, ["band", "key"], "left_semi")
 
     a = banded.alias("a")
@@ -356,20 +380,39 @@ def ngram_contamination(
     )
 
 
-def simhash(col: Column | str, bits: int = 32) -> Column:
+def simhash(col: Column | str, bits: int = 64) -> Column:
     """SimHash sketch of the token multiset (frequency-weighted): for
     each bit position, sum ±1 over token hashes; sign → bit.
+
+    Up to 64 true entropy bits: each token hashes to TWO independent
+    32-bit values (md5 hex digits 1-8 and 9-16), serving bit positions
+    0-31 and 32-63 respectively — a single 60-bit hash folded mod
+    2^31-1 (the minhash scheme) caps entropy at 31 bits and leaves
+    16-bit chunk keys of a 64-bit sketch half-constant.
 
     Single-pass native expression: ONE ``aggregate`` over the token-hash
     array with an array-of-``bits``-counters accumulator (each token's
     md5 is computed exactly once), then a fold of the counter signs into
-    the integer sketch.  Int/dyadic-double arithmetic → order-free,
-    bit-identical to the SQL oracle.
+    the integer sketch.  The sketch is assembled as two exact 32-bit
+    halves (any integer < 2^53 is exact in double) recombined with
+    signed-long arithmetic — ``(hi - 2^32·[hi ≥ 2^31]) · 2^32 + lo``
+    never overflows and reproduces the two's-complement bit pattern, so
+    bit 63 works without ANSI overflow.  Order-free, bit-identical to
+    the SQL oracle.
     """
-    hashes = _shingle_hashes(tokens(col))
+    if not 1 <= bits <= 64:
+        raise ValueError("simhash: bits must be in 1..64")
+    md5s = F.transform(tokens(col), lambda s: F.md5(s))
+    hashes = F.transform(
+        md5s,
+        lambda m: F.struct(
+            F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h2"),
+        ),
+    )
     bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
 
-    # bit bp of h, with bp a COLUMN: floor(h / 2^bp) % 2 — h < 2^31 and
+    # bit bp of h, with bp a COLUMN: floor(h / 2^bp) % 2 — h < 2^32 and
     # powers of two are exact in double, so the division is exact.
     def bit_of(h, bp):
         return F.pmod(F.floor(h / F.pow(F.lit(2.0), bp)), F.lit(2))
@@ -378,23 +421,42 @@ def simhash(col: Column | str, bits: int = 32) -> Column:
         hashes,
         F.array_repeat(F.lit(0), bits),
         lambda acc, h: F.zip_with(
-            acc, bit_idx, lambda a, bp: a + F.when(bit_of(h, bp) == 1, 1).otherwise(-1)
+            acc,
+            bit_idx,
+            lambda a, bp: a
+            + F.when(
+                F.when(bp < 32, bit_of(h["h1"], bp)).otherwise(
+                    bit_of(h["h2"], bp - 32)
+                )
+                == 1,
+                1,
+            ).otherwise(-1),
         ),
     )
-    weighted = F.zip_with(
-        votes,
-        bit_idx,
-        lambda v, bp: F.when(v > 0, F.pow(F.lit(2.0), bp)).otherwise(F.lit(0.0)),
-    )
-    return F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x).cast("long")
+
+    def half(offset: int, width: int) -> Column:
+        weighted = F.zip_with(
+            F.slice(votes, offset + 1, width),
+            F.sequence(F.lit(0), F.lit(width - 1)),
+            lambda v, bp: F.when(v > 0, F.pow(F.lit(2.0), bp)).otherwise(F.lit(0.0)),
+        )
+        return F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x).cast("long")
+
+    lo = half(0, min(bits, 32))
+    if bits <= 32:
+        return lo
+    hi = half(32, bits - 32)
+    hi_signed = F.when(hi >= F.lit(2_147_483_648), hi - F.lit(4_294_967_296)).otherwise(hi)
+    return hi_signed * F.lit(4_294_967_296) + lo
 
 
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 32,
+    bits: int = 64,
     max_hamming: int = 3,
+    max_bucket: "int | None" = 500,
 ) -> DataFrame:
     """Near-duplicate pairs with ``hamming(simhash) ≤ max_hamming``.
 
@@ -404,10 +466,25 @@ def simhash_pairs(
     from an equi-join on (chunk index, chunk value) — bounded fan-out,
     no cross join — and only candidates pay the popcount verify.
     Output: (id_a, id_b, hamming), id_a < id_b.
+
+    ``bits=64`` (the standard SimHash width) matters for scale: with
+    ``max_hamming=3`` the chunks are 16 bits → 65,536 distinct values
+    per chunk index, vs only 256 at 32 bits — where expected bucket
+    size grows linearly with corpus size and the per-bucket-quadratic
+    join melts down (the r09 sf1 sweep crashed the JVM on exactly
+    that).  ``max_bucket`` (ON by default — same contract as
+    :func:`minhash_lsh_pairs`) additionally DROPS any (chunk index,
+    chunk value) bucket larger than the cap before the join: an
+    oversized chunk bucket means that chunk carries no discriminative
+    power, and true near-dup pairs (≤ ``max_hamming`` differing bits
+    across 4 chunks) almost always also agree on another, smaller
+    chunk.  ``max_bucket=None`` restores exact behavior.
     """
     c = max_hamming + 1
     if bits % c != 0:
         raise ValueError("simhash_pairs: (max_hamming + 1) must divide bits")
+    if max_bucket is not None and max_bucket < 2:
+        raise ValueError("max_bucket must be >= 2 (or None)")
     chunk_bits = bits // c
     mask = (1 << chunk_bits) - 1
 
@@ -437,6 +514,23 @@ def simhash_pairs(
         ).alias("ch"),
     ).select("id", "sh", F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv"))
 
+    if max_bucket is not None:
+        # ``>= 2`` is semantically free (singleton buckets yield no
+        # pairs); the cap bounds the join at quadratic-per-500 instead
+        # of quadratic-per-corpus.  chunks feeds three consumers (the
+        # keep aggregate + both join sides) — persist so the sketch
+        # explode runs once.
+        chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
+        counts = _observe_cap(
+            chunks.groupBy("ci", "cv").agg(F.count(F.lit(1)).alias("__n__")),
+            "simhash",
+            max_bucket,
+        )
+        keep = counts.filter(
+            (F.col("__n__") >= 2) & (F.col("__n__") <= max_bucket)
+        ).select("ci", "cv")
+        chunks = chunks.join(keep, ["ci", "cv"], "left_semi")
+
     # The sketch rides along through the explode (8 bytes/row on the chunk
     # shuffle), so the hamming verify is a popcount on columns already in
     # hand — no join back to `base`.  Verify-BEFORE-dedup: bit_count is one
@@ -457,7 +551,7 @@ def simhash_pairs(
 
 
 def simhash_dup_groups(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:
     """Docs whose simhash collides exactly (hamming-0 near-dups):
     (simhash, keeper_id, dup_count) for groups of size ≥ 2.
@@ -850,6 +944,22 @@ def _band_rows(index: DataFrame, k: int, bands: int) -> DataFrame:
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
 
+def band_bucket_counts(index: DataFrame, k: int = 8, bands: int = 4) -> DataFrame:
+    """Per-(band, key) document counts of a :func:`build_dedup_index`
+    frame: ``(band, key, __n__)``.
+
+    For a STATIC index these counts never change between batches —
+    compute them once, persist (or write) alongside the index, and pass
+    them to :func:`dedup_against_corpus` via ``bucket_counts=`` so each
+    micro-batch skips the re-aggregation of every history band row
+    (the r09 bench measured that per-batch pass at ~2× the whole
+    query's prior cost).
+    """
+    return _band_rows(index, k, bands).groupBy("band", "key").agg(
+        F.count(F.lit(1)).alias("__n__")
+    )
+
+
 def dedup_against_corpus(
     new_docs: DataFrame,
     corpus: DataFrame | None = None,
@@ -862,6 +972,7 @@ def dedup_against_corpus(
     threshold: float = 0.5,
     seed: int = 42,
     max_bucket: "int | None" = 500,
+    bucket_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental ingestion dedup: drop new documents that near-match
     the EXISTING corpus (MinHash-LSH candidates, exact-Jaccard verify,
@@ -923,12 +1034,21 @@ def dedup_against_corpus(
         # rows per batch band row.  The semi-join also drops batch rows
         # whose bucket has NO history presence (no match possible), so
         # only joinable band rows ride the shuffle.
-        keep = (
-            hist_rows.groupBy("band", "key")
-            .agg(F.count(F.lit(1)).alias("__n__"))
-            .filter(F.col("__n__") <= max_bucket)
-            .select("band", "key")
-        )
+        #
+        # The counts are static for a static index: pass a persisted
+        # :func:`band_bucket_counts` frame via ``bucket_counts=`` and
+        # the per-batch aggregation over every history band row drops
+        # out; otherwise compute them here, persisting hist_rows so the
+        # band explode runs once across its consumers (count aggregate,
+        # cap semi-join, candidate join).
+        if bucket_counts is None:
+            hist_rows = hist_rows.persist(StorageLevel.MEMORY_AND_DISK)
+            bucket_counts = hist_rows.groupBy("band", "key").agg(
+                F.count(F.lit(1)).alias("__n__")
+            )
+        keep = _observe_cap(bucket_counts, "dedup_corpus", max_bucket).filter(
+            F.col("__n__") <= max_bucket
+        ).select("band", "key")
         hist_rows = hist_rows.join(keep, ["band", "key"], "left_semi")
         new_rows = new_rows.join(keep, ["band", "key"], "left_semi")
     cand = (

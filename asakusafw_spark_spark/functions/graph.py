@@ -102,8 +102,14 @@ def pagerank(
     nodes = e.select(F.col("src").alias("node")).union(
         e.select(F.col("dst").alias("node"))
     )
+    s_count = None
     if sources is not None:
         src_nodes = sources.select(F.col(node_col).alias("node")).distinct()
+        # validate BEFORE the n == 0 early exit: empty sources + empty
+        # edges must raise, not silently return an empty frame
+        s_count = src_nodes.count()
+        if s_count == 0:
+            raise ValueError("pagerank: sources is empty")
         nodes = nodes.union(src_nodes)  # isolated sources stay ranked
     nodes = nodes.distinct().persist(StorageLevel.MEMORY_AND_DISK)
     n = nodes.count()
@@ -119,9 +125,6 @@ def pagerank(
             "node", F.lit(scale // n).cast("long").alias("rank")
         )
     else:
-        s_count = src_nodes.count()
-        if s_count == 0:
-            raise ValueError("pagerank: sources is empty")
         base_s = (scale * (100 - damping)) // (100 * s_count)
         flagged = nodes.join(
             src_nodes.withColumn("__is_src__", F.lit(True)), "node", "left"

@@ -170,3 +170,18 @@ def test_bpe_detokenize_roundtrip(spark):
     assert out[0] == "the cat sat"   # whitespace normalized
     assert out[1] == "lowest newest"
     assert out[2] == "" and out[3] == "" and out[4] == ""
+
+
+def test_bpe_apply_unicode_whitespace_matches_training(spark):
+    """NBSP (and other non-ASCII Unicode whitespace) is NOT a token
+    separator for the training tokenizer (Java regex \\s+ = ASCII
+    class); the encoder must split identically or such words silently
+    degrade to character fallback (ADVICE r09)."""
+    from asakusafw_spark_spark.functions.bpe import word_histogram
+
+    df = spark.createDataFrame([(1, "a b a b")], ["doc_id", "text"])
+    hist = {(r.word, r.wcount) for r in word_histogram(df).collect()}
+    assert hist == {("a b", 2)}  # ONE word at training time
+    out = bpe_apply(df, [("a", " ")]).collect()[0].bpe_tokens
+    # one word per occurrence — the merge straddling the NBSP applies
+    assert out == ["a ", "b", EOW, "a ", "b", EOW]

@@ -306,3 +306,12 @@ def test_triangle_count_semantics_and_exact(spark):
             for _ in range(24)
         ]
         assert count(el) == tri_py(el), (seed, el)
+
+
+def test_pagerank_personalized_empty_sources_always_raises(spark):
+    """Empty sources must raise even when the edge table is ALSO empty
+    (the n == 0 early exit used to bypass the guard — ADVICE r09)."""
+    empty_edges = spark.createDataFrame([], "src string, dst string")
+    empty_sources = spark.createDataFrame([], "node string")
+    with pytest.raises(ValueError, match="sources is empty"):
+        pagerank(empty_edges, sources=empty_sources, iterations=1)

@@ -121,8 +121,19 @@ def test_simhash_dup_groups(docs):
 
 
 def test_simhash_is_long(docs):
+    # 64-bit sketch: any long value (bit 63 → negative two's complement)
     out = docs.filter("doc_id = 1").select(simhash("text").alias("s")).first()
-    assert isinstance(out.s, int) and 0 <= out.s < 2**32
+    assert isinstance(out.s, int) and -(2**63) <= out.s < 2**63
+    out32 = docs.filter("doc_id = 1").select(simhash("text", 32).alias("s")).first()
+    assert isinstance(out32.s, int) and 0 <= out32.s < 2**32
+
+
+def test_simhash_halves_consistent(docs):
+    # the low 32 bits of the 64-bit sketch ARE the 32-bit sketch
+    row = docs.filter("doc_id = 1").select(
+        simhash("text", 64).alias("s64"), simhash("text", 32).alias("s32")
+    ).first()
+    assert row.s64 & 0xFFFFFFFF == row.s32
 
 
 @pytest.fixture(scope="module")
@@ -1368,3 +1379,41 @@ def test_minhash_cap_generous_equals_exact(spark):
         for r in minhash_lsh_pairs(df, threshold=0.3, max_bucket=None).collect()
     }
     assert capped == exact and capped  # identical and non-trivial
+
+
+def test_avi_multi_stream_handling():
+    """Only the vids stream's NNdc/NNdb chunks become frames (a second
+    stream's data must not interleave into the timeline), and a second
+    'vids' header is corruption by the docstring contract (ADVICE r09)."""
+    import struct
+
+    from asakusafw_spark_spark.functions.avi_codec import _chunk, _list, _parse_avi
+
+    def strh(fcc, rate=10):
+        return struct.pack(
+            "<4s4sIHHIIIIIIIIhhhh", fcc, b"MPNG",
+            0, 0, 0, 0, 1, rate, 0, 2, 0, 0xFFFFFFFF, 0, 0, 0, 0, 0,
+        )
+
+    def strl(fcc, rate=10):
+        return _list(
+            b"strl", _chunk(b"strh", strh(fcc, rate)) + _chunk(b"strf", b"\x00" * 40)
+        )
+
+    avih = struct.pack("<IIIIIIIIIIIIII", 100_000, 0, 0, 0, 2, 0, 2, 0, 0, 0, 0, 0, 0, 0)
+    movi = _list(
+        b"movi",
+        _chunk(b"00dc", b"VID0") + _chunk(b"01dc", b"AUD0")
+        + _chunk(b"00dc", b"VID1") + _chunk(b"01dc", b"AUD1"),
+    )
+
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih) + strl(b"vids") + strl(b"auds"))
+    body = b"AVI " + hdrl + movi
+    frames, frame_ms = _parse_avi(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert frames == [b"VID0", b"VID1"]  # stream 01 chunks excluded
+    assert abs(frame_ms - 100.0) < 1e-9
+
+    hdrl2 = _list(b"hdrl", _chunk(b"avih", avih) + strl(b"vids") + strl(b"vids", 20))
+    body2 = b"AVI " + hdrl2 + movi
+    with pytest.raises(ValueError, match="multiple 'vids'"):
+        _parse_avi(b"RIFF" + struct.pack("<I", len(body2)) + body2)
