@@ -4710,23 +4710,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION: the driver CORRECTNESS report truncates at ~50
     # entries, so dict ORDER decides which queries get a fresh
     # oracle row (run tools/staleness.py for the schedule).
-    return {
-        # --- r09 window head (50 = 17 + 2 + 31):
-        #     1. the 17 r05-stale queries (VERDICT r08 Next #1 — at the
-        #        3-round staleness boundary, rotated in);
-        #     2. queries riding code EDITED in r09 (resample_timeseries
-        #        timezone/floor fixes + span guard; theta-maintain
-        #        empty-cohort left join) plus the NEW r09 operators
-        #        (pagerank, pagerank_personalized, bfs_levels,
-        #        triangle_count, bpe_pair_counts, bpe_tokenize — first
-        #        driver rows);
-        #     3. 25 of the 47-query r06 block that crosses the boundary
-        #        this round, merge_upsert first (its guard changed in
-        #        r09).  The remaining 22 r06 queries sit immediately
-        #        after the window and complete the rotation in r10.
-        #     Everything outside the window is covered by the committed
-        #     LOCAL_VERIFY_r09 artifacts (strict value hash, sf0.01 AND
-        #     sf0.1, regenerated after the round's last code change).
+    all_q = {
+        # NOTE: literal order here is NOT the driver window — the
+        # `head` list below (r10 rotation) defines the first 50.
         "q6_forecast_revenue": q6_forecast_revenue,
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
@@ -4783,7 +4769,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "project": q_project,
         "q11_important_stock": q11_important_stock,
         "q16_parts_supplier_relationship": q16_parts_supplier_relationship,
-        # --- r10 rotation head: the 16-query r06 overflow ---
         "q20_potential_promotion": q20_potential_promotion,
         "q9_product_type_profit": q9_product_type_profit,
         "restructure": q_restructure,
@@ -4896,6 +4881,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_k_per_group": q_topk,
         "training_pipeline": q_training_pipeline,
     }
+    # --- r10 window head (50 = 22 + 11 + 17):
+    #     1. the 22 r06-stale queries deferred from the r09 window
+    #        (3-round staleness boundary — VERDICT r09 Next #4);
+    #     2. queries riding code EDITED in r10: the 64-bit capped
+    #        simhash family, the dedup persist/bucket_counts pass, the
+    #        pinned-merge-table bpe_tokenize (first STRICT oracle row),
+    #        the pagerank sources guard;
+    #     3. 17 of the 46-query r07 block that reaches the boundary
+    #        this round (the rest complete in r11).
+    #     Everything outside the window is covered by the committed
+    #     LOCAL_VERIFY_r10 artifacts (strict value hash, both SFs,
+    #     regenerated after the round's last code change).
+    head = [
+        # 1. r06-stale
+        "master_join_update", "master_selection_custom_fn",
+        "master_selection_ordering", "project", "q11_important_stock",
+        "q16_parts_supplier_relationship", "q20_potential_promotion",
+        "q9_product_type_profit", "restructure", "sample_stratified",
+        "similarity_bruteforce_topk", "similarity_ivf", "similarity_lsh_ann",
+        "similarity_near_dup", "split", "streaming_cdc_upsert",
+        "text_analysis", "text_repetition", "text_simhash", "token_budget",
+        "train_val_split", "update",
+        # 2. r10-edited code paths
+        "dedup_simhash_pairs", "dedup_simhash_groups", "bpe_tokenize",
+        "bpe_pair_counts", "dedup_minhash_lsh", "dedup_clusters",
+        "dedup_corpus", "dedup_incremental", "streaming_dedup_ingest",
+        "pagerank", "pagerank_personalized",
+        # 3. r07-stale fill
+        "asof_join", "chunk_documents", "cli_roundtrip", "cogroup",
+        "cogroup3", "dedup_exact", "fixed_width_input",
+        "flagship_revenue_per_nation", "fold", "fold_custom", "group_sort",
+        "grouping_sets", "hadoop_output_newapi", "heavy_hitters",
+        "k_anonymity_report", "manifest_stats", "master_join_multikey",
+    ]
+    ordered = {k: all_q[k] for k in head}
+    ordered.update((k, v) for k, v in all_q.items() if k not in ordered)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

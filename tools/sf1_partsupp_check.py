@@ -73,18 +73,16 @@ QUERIES = [
     "bfs_levels",
     "triangle_count",
     # more documents surfaces (simhash family, substring dedup, LM,
-    # postings index, packing).  simhash is checked via _groups (every
-    # doc's 32-bit signature feeds group membership/counts = a strict
-    # value check of the sketch at 50k docs) rather than _pairs: the
-    # synthetic corpus's 30-word filler vocabulary makes every doc's
-    # unigram token MULTISET nearly identical, so frequency-weighted
-    # simhash signatures collapse and the hamming<=3 pair set is
-    # Theta(n^2) BY THE DATA (>2 GiB of pair rows at 50k docs blew the
-    # verify harness's collect).  The operator's pigeonhole chunk join
-    # is not at fault — on a real corpus (and the driver's sf0.01/0.1
-    # documents, where _pairs is hash-green) signatures spread over
-    # 2^32 and pair output is near-linear.
+    # postings index, packing).  r09 ran _groups only: at 32 bits the
+    # low-entropy synthetic corpus collapsed signatures, the uncapped
+    # 8-bit-chunk self-join went Theta(n^2), and the crash killed the
+    # JVM plus 22 downstream queries.  r10's 64-bit sketch + max_bucket
+    # keep-filter is exactly the fix that sweep mandated, so _pairs is
+    # BACK IN — the sf1 row now proves the capped configuration
+    # survives the adversarial corpus (output bounded by
+    # pairs-per-kept-bucket, mega-buckets observably dropped).
     "dedup_simhash_groups",
+    "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
     "scrub_spans",
     "lm_score",
@@ -97,6 +95,10 @@ QUERIES = [
     "moving_avg",
     "streaming_dedup_ingest",
     "streaming_theta_maintain",
+    # r10 widening (VERDICT r09 Next #7): the remaining batch-replay
+    # maintainers — exact per-key agg state and the distinct sketch
+    "streaming_incremental_agg",
+    "streaming_distinct_sketch",
     # embeddings surfaces (exact + quantized top-k, centroids,
     # cosine dup clusters)
     "similarity_bruteforce_topk",
