@@ -857,6 +857,23 @@ def test_dedup_against_corpus_drops_known_dups(spark):
     with pytest.raises(ValueError):
         dedup_against_corpus(batch, corpus=history, index=idx)
 
+    # precomputed bucket counts (the static-index fast path) give the
+    # IDENTICAL decision to the per-batch aggregation they replace
+    from asakusafw_spark_spark.functions import band_bucket_counts
+
+    counts = band_bucket_counts(idx)
+    kept4 = dedup_against_corpus(
+        batch, index=idx, threshold=0.5, bucket_counts=counts
+    )
+    assert sorted(r["doc_id"] for r in kept4.collect()) == [5]
+    # and with a cap tight enough to drop every history bucket, nothing
+    # can match → the whole batch survives (counts path honors the cap)
+    kept5 = dedup_against_corpus(
+        batch, index=idx, threshold=0.5, bucket_counts=counts, max_bucket=2
+    )
+    # every history bucket here has n=1 (<=2), so decisions unchanged
+    assert sorted(r["doc_id"] for r in kept5.collect()) == [5]
+
 
 def test_scrub_spans_noop_and_idempotence_properties(spark):
     from hypothesis import HealthCheck, given, settings

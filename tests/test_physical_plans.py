@@ -317,3 +317,52 @@ def test_sample_exact_n_lowers_to_take_ordered(spark, sf_dir):
     plan = _plan(sample_exact_n(df, 37, "doc_id"))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_graph_and_bpe_plan_budgets(spark, sf_dir):
+    """Scale-shape contracts for the r09/r10 operators: the simhash
+    sketch is a pure projection; the capped chunk self-join is
+    equi-join-only with zero Python; BPE's histogram/pair-count
+    statistics are native aggregates; bpe_apply is exactly ONE Arrow
+    Python stage and no shuffle; the iterative graph frames never
+    contain a cartesian or a Python stage."""
+    from asakusafw_spark_spark.functions import (
+        bpe_apply,
+        bpe_pair_counts,
+        initial_symbols,
+        simhash,
+        simhash_pairs,
+        word_histogram,
+    )
+    from asakusafw_spark_spark.functions.graph import pagerank, triangle_count
+    from asakusafw_spark_spark.plans import assert_scale_safe
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    assert_scale_safe(
+        docs.select("doc_id", simhash("text").alias("sh")),
+        max_shuffles=0, max_python_stages=0,
+    )
+    # explode → cap agg + semi-join → equi self-join → dedup agg
+    s = assert_scale_safe(
+        simhash_pairs(docs), max_shuffles=6, max_python_stages=0
+    )
+    assert not s["cartesian"]
+
+    hist = word_histogram(docs).select(
+        initial_symbols("word").alias("syms"), "wcount"
+    )
+    assert_scale_safe(bpe_pair_counts(hist), max_shuffles=2, max_python_stages=0)
+    assert_scale_safe(
+        bpe_apply(docs.select("doc_id", "text"), [("e", "r")]),
+        max_shuffles=0, max_python_stages=1,
+    )
+
+    edges = docs.select(
+        (F.col("doc_id") % 50).alias("src"), (F.col("doc_id") % 37).alias("dst")
+    ).filter("src <> dst")
+    s = assert_scale_safe(pagerank(edges, iterations=2), max_python_stages=0)
+    assert not s["cartesian"]
+    s = assert_scale_safe(triangle_count(edges), max_python_stages=0)
+    assert not s["cartesian"]
