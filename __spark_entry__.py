@@ -2496,10 +2496,19 @@ def q_streaming_distinct_sketch(spark, sf):
     16, whose DataSketches coupon (exact) mode holds to ~k/4 = 16,384
     distincts — far above the 1,500 distinct users per type at sf0.1
     (measured: lgK=12 leaves exact mode at 1,500 and estimates 1,488;
-    lgK≥14 is exact there), so the estimate EQUALS the exact count
-    deterministically at every test SF; re-seen users across batches
-    fold in as register no-ops — the invariant the pytest also pins
-    directly on the register state."""
+    lgK≥14 is exact there).  BUT coupon-mode estimates are still only
+    collision-exact: the r10 sf1 sweep caught a single 26-bit coupon
+    collision at 3,000 distincts/key (estimate 2999 vs exact 3000), so
+    asserting estimate == exact cross-engine is WRONG at scale.  The
+    honest, SF-independent contract this query now returns per type:
+    the EXACT distinct count (strict-hash vs DuckDB), whether the
+    MAINTAINED state's estimate equals the one-shot
+    ``hll_sketch_agg`` over the same rows (pins the streamed fold —
+    measured bit-equal including through the collision), and whether
+    the estimate is within 1% of exact (pins estimator sanity; HLL
+    lgK=16 RSE is 0.41%).  Re-seen users across batches fold in as
+    register no-ops — the invariant the pytest also pins directly on
+    the register state."""
     import glob
     import os
     import shutil
@@ -2541,11 +2550,27 @@ def q_streaming_distinct_sketch(spark, sf):
 
     if not HadoopFs(spark, target).exists(target):
         return spark.createDataFrame(
-            [], "event_type string, n_distinct_users long"
+            [],
+            "event_type string, n_distinct_users long, "
+            "fold_matches_oneshot boolean, est_within_pct boolean",
         )
-    return merge_distinct_sketches(
-        spark.read.parquet(target), "event_type",
-        out_col="n_distinct_users",
+    maintained = merge_distinct_sketches(
+        spark.read.parquet(target), "event_type", out_col="est"
+    )
+    oneshot = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(16))
+        ).alias("oneshot_est"),
+        F.countDistinct("user_id").alias("n_distinct_users"),
+    )
+    return maintained.join(oneshot, "event_type").select(
+        "event_type",
+        "n_distinct_users",
+        (F.col("est") == F.col("oneshot_est")).alias("fold_matches_oneshot"),
+        (
+            F.abs(F.col("est") - F.col("n_distinct_users"))
+            <= 0.01 * F.col("n_distinct_users")
+        ).alias("est_within_pct"),
     )
 
 
@@ -5209,7 +5234,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_distinct_sketch": """
             SELECT event_type,
-                   COUNT(DISTINCT user_id) AS n_distinct_users
+                   COUNT(DISTINCT user_id) AS n_distinct_users,
+                   TRUE AS fold_matches_oneshot,
+                   TRUE AS est_within_pct
             FROM events GROUP BY event_type
         """,
         "streaming_theta_maintain": """
