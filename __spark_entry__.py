@@ -4650,6 +4650,69 @@ def _duck_bpe_apply_sql(merges: "list[tuple[str, str]]") -> str:
     """
 
 
+def _duck_embedding_cc_sql(rounds: int = 30) -> str:
+    """DuckDB twin of ``dup_clusters`` over embedding-cosine near-dup
+    pairs — min-label connected components via UNROLLED hook +
+    pointer-jump rounds instead of a recursive transitive-closure CTE.
+
+    Why: the old ``reach`` closure materializes Σ|component|² rows; on
+    the 20k-vector sf1 corpus chance cosine-0.45 pairs stitch a large
+    component and the closure ground for hours (the r10 sweep's one
+    timeout) while the Spark side finished in 100 s.  Hook (take the
+    min of your own and your neighbors' labels) + jump (take your
+    label's label) at least doubles the distance a component minimum
+    has propagated each round, so ``rounds`` = 30 converges for any
+    graph these tables can express — same O(log n) shape as the engine's
+    large-star/small-star loop — at O((n + m) · rounds) total rows.
+    MATERIALIZED hints keep DuckDB from re-inlining the pair generator
+    into every round."""
+    parts = [
+        f"pairs AS MATERIALIZED ({_duck_near_dup_sql(threshold=0.45, planes=2)})",
+        """edges AS MATERIALIZED (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            )""",
+        "l0 AS MATERIALIZED (SELECT vec_id AS n, vec_id AS lbl FROM embeddings)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""h{i} AS MATERIALIZED (
+              SELECT l.n, LEAST(l.lbl, COALESCE(MIN(nb.lbl), l.lbl)) AS lbl
+              FROM l{i - 1} l
+              LEFT JOIN edges e ON e.a = l.n
+              LEFT JOIN l{i - 1} nb ON nb.n = e.b
+              GROUP BY l.n, l.lbl
+            )"""
+        )
+        parts.append(
+            f"""l{i} AS MATERIALIZED (
+              SELECT h1.n, LEAST(h1.lbl, h2.lbl) AS lbl
+              FROM h{i} h1 JOIN h{i} h2 ON h2.n = h1.lbl
+            )"""
+        )
+    parts.append(
+        f"""lab_all AS (
+              SELECT n AS vec_id, lbl AS cluster_id FROM l{rounds}
+            )"""
+    )
+    parts.append(
+        """sizes AS (
+              SELECT cluster_id, COUNT(*) AS cluster_size
+              FROM lab_all GROUP BY cluster_id
+            )"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+            SELECT a.vec_id, a.cluster_id,
+                   a.vec_id = a.cluster_id AS is_keeper, s.cluster_size
+            FROM lab_all a JOIN sizes s USING (cluster_id)
+        """
+    )
+
+
 def _pagerank_oracle_sql(iterations: int = 3, damping: int = 85,
                          scale: int = 10**12,
                          personalized: bool = False) -> str:
@@ -6672,33 +6735,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_lsh_ann": _duck_lsh_ann_sql(k=5, nq=10, planes=6, num_tables=4),
         "similarity_ivf": _duck_ivf_sql(k=5, nq=10, n_centroids=8, nprobe=2),
         "similarity_near_dup": _duck_near_dup_sql(threshold=0.45, planes=2),
-        "embedding_dup_clusters": f"""
-            WITH RECURSIVE pairs AS ({_duck_near_dup_sql(threshold=0.45, planes=2)}),
-            edges AS (
-              SELECT id_a AS a, id_b AS b FROM pairs
-              UNION
-              SELECT id_b, id_a FROM pairs
-            ),
-            reach AS (
-              SELECT a AS n, b AS m FROM edges
-              UNION
-              SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
-            ),
-            labels AS (
-              SELECT n, LEAST(n, MIN(m)) AS cluster_id FROM reach GROUP BY n
-            ),
-            lab_all AS (
-              SELECT v.vec_id, COALESCE(l.cluster_id, v.vec_id) AS cluster_id
-              FROM embeddings v LEFT JOIN labels l ON l.n = v.vec_id
-            ),
-            sizes AS (
-              SELECT cluster_id, COUNT(*) AS cluster_size
-              FROM lab_all GROUP BY cluster_id
-            )
-            SELECT a.vec_id, a.cluster_id,
-                   a.vec_id = a.cluster_id AS is_keeper, s.cluster_size
-            FROM lab_all a JOIN sizes s USING (cluster_id)
-        """,
+        "embedding_dup_clusters": _duck_embedding_cc_sql(rounds=30),
         "streaming_dedup": """
             SELECT DISTINCT user_id, event_type, ts FROM events
         """,
