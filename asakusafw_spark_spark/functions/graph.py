@@ -194,11 +194,16 @@ def bfs_levels(
     joins only the level-(i-1) frontier (nodes first reached last
     round) against the edge table, anti-joins the visited set, and
     stops early when the frontier empties.  Each round is one shuffle
-    join + one anti-join; the visited set is persisted per round with
-    the previous generation unpersisted, so lineage stays shallow.
-    Frontier BFS computes the same fixed point as the oracle's
-    level-wise relaxation: a node's level is the round that first
-    reaches it.
+    join + one anti-join.  Every level frame is ``localCheckpoint``-ed
+    (the :func:`~..functions.dedup.dup_clusters` pattern): a persisted
+    frame keeps its FULL logical plan, and because each level's plan
+    embeds the plans of every earlier level (through the visited-set
+    anti-join) the uncheckpointed lineage grows EXPONENTIALLY with
+    depth — the r10 10× probe OOM'd the driver on plan-tree size alone
+    at ~8 levels.  Checkpointing makes each level a flat leaf, so the
+    round-i plan is O(i) leaves.  Frontier BFS computes the same fixed
+    point as the oracle's level-wise relaxation: a node's level is the
+    round that first reaches it.
 
     Reference parity: the other canonical iterative-batch workload
     (SURVEY §3.3) — connected components (functions/dedup.py) covers
@@ -215,12 +220,11 @@ def bfs_levels(
         sources.select(F.col(node_col).alias("node"))
         .distinct()
         .withColumn("level", F.lit(0).cast("long"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
-    l0.count()
-    # one persisted frame PER LEVEL: the anti-join sees the lazy union
-    # of already-materialized frames (cheap), and no per-round
-    # visited-union job is paid — one count per round total
+    # one checkpointed frame PER LEVEL: the anti-join sees the lazy
+    # union of flat leaf scans (O(i) plan), and the eager checkpoint
+    # doubles as the per-round materialization
     levels = [l0]
     frontier = l0.select("node")
 
@@ -234,10 +238,8 @@ def bfs_levels(
             .distinct()
             .join(visited_nodes, "node", "left_anti")
             .withColumn("level", F.lit(i).cast("long"))
-        )
-        nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
+        ).localCheckpoint(eager=True)
         if nxt.count() == 0:
-            nxt.unpersist()
             break
         levels.append(nxt)
         frontier = nxt.select("node")
@@ -245,10 +247,6 @@ def bfs_levels(
     out = levels[0]
     for lv in levels[1:]:
         out = out.union(lv)
-    out = out.persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    for lv in levels:
-        lv.unpersist()
     e.unpersist()
     return out
 
