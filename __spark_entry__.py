@@ -3678,6 +3678,48 @@ def q_dedup_simhash_pairs(spark, sf):
     return simhash_pairs(_t(spark, sf, "documents"), max_hamming=3)
 
 
+def q_url_canonical_dedup(spark, sf):
+    """Crawl-style URL dedup: canonicalize (lowercase scheme/host,
+    default-port strip, fragment drop, trailing-slash trim, tracking
+    params removed, query params sorted) then ONE hash aggregate.  The
+    testdata has no URL column, so both engines CONSTRUCT the same
+    surface forms from lineitem (scheme/port/slash/param-order/fragment
+    variety keyed on (l_orderkey, l_linenumber)) — per-part groups then
+    collapse to one canonical URL with counted surface forms."""
+    from asakusafw_spark_spark.functions import dedup_urls
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey", "l_linenumber")
+    v = (F.col("l_orderkey") * 4 + F.col("l_linenumber")).cast("long")
+    raw = F.concat(
+        F.when(v % 2 == 0, F.lit("http")).otherwise(F.lit("HTTPS")),
+        F.lit("://Shop.Example.COM"),
+        F.when(
+            v % 3 == 0,
+            F.when(v % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        ).when(v % 3 == 1, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/parts/"),
+        F.col("l_partkey").cast("string"),
+        F.when(v % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(v % 2 == 0, F.lit("?b=2&a=1&utm_source=feed")).otherwise(
+            F.lit("?a=1&b=2")
+        ),
+        F.when(v % 5 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    return dedup_urls(li.select(raw.alias("url")))
+
+
+def q_dedup_edit_distance(spark, sf):
+    """Fuzzy-dup pairs with an EXACT character-edit-distance bound:
+    MinHash-LSH candidates → native levenshtein ≤ 20 (the corpus's
+    planted near-dups differ by one appended token; exact dups are
+    distance 0).  Set-similarity (Jaccard) is order-free; edit distance
+    is the byte-drift ground truth — both verifiers share one banded
+    candidate generator."""
+    from asakusafw_spark_spark.functions import edit_distance_pairs
+
+    return edit_distance_pairs(_t(spark, sf, "documents"), max_distance=20)
+
+
 def q_similarity_bruteforce(spark, sf):
     emb = _t(spark, sf, "embeddings")
     return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
@@ -4107,6 +4149,92 @@ def _duck_minhash_lsh_sql(threshold: float = 0.5, k: int = 8, bands: int = 4,
     """
 
 
+def _duck_edit_distance_sql(max_distance: int = 20, k: int = 8,
+                            bands: int = 4, max_bucket: int = 500) -> str:
+    """edit_distance_pairs in DuckDB: the minhash band candidate
+    machinery + a byte-exact levenshtein verify (== Spark's
+    character-based verify on the ASCII oracle corpus)."""
+    r = k // bands
+    band_rows = ", ".join(
+        "{{'band': {b}, 'key': CAST(sig[{i1}] AS VARCHAR) || ':' || "
+        "CAST(sig[{i2}] AS VARCHAR)}}".format(b=b, i1=b * r + 1, i2=b * r + 2)
+        for b in range(bands)
+    )
+    return f"""
+        WITH base AS ({_DUCK_SHINGLES}),
+        hashed AS (
+          SELECT id, shingles,
+                 list_transform(shingles,
+                   s -> CAST('0x' || substr(md5(s),1,15) AS BIGINT) % {MERSENNE_P}) AS hs
+          FROM base),
+        sigs AS (SELECT id, {_duck_sig_terms(k)} AS sig FROM hashed),
+        banded0 AS (
+          SELECT id, bk.band AS band, bk.key AS key
+          FROM sigs, UNNEST([{band_rows}]) AS t(bk)),
+        bkeep AS (
+          SELECT band, key FROM banded0
+          GROUP BY band, key HAVING COUNT(*) <= {max_bucket}),
+        banded AS (
+          SELECT banded0.* FROM banded0 JOIN bkeep USING (band, key)),
+        cand AS (
+          SELECT a.id AS id_a, b.id AS id_b
+          FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+          WHERE a.id < b.id GROUP BY 1, 2)
+        SELECT c.id_a, c.id_b,
+               CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance
+        FROM cand c
+        JOIN documents da ON da.doc_id = c.id_a
+        JOIN documents db ON db.doc_id = c.id_b
+        WHERE levenshtein(da.text, db.text) <= {max_distance}
+    """
+
+
+_DUCK_URL_CANON = r"""
+    WITH raw AS (
+      SELECT (CASE WHEN v % 2 = 0 THEN 'http' ELSE 'HTTPS' END)
+             || '://Shop.Example.COM'
+             || (CASE WHEN v % 3 = 0
+                      THEN (CASE WHEN v % 2 = 0 THEN ':80' ELSE ':443' END)
+                      WHEN v % 3 = 1 THEN ':8080' ELSE '' END)
+             || '/parts/' || CAST(l_partkey AS VARCHAR)
+             || (CASE WHEN v % 4 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN v % 2 = 0 THEN '?b=2&a=1&utm_source=feed'
+                      ELSE '?a=1&b=2' END)
+             || (CASE WHEN v % 5 = 0 THEN '#sec' ELSE '' END) AS url
+      FROM (SELECT l_orderkey * 4 + l_linenumber AS v, l_partkey FROM lineitem)
+    ),
+    defrag AS (SELECT url, regexp_replace(trim(url), '#.*$', '') AS u0 FROM raw),
+    parts AS (
+      SELECT url,
+        lower(regexp_extract(u0, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(u0, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host0,
+        regexp_replace(
+          regexp_extract(u0, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+          '/+$', '') AS path,
+        regexp_extract(u0, '\?([^#]*)', 1) AS query
+      FROM defrag),
+    canon AS (
+      SELECT url,
+        scheme || '://' ||
+        (CASE WHEN scheme = 'http' AND host0 LIKE '%:80'
+                THEN regexp_replace(host0, ':80$', '')
+              WHEN scheme = 'https' AND host0 LIKE '%:443'
+                THEN regexp_replace(host0, ':443$', '')
+              ELSE host0 END) || path ||
+        (CASE WHEN len(plist) > 0 THEN '?' || array_to_string(plist, '&')
+              ELSE '' END) AS canonical_url
+      FROM (SELECT url, scheme, host0, path,
+                   list_sort(list_filter(string_split(query, '&'),
+                     p -> p <> '' AND NOT regexp_matches(p,
+                       '^(?:utm_[a-z]+|gclid|fbclid|msclkid|ref)=')))
+                     AS plist
+            FROM parts))
+    SELECT canonical_url, COUNT(*) AS n_rows,
+           COUNT(DISTINCT url) AS n_forms
+    FROM canon GROUP BY 1
+"""
+
+
 def _duck_incremental_sql(threshold: float = 0.5, k: int = 8, bands: int = 4,
                           max_bucket: int = 500) -> str:
     """dedup_against_corpus (even ids = history, odd ids = batch) in DuckDB."""
@@ -4448,6 +4576,12 @@ def q_pagerank_personalized(spark, sf):
     sources = sup.join(nat, sup.s_nationkey == nat.n_nationkey).select(
         F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node")
     )
+    # degenerate corpora (robustness sweep: empty / null-heavy tables)
+    # yield an empty cohort, which pagerank correctly REFUSES (the
+    # sources-is-empty guard); a pipeline query maps that to an empty
+    # ranking rather than an exception
+    if sources.limit(1).isEmpty():
+        return spark.createDataFrame([], "node string, rank long")
     return pagerank(edges, iterations=3, sources=sources)
 
 
@@ -4836,6 +4970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convert": q_convert,
         "corpus_stats": q_corpus_stats,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_edit_distance": q_dedup_edit_distance,
+        "url_canonical_dedup": q_url_canonical_dedup,
         "dedup_simhash_groups": q_dedup_simhash_groups,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "embedding_centroids": q_embedding_centroids,
@@ -4969,7 +5105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_k_per_group": q_topk,
         "training_pipeline": q_training_pipeline,
     }
-    # --- r10 window head (50 = 22 + 11 + 17):
+    # --- r10 window head (52 = 22 + 13 + 17; the driver window
+    #     truncates at ~50, so the last two r07 fills roll to r11):
     #     1. the 22 r06-stale queries deferred from the r09 window
     #        (3-round staleness boundary — VERDICT r09 Next #4);
     #     2. queries riding code EDITED in r10: the 64-bit capped
@@ -4996,6 +5133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts", "dedup_minhash_lsh", "dedup_clusters",
         "dedup_corpus", "dedup_incremental", "streaming_dedup_ingest",
         "pagerank", "pagerank_personalized",
+        # NEW r10 ops (first driver rows): edit-distance verify + URL dedup
+        "dedup_edit_distance", "url_canonical_dedup",
         # 3. r07-stale fill
         "asof_join", "chunk_documents", "cli_roundtrip", "cogroup",
         "cogroup3", "dedup_exact", "fixed_width_input",
@@ -6541,6 +6680,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "dedup_minhash_lsh": _duck_minhash_lsh_sql(threshold=0.5),
+        "dedup_edit_distance": _duck_edit_distance_sql(max_distance=20),
+        "url_canonical_dedup": _DUCK_URL_CANON,
         "dedup_clusters": f"""
             WITH RECURSIVE pairs AS ({_duck_minhash_lsh_sql(threshold=0.5)}),
             edges AS (

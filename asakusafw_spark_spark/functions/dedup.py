@@ -1075,3 +1075,96 @@ def dedup_against_corpus(
         .distinct()
     )
     return new_docs.join(matched, id_col, "left_anti")
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_distance: int = 20,
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    seed: int = 42,
+    max_bucket: "int | None" = 500,
+) -> DataFrame:
+    """Fuzzy-duplicate pairs verified by EXACT edit distance:
+    MinHash-LSH band candidates → native ``levenshtein`` verify →
+    ``(id_a, id_b, edit_distance)`` with distance ≤ ``max_distance``,
+    id_a < id_b.
+
+    The complement of :func:`minhash_lsh_pairs`' Jaccard verify: set
+    similarity is order-free (misses transpositions, over-matches
+    shuffled text); edit distance is the character-level ground truth
+    pipelines reach for when near-dup candidates need an exact
+    byte-drift bound (OCR variants, template fills, boilerplate
+    patches).  All-pairs Levenshtein is quadratic and unshippable —
+    candidates come from the same capped band join as MinHash, so only
+    plausibly-similar pairs pay the O(len²) verify, JVM-side.
+
+    Cross-engine note: Spark's levenshtein counts CHARACTERS, DuckDB's
+    counts BYTES — identical on ASCII text (the oracle corpus), off by
+    the UTF-8 continuation count on non-ASCII; the oracle contract
+    pins the ASCII case.
+    """
+    if k % bands != 0:
+        raise ValueError("bands must divide k")
+    if max_bucket is not None and max_bucket < 2:
+        raise ValueError("max_bucket must be >= 2 (or None)")
+    r = k // bands
+    base = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("txt"),
+            word_shingles(text_col, n).alias("shingles"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sig = base.withColumn("sig", minhash_signature(F.col("shingles"), k, seed))
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ":", *[F.col("sig")[b * r + i] for i in range(r)]
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket is not None:
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        counts = _observe_cap(
+            banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__n__")),
+            "edit_distance",
+            max_bucket,
+        )
+        keep = counts.filter(
+            (F.col("__n__") >= 2) & (F.col("__n__") <= max_bucket)
+        ).select("band", "key")
+        banded = banded.join(keep, ["band", "key"], "left_semi")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, on=[F.col("a.band") == F.col("b.band"), F.col("a.key") == F.col("b.key")])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = cand.join(
+        base.select(F.col("id").alias("id_a"), F.col("txt").alias("t_a")), "id_a"
+    ).join(
+        base.select(F.col("id").alias("id_b"), F.col("txt").alias("t_b")), "id_b"
+    )
+    return (
+        verified.withColumn(
+            "edit_distance", F.levenshtein("t_a", "t_b").cast("long")
+        )
+        .filter(F.col("edit_distance") <= max_distance)
+        .select("id_a", "id_b", "edit_distance")
+    )

@@ -707,3 +707,72 @@ def bigram_lm_score(
             F.col("lm_score"),
         )
     )
+
+
+#: query parameters stripped by canonicalize_url: click-tracking noise
+#: that makes byte-identical content look like distinct URLs
+TRACKING_PARAMS_RE = r"(?:utm_[a-z]+|gclid|fbclid|msclkid|ref)="
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """Canonical form of an http(s) URL — the dedup key every crawl
+    pipeline needs before exact URL dedup: lowercase scheme and host,
+    strip the default port (:80 http / :443 https), drop the fragment,
+    strip trailing slashes from the path, remove click-tracking query
+    parameters (``utm_*``/``gclid``/``fbclid``/``msclkid``/``ref``) and
+    SORT the survivors so parameter order stops mattering.
+
+    Pure native Column expressions (regexp + array ops) — scan speed,
+    no UDF; the DuckDB twin uses the same patterns (kept inside the
+    regex subset Java and RE2 interpret identically).
+    """
+    u = F.trim(F.col(col) if isinstance(col, str) else col)
+    u = F.regexp_replace(u, r"#.*$", "")  # fragment never reaches the server
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    host = F.when(
+        (scheme == "http") & host.endswith(":80"),
+        F.regexp_replace(host, r":80$", ""),
+    ).when(
+        (scheme == "https") & host.endswith(":443"),
+        F.regexp_replace(host, r":443$", ""),
+    ).otherwise(host)
+    path = F.regexp_replace(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+        r"/+$",
+        "",
+    )
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike("^" + TRACKING_PARAMS_RE),
+        )
+    )
+    qpart = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, qpart)
+
+
+def dedup_urls(
+    df: DataFrame, url_col: str = "url", id_col: str | None = None
+) -> DataFrame:
+    """Exact URL dedup on the canonical form: one row per canonical URL
+    with ``(canonical_url, n_rows, n_forms)`` — how many raw rows
+    collapsed and how many DISTINCT surface forms they used (tracking
+    params, casing, ports, fragments, param order).  One hash aggregate
+    with map-side combine; add ``id_col`` to also keep the min id as
+    the keeper."""
+    base = df.select(
+        canonicalize_url(url_col).alias("canonical_url"),
+        F.col(url_col).alias("__raw__"),
+        *([F.col(id_col)] if id_col else []),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("__raw__").alias("n_forms"),
+    ]
+    if id_col:
+        aggs.append(F.min(id_col).alias("keeper_id"))
+    return base.groupBy("canonical_url").agg(*aggs)

@@ -103,6 +103,10 @@ HEADLINE = [
     # by tools/ (timings in BASELINE.md) and their correctness by the
     # strict oracles.
     "bpe_pair_counts",
+    # round-10 additions (appended — prefix stays ratio-comparable):
+    # edit-distance-verified fuzzy dedup and crawl-style URL dedup
+    "dedup_edit_distance",
+    "url_canonical_dedup",
 ]
 
 

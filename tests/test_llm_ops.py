@@ -1434,3 +1434,60 @@ def test_avi_multi_stream_handling():
     body2 = b"AVI " + hdrl2 + movi
     with pytest.raises(ValueError, match="multiple 'vids'"):
         _parse_avi(b"RIFF" + struct.pack("<I", len(body2)) + body2)
+
+
+def test_canonicalize_url_rules(spark):
+    from asakusafw_spark_spark.functions import canonicalize_url
+
+    rows = [
+        (1, "HTTP://Example.COM:80/a/b/?b=2&a=1&utm_source=x#frag"),
+        (2, "http://example.com/a/b?a=1&b=2"),          # same canonical as 1
+        (3, "https://Example.com:443/a"),
+        (4, "https://example.com:8443/a"),               # non-default port kept
+        (5, "http://example.com/?gclid=zzz&ref=abc"),    # all params tracking
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r.id: r.c for r in df.select("id", canonicalize_url("url").alias("c")).collect()}
+    assert got[1] == "http://example.com/a/b?a=1&b=2"
+    assert got[2] == got[1]
+    assert got[3] == "https://example.com/a"
+    assert got[4] == "https://example.com:8443/a"
+    assert got[5] == "http://example.com"
+
+
+def test_dedup_urls_counts(spark):
+    from asakusafw_spark_spark.functions import dedup_urls
+
+    rows = [
+        (1, "http://a.com/x?utm_source=1"),
+        (2, "HTTP://A.com/x"),
+        (3, "http://a.com/x/"),
+        (4, "http://a.com/y"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = {r.canonical_url: (r.n_rows, r.n_forms, r.keeper_id)
+           for r in dedup_urls(df, id_col="id").collect()}
+    assert out["http://a.com/x"] == (3, 3, 1)
+    assert out["http://a.com/y"] == (1, 1, 4)
+
+
+def test_edit_distance_pairs_exact_and_bound(spark):
+    from asakusafw_spark_spark.functions import edit_distance_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog tonighX"),  # dist 1
+        (3, "the quick brown fox jumps over the lazy dog tonight"),  # dist 0 to 1
+        (4, "completely unrelated text about spark executors and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.edit_distance
+           for r in edit_distance_pairs(df, max_distance=5).collect()}
+    assert got[(1, 3)] == 0
+    assert got[(1, 2)] == 1 and got[(2, 3)] == 1
+    assert all(a != 4 and b != 4 for a, b in got)
+
+    with pytest.raises(ValueError, match="bands"):
+        edit_distance_pairs(df, k=8, bands=3)
+    with pytest.raises(ValueError, match="max_bucket"):
+        edit_distance_pairs(df, max_bucket=1)
