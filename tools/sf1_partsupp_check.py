@@ -83,6 +83,10 @@ QUERIES = [
     # pairs-per-kept-bucket, mega-buckets observably dropped).
     "dedup_simhash_groups",
     "dedup_simhash_pairs",
+    # r10 additions: edit-distance verify (same banded candidates as
+    # minhash) + URL canonicalization over the 6M-row lineitem
+    "dedup_edit_distance",
+    "url_canonical_dedup",
     "dedup_ngram_jaccard",
     "scrub_spans",
     "lm_score",
