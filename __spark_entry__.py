@@ -3705,7 +3705,17 @@ def q_url_canonical_dedup(spark, sf):
         ),
         F.when(v % 5 == 0, F.lit("#sec")).otherwise(F.lit("")),
     )
-    return dedup_urls(li.select(raw.alias("url")))
+    urls = li.select(raw.alias("url"))
+    # The sf* lineitem files are single-row-group parquet, so the scan
+    # yields ~1 effective split and the canonicalizer (the CPU-heavy
+    # stage) runs on one core.  When the scan under-parallelizes vs the
+    # cluster, spread the slim url column first — a few MB of shuffle
+    # buys a cores-wide map stage.  On a real 100 TB input the scan has
+    # thousands of splits and this guard never fires.
+    par = spark.sparkContext.defaultParallelism
+    if urls.rdd.getNumPartitions() < par:
+        urls = urls.repartition(par)
+    return dedup_urls(urls)
 
 
 def q_dedup_edit_distance(spark, sf):
@@ -4217,17 +4227,18 @@ _DUCK_URL_CANON = r"""
       SELECT url,
         scheme || '://' ||
         (CASE WHEN scheme = 'http' AND host0 LIKE '%:80'
-                THEN regexp_replace(host0, ':80$', '')
+                THEN substr(host0, 1, len(host0) - 3)
               WHEN scheme = 'https' AND host0 LIKE '%:443'
-                THEN regexp_replace(host0, ':443$', '')
+                THEN substr(host0, 1, len(host0) - 4)
               ELSE host0 END) || path ||
         (CASE WHEN len(plist) > 0 THEN '?' || array_to_string(plist, '&')
               ELSE '' END) AS canonical_url
       FROM (SELECT url, scheme, host0, path,
-                   list_sort(list_filter(string_split(query, '&'),
-                     p -> p <> '' AND NOT regexp_matches(p,
-                       '^(?:utm_[a-z]+|gclid|fbclid|msclkid|ref)=')))
-                     AS plist
+                   list_sort(list_filter(
+                     string_split(regexp_replace(query,
+                       '(?:^|&)(?:utm_[a-z]+|gclid|fbclid|msclkid|ref)=[^&]*',
+                       '', 'g'), '&'),
+                     p -> p <> '')) AS plist
             FROM parts))
     SELECT canonical_url, COUNT(*) AS n_rows,
            COUNT(DISTINCT url) AS n_forms

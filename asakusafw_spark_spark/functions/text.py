@@ -714,17 +714,30 @@ def bigram_lm_score(
 TRACKING_PARAMS_RE = r"(?:utm_[a-z]+|gclid|fbclid|msclkid|ref)="
 
 
-def canonicalize_url(col: Column | str) -> Column:
+def canonicalize_url(
+    col: Column | str, tracking_params_re: str = TRACKING_PARAMS_RE
+) -> Column:
     """Canonical form of an http(s) URL — the dedup key every crawl
     pipeline needs before exact URL dedup: lowercase scheme and host,
     strip the default port (:80 http / :443 https), drop the fragment,
     strip trailing slashes from the path, remove click-tracking query
-    parameters (``utm_*``/``gclid``/``fbclid``/``msclkid``/``ref``) and
-    SORT the survivors so parameter order stops mattering.
+    parameters (default ``utm_*``/``gclid``/``fbclid``/``msclkid``/
+    ``ref``) and SORT the survivors so parameter order stops mattering.
 
-    Pure native Column expressions (regexp + array ops) — scan speed,
-    no UDF; the DuckDB twin uses the same patterns (kept inside the
-    regex subset Java and RE2 interpret identically).
+    ``tracking_params_re`` is an anchored-at-``^`` regex alternation of
+    ``name=`` prefixes to strip; tune it per corpus — e.g. drop ``ref``
+    for sites where ``?ref=branch`` selects CONTENT rather than
+    tracking attribution (the default strips it, which over-merges
+    there).
+
+    Implementation notes (A/B-measured at 600k rows, single thread):
+    anchored ``regexp_extract`` per component beats a ``substring_index``
+    /``instr``/``when``-chain rewrite (1.5× — the conditional-substr
+    expression tree duplicates subtrees that codegen does not CSE), and
+    stripping tracking params with ONE global ``regexp_replace`` on the
+    query string beats a higher-order ``filter`` lambda per param
+    (interpreted per element).  The DuckDB twin mirrors the exact same
+    regex subset (with the ``'g'`` flag on its ``regexp_replace``).
     """
     u = F.trim(F.col(col) if isinstance(col, str) else col)
     u = F.regexp_replace(u, r"#.*$", "")  # fragment never reaches the server
@@ -743,12 +756,8 @@ def canonicalize_url(col: Column | str) -> Column:
         "",
     )
     query = F.regexp_extract(u, r"\?([^#]*)", 1)
-    params = F.array_sort(
-        F.filter(
-            F.split(query, "&"),
-            lambda p: (p != "") & ~p.rlike("^" + TRACKING_PARAMS_RE),
-        )
-    )
+    kept = F.regexp_replace(query, r"(?:^|&)" + tracking_params_re + r"[^&]*", "")
+    params = F.array_sort(F.array_remove(F.split(kept, "&"), ""))
     qpart = F.when(
         F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
     ).otherwise(F.lit(""))
