@@ -3705,17 +3705,14 @@ def q_url_canonical_dedup(spark, sf):
         ),
         F.when(v % 5 == 0, F.lit("#sec")).otherwise(F.lit("")),
     )
-    urls = li.select(raw.alias("url"))
+    from asakusafw_spark_spark.functions.dedup import ensure_parallelism
+
     # The sf* lineitem files are single-row-group parquet, so the scan
     # yields ~1 effective split and the canonicalizer (the CPU-heavy
-    # stage) runs on one core.  When the scan under-parallelizes vs the
-    # cluster, spread the slim url column first — a few MB of shuffle
-    # buys a cores-wide map stage.  On a real 100 TB input the scan has
-    # thousands of splits and this guard never fires.
-    par = spark.sparkContext.defaultParallelism
-    if urls.rdd.getNumPartitions() < par:
-        urls = urls.repartition(par)
-    return dedup_urls(urls)
+    # stage) runs on one core.  ensure_parallelism spreads the slim url
+    # column when (and only when) the file listing says the scan is
+    # narrower than the cluster — on a real 100 TB input it's a no-op.
+    return dedup_urls(ensure_parallelism(li).select(raw.alias("url")))
 
 
 def q_dedup_edit_distance(spark, sf):

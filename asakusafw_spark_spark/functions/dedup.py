@@ -27,6 +27,47 @@ MERSENNE_P = 2_147_483_647
 #: Monotonic suffix for CollectMetrics names (must be unique per plan).
 _OBS_SEQ = __import__("itertools").count()
 
+#: Persisted intermediates (banded signatures, chunk frames, history
+#: indexes) still referenced by lazily-returned result frames.  Spark's
+#: CacheManager holds cache entries until an explicit unpersist — NOT
+#: until GC — and MEMORY_AND_DISK disk blocks are never LRU-evicted, so
+#: a long-lived session calling these functions repeatedly accumulates
+#: blocks without bound unless it releases them.
+_LIVE_INTERMEDIATES: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    """persist(MEMORY_AND_DISK) + register for release_cached_intermediates.
+
+    The persist must outlive the function (the returned frame references
+    it lazily, typically from ≥2 plan branches — a bucket-count aggregate
+    and both sides of a candidate self-join), so it cannot be unpersisted
+    before return.  Registering it gives long-lived callers a handle.
+    """
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _LIVE_INTERMEDIATES.append(df)
+    return df
+
+
+def release_cached_intermediates() -> int:
+    """Unpersist every intermediate cached by the dedup/similarity
+    family and clear the registry; returns how many were released.
+
+    Call after the action(s) consuming a returned frame complete — e.g.
+    once per micro-batch or per request in a long-lived service.  Safe
+    any time: unpersist only drops cached blocks; un-consumed result
+    frames stay valid and simply recompute their lineage.
+    """
+    n = 0
+    for df in _LIVE_INTERMEDIATES:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing left to release
+    _LIVE_INTERMEDIATES.clear()
+    return n
+
 
 def _observe_cap(counts: DataFrame, family: str, max_bucket: int) -> DataFrame:
     """Attach a named observation to a bucket-counts frame so silent
@@ -224,7 +265,7 @@ def minhash_lsh_pairs(
     base = df.select(
         F.col(id_col).alias("id"),
         word_shingles(text_col, n).alias("shingles"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(_persist)
     sig = base.withColumn("sig", minhash_signature(F.col("shingles"), k, seed))
 
     banded = sig.select(
@@ -250,7 +291,7 @@ def minhash_lsh_pairs(
         # buckets — from BOTH sides of the candidate self-join shuffle.
         # banded feeds three consumers (keep aggregate + both join
         # sides) — persist so the band explode runs once.
-        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        banded = banded.transform(_persist)
         counts = _observe_cap(
             banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__n__")),
             "minhash_lsh",
@@ -311,7 +352,7 @@ def ngram_jaccard_pairs(
     # consumed by both join sides (+ doc_freq) — materialize once
     exploded = base.select(
         "id", "set_size", F.explode("shingles").alias("sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(_persist)
     if max_doc_freq is not None:
         doc_freq = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
         pruned = exploded.join(
@@ -494,7 +535,7 @@ def simhash_pairs(
     base = (
         ensure_parallelism(df)
         .select(F.col(id_col).alias("id"), simhash(text_col, bits).alias("sh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(_persist)
     )
     chunks = base.select(
         "id",
@@ -520,7 +561,7 @@ def simhash_pairs(
         # of quadratic-per-corpus.  chunks feeds three consumers (the
         # keep aggregate + both join sides) — persist so the sketch
         # explode runs once.
-        chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
+        chunks = chunks.transform(_persist)
         counts = _observe_cap(
             chunks.groupBy("ci", "cv").agg(F.count(F.lit(1)).alias("__n__")),
             "simhash",
@@ -1009,15 +1050,34 @@ def dedup_against_corpus(
         raise ValueError("pass exactly one of corpus= or index=")
     if k % bands != 0:
         raise ValueError("bands must divide k")
+    if bucket_counts is not None:
+        # The counts frame is trusted to describe THIS index at THIS
+        # (k, bands, seed): a frame built with different parameters or
+        # from a stale index silently mis-filters buckets and admits
+        # duplicates.  The schema is checkable; the parameter pairing
+        # is the caller's contract (documented on band_bucket_counts).
+        if max_bucket is None:
+            raise ValueError(
+                "bucket_counts= was passed but max_bucket=None disables the "
+                "bucket cap — the counts frame would be silently ignored"
+            )
+        expected = {"band", "key", "__n__"}
+        got = set(bucket_counts.columns)
+        if got != expected:
+            raise ValueError(
+                f"bucket_counts must have columns {sorted(expected)} (a "
+                f"band_bucket_counts frame), got {sorted(got)}; it must be "
+                f"built from THIS index with the same k/bands/seed"
+            )
     if index is None:
         index = build_dedup_index(
             corpus, id_col=id_col, text_col=text_col, n=n, k=k, seed=seed
         )
-    index = index.persist(StorageLevel.MEMORY_AND_DISK)
+    index = index.transform(_persist)
     new_index = build_dedup_index(
         ensure_parallelism(new_docs), id_col=id_col, text_col=text_col, n=n, k=k,
         seed=seed,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(_persist)
 
     hist_rows = _band_rows(index, k, bands)
     new_rows = _band_rows(new_index, k, bands)
@@ -1042,7 +1102,7 @@ def dedup_against_corpus(
         # band explode runs once across its consumers (count aggregate,
         # cap semi-join, candidate join).
         if bucket_counts is None:
-            hist_rows = hist_rows.persist(StorageLevel.MEMORY_AND_DISK)
+            hist_rows = hist_rows.transform(_persist)
             bucket_counts = hist_rows.groupBy("band", "key").agg(
                 F.count(F.lit(1)).alias("__n__")
             )
@@ -1119,7 +1179,7 @@ def edit_distance_pairs(
             F.col(text_col).alias("txt"),
             word_shingles(text_col, n).alias("shingles"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(_persist)
     )
     sig = base.withColumn("sig", minhash_signature(F.col("shingles"), k, seed))
     banded = sig.select(
@@ -1139,7 +1199,7 @@ def edit_distance_pairs(
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     if max_bucket is not None:
-        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        banded = banded.transform(_persist)
         counts = _observe_cap(
             banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__n__")),
             "edit_distance",
@@ -1161,10 +1221,17 @@ def edit_distance_pairs(
     ).join(
         base.select(F.col("id").alias("id_b"), F.col("txt").alias("t_b")), "id_b"
     )
+    # 3-arg levenshtein early-exits the O(len_a × len_b) DP as soon as
+    # every path exceeds the threshold (returns -1 past the bound) — a
+    # free cut on the verify stage since rejected candidates are the
+    # common case.  Kept pairs still carry the exact distance.
     return (
         verified.withColumn(
-            "edit_distance", F.levenshtein("t_a", "t_b").cast("long")
+            "edit_distance",
+            F.levenshtein("t_a", "t_b", int(max_distance)).cast("long"),
         )
-        .filter(F.col("edit_distance") <= max_distance)
+        .filter(
+            (F.col("edit_distance") >= 0) & (F.col("edit_distance") <= max_distance)
+        )
         .select("id_a", "id_b", "edit_distance")
     )

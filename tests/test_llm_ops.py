@@ -1491,3 +1491,61 @@ def test_edit_distance_pairs_exact_and_bound(spark):
         edit_distance_pairs(df, k=8, bands=3)
     with pytest.raises(ValueError, match="max_bucket"):
         edit_distance_pairs(df, max_bucket=1)
+
+
+def test_release_cached_intermediates(spark):
+    from asakusafw_spark_spark.functions import (
+        minhash_lsh_pairs,
+        release_cached_intermediates,
+    )
+    from asakusafw_spark_spark.functions import dedup as dedup_mod
+
+    release_cached_intermediates()  # start from a clean registry
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} words {' '.join(str(j) for j in range(8))}")
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    minhash_lsh_pairs(docs).collect()
+    live = list(dedup_mod._LIVE_INTERMEDIATES)
+    assert live, "minhash_lsh_pairs should register persisted intermediates"
+    assert any(df.is_cached for df in live)
+    n = release_cached_intermediates()
+    assert n == len(live)
+    assert all(not df.is_cached for df in live)
+    assert dedup_mod._LIVE_INTERMEDIATES == []
+    # idempotent on an empty registry
+    assert release_cached_intermediates() == 0
+
+
+def test_dedup_against_corpus_bucket_counts_validation(spark):
+    from asakusafw_spark_spark.functions import (
+        band_bucket_counts,
+        build_dedup_index,
+        dedup_against_corpus,
+    )
+
+    history = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1, "totally different words about cooking pasta tonight folks")],
+        "doc_id long, text string",
+    )
+    idx = build_dedup_index(history)
+    counts = band_bucket_counts(idx)
+
+    # counts frame silently ignored when the cap is off -> error
+    with pytest.raises(ValueError, match="max_bucket=None"):
+        dedup_against_corpus(
+            batch, index=idx, max_bucket=None, bucket_counts=counts
+        )
+    # wrong schema (not a band_bucket_counts frame) -> error
+    with pytest.raises(ValueError, match="band_bucket_counts"):
+        dedup_against_corpus(
+            batch, index=idx, bucket_counts=idx.select("id", "sig")
+        )
+    # the real frame passes and gives the same survivors
+    kept = dedup_against_corpus(batch, index=idx, bucket_counts=counts)
+    assert [r.doc_id for r in kept.collect()] == [1]
