@@ -147,8 +147,14 @@ def _parse_avi(data: bytes):
                 (uspf,) = struct.unpack_from("<I", data, p)
                 if uspf > 0:
                     usec_per_frame = float(uspf)
-            elif tag == b"strh" and size >= 32:
-                if data[p:p + 4] == b"vids":
+            elif tag == b"strh":
+                # EVERY strh occupies a stream number in the NNdc/NNwb
+                # chunk ids — counting only well-formed ones would
+                # desynchronize vids_stream from the chunk prefixes and
+                # silently drop video (or keep audio) whenever an
+                # earlier stream's strh is short/malformed.  Only the
+                # vids PARSING is gated on the 32-byte minimum.
+                if size >= 32 and data[p:p + 4] == b"vids":
                     # a second video stream would silently interleave
                     # two timelines into one — corrupt by our contract
                     if vids_stream is not None:

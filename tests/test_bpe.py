@@ -185,3 +185,24 @@ def test_bpe_apply_unicode_whitespace_matches_training(spark):
     out = bpe_apply(df, [("a", " ")]).collect()[0].bpe_tokens
     # one word per occurrence — the merge straddling the NBSP applies
     assert out == ["a ", "b", EOW, "a ", "b", EOW]
+
+
+def test_pinned_merge_table_matches_training_output(spark):
+    """__spark_entry__._BPE_PINNED_MERGES is documented as the EXACT
+    bpe_train(documents@sf0.01, num_merges=24) output.  Assert that
+    equality so the literal cannot silently drift from what training
+    produces (the bpe_tokenize oracle stays self-consistently green
+    either way, since both engines apply the same literal — this test
+    is the only thing tying it back to the trainer; ADVICE r10)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from __spark_entry__ import _BPE_PINNED_MERGES
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    trained = [
+        (r.left, r.right)
+        for r in bpe_train(docs, num_merges=24).orderBy("merge_rank").collect()
+    ]
+    assert trained == _BPE_PINNED_MERGES

@@ -1435,6 +1435,18 @@ def test_avi_multi_stream_handling():
     with pytest.raises(ValueError, match="multiple 'vids'"):
         _parse_avi(b"RIFF" + struct.pack("<I", len(body2)) + body2)
 
+    # A malformed/truncated strh still OCCUPIES its stream number: with
+    # a 4-byte strh for stream 00 and the vids header as stream 01, the
+    # video chunks are the 01dc ones (ADVICE r10 — an unskipped short
+    # strh used to desynchronize vids_stream from the NNdc prefixes,
+    # keeping the audio and dropping the video).
+    short_strl = _list(b"strl", _chunk(b"strh", b"auds") + _chunk(b"strf", b"\x00" * 4))
+    hdrl3 = _list(b"hdrl", _chunk(b"avih", avih) + short_strl + strl(b"vids"))
+    body3 = b"AVI " + hdrl3 + movi
+    frames3, frame_ms3 = _parse_avi(b"RIFF" + struct.pack("<I", len(body3)) + body3)
+    assert frames3 == [b"AUD0", b"AUD1"]  # stream 01 IS the video here
+    assert abs(frame_ms3 - 100.0) < 1e-9
+
 
 def test_canonicalize_url_rules(spark):
     from asakusafw_spark_spark.functions import canonicalize_url
