@@ -5113,42 +5113,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_k_per_group": q_topk,
         "training_pipeline": q_training_pipeline,
     }
-    # --- r10 window head (52 = 22 + 13 + 17; the driver window
-    #     truncates at ~50, so the last two r07 fills roll to r11):
-    #     1. the 22 r06-stale queries deferred from the r09 window
-    #        (3-round staleness boundary — VERDICT r09 Next #4);
-    #     2. queries riding code EDITED in r10: the 64-bit capped
-    #        simhash family, the dedup persist/bucket_counts pass, the
-    #        pinned-merge-table bpe_tokenize (first STRICT oracle row),
-    #        the pagerank sources guard;
-    #     3. 17 of the 46-query r07 block that reaches the boundary
-    #        this round (the rest complete in r11).
-    #     Everything outside the window is covered by the committed
-    #     LOCAL_VERIFY_r10 artifacts (strict value hash, both SFs,
-    #     regenerated after the round's last code change).
+    # --- r11 window head (50 = 28 + 11 + 11; rotation ledger is the
+    #     union of all CORRECTNESS_r*.json windows — per-query
+    #     last-verified round):
+    #     1. the 28 queries last verified in the r07 window (these are
+    #        the rolled-over tail of the 46-query r07 block, INCLUDING
+    #        the two r10 head entries — manifest_stats,
+    #        master_join_multikey — that the ~50-entry driver
+    #        truncation cut; VERDICT r10 Next #4 puts them first);
+    #     2. queries riding code EDITED in r11: the canonicalize_url
+    #        rewrite (one-pass tracking strip + ensure_parallelism),
+    #        the 3-arg levenshtein verify, and the dedup-family
+    #        _persist/registry + bucket_counts-validation pass;
+    #     3. 11 of the 47-query r08 block reaching the ≤3-round
+    #        staleness boundary (the rest lead the r12 window; all are
+    #        green in the committed LOCAL_VERIFY_r11 sweeps meanwhile).
     head = [
-        # 1. r06-stale
-        "master_join_update", "master_selection_custom_fn",
-        "master_selection_ordering", "project", "q11_important_stock",
-        "q16_parts_supplier_relationship", "q20_potential_promotion",
-        "q9_product_type_profit", "restructure", "sample_stratified",
-        "similarity_bruteforce_topk", "similarity_ivf", "similarity_lsh_ann",
-        "similarity_near_dup", "split", "streaming_cdc_upsert",
-        "text_analysis", "text_repetition", "text_simhash", "token_budget",
-        "train_val_split", "update",
-        # 2. r10-edited code paths
-        "dedup_simhash_pairs", "dedup_simhash_groups", "bpe_tokenize",
-        "bpe_pair_counts", "dedup_minhash_lsh", "dedup_clusters",
-        "dedup_corpus", "dedup_incremental", "streaming_dedup_ingest",
-        "pagerank", "pagerank_personalized",
-        # NEW r10 ops (first driver rows): edit-distance verify + URL dedup
-        "dedup_edit_distance", "url_canonical_dedup",
-        # 3. r07-stale fill
-        "asof_join", "chunk_documents", "cli_roundtrip", "cogroup",
-        "cogroup3", "dedup_exact", "fixed_width_input",
-        "flagship_revenue_per_nation", "fold", "fold_custom", "group_sort",
-        "grouping_sets", "hadoop_output_newapi", "heavy_hitters",
-        "k_anonymity_report", "manifest_stats", "master_join_multikey",
+        # 1. r07-stale (worst first — includes the two r10 roll-overs)
+        "manifest_stats", "master_join_multikey", "master_join_shuffled",
+        "master_join_where", "mix_corpus", "multimodal_features",
+        "q18_large_volume_customer", "q2_min_cost_supplier",
+        "q3_shipping_priority", "q5_local_supplier_volume", "quality_filter",
+        "range_join_bands", "sample_exact_n", "seqfile_roundtrip",
+        "sessionize", "shard_assignment", "streaming_dedup",
+        "streaming_interval_join", "streaming_quality_report",
+        "streaming_sessionize", "streaming_stateful_count",
+        "streaming_windowed_agg", "summarize_any", "summarize_q1",
+        "suppress_rare_groups", "top_k_per_group", "training_pipeline",
+        "zorder_roundtrip",
+        # 2. r11-edited code paths
+        "url_canonical_dedup", "dedup_edit_distance", "dedup_minhash_lsh",
+        "dedup_simhash_pairs", "dedup_simhash_groups", "dedup_ngram_jaccard",
+        "dedup_incremental", "dedup_clusters", "dedup_corpus_best",
+        "scrub_spans", "contamination_check",
+        # 3. r08-stale fill (the sf1-swept members of the r08 block —
+        #    q10/q13/q17/q21, running_total, percentile_agg, bloom_join —
+        #    are deprioritized here since they gain fresh 10×-scale rows
+        #    this round; these 11 have no other fresh coverage)
+        "analyze_table", "audience_overlap", "bm25", "cap_per_group",
+        "checkpoint", "compaction_roundtrip", "confluent",
+        "constraint_report", "cube_agg", "direct_input", "distinct",
     ]
     ordered = {k: all_q[k] for k in head}
     ordered.update((k, v) for k, v in all_q.items() if k not in ordered)

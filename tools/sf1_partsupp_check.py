@@ -110,6 +110,39 @@ QUERIES = [
     "quantize_embeddings",
     "embedding_centroids",
     "embedding_dup_clusters",
+    # r11 widening (VERDICT r10 #3, 45 → 69): the remaining TPC-H
+    # composites with scale-sensitive arithmetic (shares, correlated
+    # averages, EXISTS chains, outer-join distributions)
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q21_waiting_suppliers",
+    # sketches at 10× (the HLL-coupon-collision bug class lives here)
+    "approx_distinct",
+    "approx_percentile",
+    "heavy_hitters",
+    # window frames over the 6M-row fact
+    "top_k_per_group",
+    "running_total",
+    "percentile_agg",
+    "grouping_sets",
+    # join strategies whose cost/semantics shift with scale
+    "bloom_join",
+    "asof_join",
+    "cogroup",
+    # text/LLM surfaces not yet at sf1
+    "bpe_pair_counts",
+    "text_analysis",
+    "token_budget",
+    # ANN paths (IVF's driver-sample k-means + LSH multi-table)
+    "similarity_ivf",
+    "similarity_lsh_ann",
+    # streaming batch-replay equivalences over 1M events
+    "streaming_windowed_agg",
+    "streaming_sessionize",
 ]
 
 P, S, O, L, C = 200_000, 10_000, 1_500_000, 6_000_000, 150_000
