@@ -285,7 +285,14 @@ def generate(spark) -> None:
             F.timestamp_seconds(
                 F.lit(1_704_067_200) + (k * 37) % 2_592_000
             ).alias("ts"),
-            ((k * 31) % USERS).alias("user_id"),
+            # ~1.1% of rows each on two HOT users (ids 0/1) so the
+            # heavy_hitters 0.8%-share threshold BINDS at sf1 (a
+            # uniform user distribution made that row a 0-rows-both-
+            # engines green — true but exercising only the empty path);
+            # the rest stay uniform for the session/funnel surfaces
+            F.when(k % 90 < 2, k % 2)
+            .otherwise((k * 31) % USERS)
+            .alias("user_id"),
             arr(["view", "click", "signup", "purchase", "error"])[
                 ((k * 7) % 5).cast("int")
             ].alias("event_type"),
