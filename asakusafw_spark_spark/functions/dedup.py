@@ -716,19 +716,38 @@ def dup_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_edges = edges.count()
 
+    def digest(df: DataFrame) -> tuple:
+        # ONE narrow agg job returns the convergence probe: edge count
+        # plus an order-insensitive exact-sum of a 64-bit edge hash
+        # (decimal sum — no ANSI overflow).  Rounds whose edge set
+        # changed almost surely differ here, so the EXACT set-equality
+        # join below runs only at the true fixpoint instead of on every
+        # count-plateau round — one driver-visible job per round saved.
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return row["n"], row["h"]
+
+    n_edges, h_edges = digest(edges)
     converged = n_edges == 0
     rounds = 0
     while not converged and rounds < max_rounds:
         rounds += 1
         new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        new_count = new_edges.count()
-        # set equality: |B| == |A| and B \ A == ∅  (both are distinct sets)
-        if new_count == n_edges and new_edges.subtract(edges).isEmpty():
+        new_count, new_hash = digest(new_edges)
+        # digest match → confirm set equality exactly (both distinct
+        # sets, equal size, B \ A == ∅); the hash pre-filter makes a
+        # false trigger of this join astronomically rare, never wrong
+        if (
+            new_count == n_edges
+            and new_hash == h_edges
+            and new_edges.subtract(edges).isEmpty()
+        ):
             converged = True
         edges = new_edges
-        n_edges = new_count
+        n_edges, h_edges = new_count, new_hash
     if stats is not None:
         stats["rounds"] = rounds
     if not converged:
