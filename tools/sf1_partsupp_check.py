@@ -143,6 +143,38 @@ QUERIES = [
     # streaming batch-replay equivalences over 1M events
     "streaming_windowed_agg",
     "streaming_sessionize",
+    # r11 second widening (69 → 95): the core join/group operator
+    # family at 10× (broadcast-vs-shuffle thresholds, multikey
+    # grouping, selection ordering), the remaining TPC-H composites,
+    # the quality/sampling surfaces (window-count suppression and
+    # deterministic exact-n draws are both partition-count-sensitive),
+    # and the remaining stateful streaming maintainers
+    "master_join",
+    "master_join_multikey",
+    "master_check_found",
+    "master_check_missed",
+    "master_selection_ordering",
+    "fold",
+    "group_sort",
+    "cogroup3",
+    "flagship_revenue_per_nation",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q12_late_priority_lines",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q19_discounted_revenue",
+    "q22_global_sales_opportunity",
+    "k_anonymity_report",
+    "suppress_rare_groups",
+    "sample_exact_n",
+    "train_val_split",
+    "quantile_bucket",
+    "contamination_check",
+    "similarity_near_dup",
+    "text_repetition",
+    "streaming_cdc_upsert",
+    "streaming_stateful_count",
 ]
 
 P, S, O, L, C = 200_000, 10_000, 1_500_000, 6_000_000, 150_000
