@@ -60,6 +60,18 @@ def cosine_similarity(a: Column, b: Column, scale: int = 6) -> Column:
     return F.round(_dot(a, b) / (_norm(a) * _norm(b)), scale)
 
 
+def _paired_cosine(a: Column, b: Column, na: Column, nb: Column, scale: int = 6) -> Column:
+    """:func:`cosine_similarity` with the norms supplied as columns.
+
+    Join-based scorers hoist ``_norm`` to the per-ROW side of the join
+    (norm depends only on one vector), so only the dot's single fold
+    runs per candidate PAIR — 1 interpreted array fold per pair instead
+    of 3.  Bit-identical to :func:`cosine_similarity`: the hoisted fold
+    sees the same vector, and the final ``round(dot/(na*nb), scale)``
+    is the same expression tree."""
+    return F.round(_dot(a, b) / (na * nb), scale)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -75,14 +87,23 @@ def brute_force_topk(
     (same id) are excluded.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("__qn"),
     )
     c = ensure_parallelism(corpus).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("__cn"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "sim",
+            _paired_cosine(
+                F.col("q_vec"), F.col("c_vec"), F.col("__qn"), F.col("__cn")
+            ),
+        )
         .select("query_id", "neighbor_id", "sim")
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
@@ -110,25 +131,41 @@ def cosine_near_dup(
     """
     df = ensure_parallelism(df)
     if exact:
-        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        a = df.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("va"),
+            _norm(F.col(vec_col)).alias("__na"),
+        )
+        b = df.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vb"),
+            _norm(F.col(vec_col)).alias("__nb"),
+        )
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
         dim = _probe_dim(df, vec_col)
         bucketed = df.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
+            _norm(F.col(vec_col)).alias("nrm"),
             _bucket_key(vec_col, planes, seed, dim).alias("bucket"),
         )
         a = bucketed.select(
-            F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket"
+            F.col("id").alias("id_a"), F.col("v").alias("va"),
+            F.col("nrm").alias("__na"), "bucket",
         )
         b = bucketed.select(
-            F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket"
+            F.col("id").alias("id_b"), F.col("v").alias("vb"),
+            F.col("nrm").alias("__nb"), "bucket",
         )
         pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     return (
-        pairs.withColumn("sim", cosine_similarity(F.col("va"), F.col("vb")))
+        pairs.withColumn(
+            "sim",
+            _paired_cosine(
+                F.col("va"), F.col("vb"), F.col("__na"), F.col("__nb")
+            ),
+        )
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
@@ -245,10 +282,11 @@ def lsh_ann_topk(
         .select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
+            _norm(F.col(vec_col)).alias("__cn"),
             F.explode(tables(vec_col)).alias("tb"),
         )
         .select(
-            "neighbor_id", "c_vec",
+            "neighbor_id", "c_vec", "__cn",
             F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
         )
     )
@@ -256,10 +294,11 @@ def lsh_ann_topk(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
+            _norm(F.col(vec_col)).alias("__qn"),
             F.explode(tables(vec_col)).alias("tb"),
         )
         .select(
-            "query_id", "q_vec",
+            "query_id", "q_vec", "__qn",
             F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
         )
     )
@@ -269,7 +308,10 @@ def lsh_ann_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.withColumn(
-        "sim", cosine_similarity(F.col("q_vec"), F.col("c_vec"))
+        "sim",
+        _paired_cosine(
+            F.col("q_vec"), F.col("c_vec"), F.col("__qn"), F.col("__cn")
+        ),
     ).select("query_id", "neighbor_id", "sim")
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
@@ -512,7 +554,11 @@ def ivf_topk(
             F.round(_int_dot(F.col("q_vec"), F.col("c_vec")).cast("double") / (qn * cn), 6),
         ).otherwise(F.lit(0.0))
     else:
-        sim = cosine_similarity(F.col("q_vec"), F.col("c_vec"))
+        cb = cb.withColumn("__cn", _norm(F.col("c_vec")))
+        qb = qb.withColumn("__qn", _norm(F.col("q_vec")))
+        sim = _paired_cosine(
+            F.col("q_vec"), F.col("c_vec"), F.col("__qn"), F.col("__cn")
+        )
     scored = (
         cb.join(F.broadcast(qb), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -531,10 +577,14 @@ def ivf_topk(
     # stage 2: exact float re-score of the ≤ m×k candidates per query —
     # slim id-pair join back to the float vectors, never corpus-sized
     fv = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__c_fvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__c_fvec"),
+        _norm(F.col(vec_col)).alias("__c_fn"),
     )
     qv = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q_fvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__q_fvec"),
+        _norm(F.col(vec_col)).alias("__q_fn"),
     )
     exact = (
         top.drop("sim")
@@ -542,7 +592,10 @@ def ivf_topk(
         .join(F.broadcast(qv), "query_id")
         .withColumn(
             "sim",
-            cosine_similarity(F.col("__q_fvec"), F.col("__c_fvec")),
+            _paired_cosine(
+                F.col("__q_fvec"), F.col("__c_fvec"),
+                F.col("__q_fn"), F.col("__c_fn"),
+            ),
         )
         .select("query_id", "neighbor_id", "sim")
     )
