@@ -5141,18 +5141,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_agg", "summarize_any", "summarize_q1",
         "suppress_rare_groups", "top_k_per_group", "training_pipeline",
         "zorder_roundtrip",
-        # 2. r11-edited code paths
+        # 2. r11-edited code paths (incl. the cosine norm hoist —
+        #    near_dup + brute-force represent the similarity family
+        #    in-window; LSH/IVF/rerank ride the same _paired_cosine and
+        #    are green in the committed r11 LV sweeps at sf0.01/0.1/sf1,
+        #    all regenerated after that edit)
         "url_canonical_dedup", "dedup_edit_distance", "dedup_minhash_lsh",
         "dedup_simhash_pairs", "dedup_simhash_groups", "dedup_ngram_jaccard",
         "dedup_incremental", "dedup_clusters", "dedup_corpus_best",
         "scrub_spans", "contamination_check",
+        "similarity_near_dup", "similarity_bruteforce_topk",
         # 3. r08-stale fill (the sf1-swept members of the r08 block —
         #    q10/q13/q17/q21, running_total, percentile_agg, bloom_join —
         #    are deprioritized here since they gain fresh 10×-scale rows
-        #    this round; these 11 have no other fresh coverage)
+        #    this round; cube_agg/distinct lead the r12 head instead,
+        #    displaced by the two similarity rows above)
         "analyze_table", "audience_overlap", "bm25", "cap_per_group",
         "checkpoint", "compaction_roundtrip", "confluent",
-        "constraint_report", "cube_agg", "direct_input", "distinct",
+        "constraint_report", "direct_input",
     ]
     ordered = {k: all_q[k] for k in head}
     ordered.update((k, v) for k, v in all_q.items() if k not in ordered)
