@@ -161,6 +161,35 @@ def test_cosine_self_similarity(vecs):
     assert abs(r.s - 1.0) < 1e-6
 
 
+def test_paired_cosine_bit_identical_to_inline(vecs):
+    # the join-side norm hoist must reproduce cosine_similarity EXACTLY
+    # (same fold over the same vector, same round(dot/(na*nb), 6)) —
+    # compare every cross pair of a 30-vector slice under both forms
+    from asakusafw_spark_spark.functions.similarity import _norm, _paired_cosine
+
+    a = vecs.limit(30).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        _norm(F.col("embedding")).alias("na"),
+    )
+    b = vecs.limit(30).select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        _norm(F.col("embedding")).alias("nb"),
+    )
+    both = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            _paired_cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")).alias("hoisted"),
+            cosine_similarity(F.col("va"), F.col("vb")).alias("inline"),
+        )
+        .collect()
+    )
+    assert len(both) == 30 * 29 // 2
+    assert all(r.hoisted == r.inline for r in both)  # exact, not approx
+
+
 def test_lsh_ann_subset_of_bruteforce_scores(vecs):
     queries = vecs.filter(F.col("vec_id") < 3)
     ann = lsh_ann_topk(vecs, queries, k=5, planes=2)
