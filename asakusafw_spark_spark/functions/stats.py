@@ -363,9 +363,14 @@ def audience_overlap(
             est(F.theta_intersection("__sa", "__sb")).cast("long").alias(
                 "overlap"
             ),
-            est(F.theta_union("__sa", "__sb")).cast("long").alias(
-                "union_count"
-            ),
+            # pin the union's nominal entries to lg_k: Spark's default
+            # lgNomEntries is 12, so a union of two exact lg_k=14
+            # sketches would silently drop into estimation mode past
+            # 4096 retained entries (caught by the sf1 sweep: two
+            # 3,000-user audiences with zero overlap unioned to 5,900)
+            est(F.theta_union("__sa", "__sb", F.lit(int(lg_k)))).cast(
+                "long"
+            ).alias("union_count"),
             est(F.theta_difference("__sa", "__sb")).cast("long").alias(
                 "only_a"
             ),

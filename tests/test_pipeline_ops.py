@@ -738,6 +738,25 @@ def test_audience_overlap_exact_at_small_cardinality(spark):
     assert bytes(s1) == bytes(s2)  # hash-threshold state, no randomness
 
 
+def test_audience_overlap_union_exact_past_default_nominal(spark):
+    """The UNION of two exact lg_k=14 sketches must stay exact past
+    4096 retained entries — Spark's theta_union defaults lgNomEntries
+    to 12, which silently downsampled a 6,000-entry union (the sf1
+    sweep caught 5,900 for two disjoint 3,000-user audiences); the
+    union nominal is now pinned to lg_k."""
+    from asakusafw_spark_spark.functions import audience_overlap
+
+    rows = [("a", u) for u in range(0, 3000)] + [
+        ("b", u) for u in range(3000, 6000)
+    ]
+    df = spark.createDataFrame(rows, "g string, u long")
+    r = audience_overlap(df, "g", "u").first()
+    assert (
+        r["distinct_a"], r["distinct_b"], r["overlap"],
+        r["union_count"], r["only_a"],
+    ) == (3000, 3000, 0, 6000, 3000)
+
+
 def test_quantile_sketch_rollup_merge_and_accuracy(spark):
     """KLL invariants: n is tracked EXACTLY through merges; a sketch
     holding fewer than k values answers quantiles exactly; merged
