@@ -175,6 +175,45 @@ QUERIES = [
     "text_repetition",
     "streaming_cdc_upsert",
     "streaming_stateful_count",
+    # r11 third widening (95 → 125): spill/broadcast-view/iterative
+    # surfaces, the incremental-dedup corpus variants, storage-layout
+    # roundtrips over the 6M-row fact, remaining streaming replays,
+    # and the light agg/scan family.  All 30 pre-checked in filtered
+    # batches against the sf1 synth tables this round — 29 green
+    # first-run plus audience_overlap, whose first sf1 run CAUGHT the
+    # theta_union default-nominal estimation bug (fixed + re-checked
+    # green); they enter the committed LOCAL_VERIFY_sf1.json at the
+    # next full sweep run.
+    "cogroup_chunked",
+    "group_view_lookup",
+    "range_join_bands",
+    "dedup_corpus",
+    "dedup_corpus_best",
+    "training_pipeline",
+    "merge_upsert",
+    "merge_evolve",
+    "snapshot_diff",
+    "compaction_roundtrip",
+    "zorder_roundtrip",
+    "iterative_rounds",
+    "streaming_dedup",
+    "streaming_interval_join",
+    "streaming_quality_report",
+    "text_simhash",
+    "mix_corpus",
+    "sample_stratified",
+    "shard_assignment",
+    "quality_filter",
+    "pivot_agg",
+    "rollup_agg",
+    "cube_agg",
+    "rank_in_group",
+    "normalize_text",
+    "extract_json",
+    "redact",
+    "summarize_any",
+    "manifest_stats",
+    "audience_overlap",
 ]
 
 P, S, O, L, C = 200_000, 10_000, 1_500_000, 6_000_000, 150_000
