@@ -241,12 +241,17 @@ def distinct_sketch_rollup(
     default 12; raise toward 21 for tighter bounds at 2^k·8 B/group).
 
     Scale shape: one partial-aggregable hash aggregate; a sketch (KBs)
-    per group crosses the shuffle, never the values.  Merging is exact
-    over the sketch state: HLL registers combine by max, so the union
-    is order- and partition-independent — the merged estimate EQUALS
-    the single-pass estimate over the concatenated data (asserted in
-    tests), which is what makes per-day sketches a safe substitute for
-    the full rescan.
+    per group crosses the shuffle, never the values.  Merging is
+    order- and partition-independent (asserted in tests), and the
+    union PRESERVES the build lgConfigK — no precision downgrade
+    (pinned by serialized-size regression in test_sketch_params.py;
+    contrast theta_union's lgNomEntries=12 default).  While sketches
+    stay in sparse/list mode the merged estimate EQUALS the
+    single-pass estimate exactly; once dense, the union path can
+    differ from single-pass by a fraction of the HLL error band
+    (observed 6017 vs 6013 at lgK=14 over 6000 distincts) while both
+    remain inside it — which is still what makes per-day sketches a
+    safe substitute for the full rescan.
 
     Not oracle-checked (DuckDB's HLL is a different implementation, so
     cross-engine estimates differ by design); covered by the pytest
@@ -411,11 +416,20 @@ def quantile_sketch_rollup(
         )
     agg = getattr(F, f"kll_sketch_agg_{_KLL_SUFFIX[dtype]}")
     group = [group_cols] if isinstance(group_cols, str) else list(group_cols)
-    # the dtype rides in the COLUMN NAME (qsketch__<dtype>): schema-only
-    # metadata the merge can read without executing the plan, surviving
-    # parquet round-trips and empty frames alike
+    # the dtype AND the build k ride in the COLUMN NAME
+    # (qsketch__<dtype>__k<k>): schema-only metadata the merge can read
+    # without executing the plan, surviving parquet round-trips and
+    # empty frames alike.  k must reach the merge: Spark's
+    # kll_merge_agg_* with no k merges through a default-k=200 partial
+    # buffer whenever the sketch table is multi-partition, silently
+    # downgrading a k=800 build — and PARTITIONING-DEPENDENTLY
+    # (coalesce(1) preserved 800; the shuffled path gave 200) — the
+    # r12 instance of the theta-union default-parameter bug class
+    # (pinned in test_sketch_params.py).
     return df.groupBy(*group).agg(
-        agg(value_col, F.lit(int(k))).alias(f"qsketch__{_KLL_SUFFIX[dtype]}")
+        agg(value_col, F.lit(int(k))).alias(
+            f"qsketch__{_KLL_SUFFIX[dtype]}__k{int(k)}"
+        )
     )
 
 
@@ -442,16 +456,30 @@ def merge_quantile_sketches(
     sketches: DataFrame,
     quantiles: "Sequence[float]" = (0.5, 0.95, 0.99),
     group_cols: "str | list[str] | None" = None,
+    k_override: "int | None" = None,
 ) -> DataFrame:
     """Merge KLL sketches (:func:`quantile_sketch_rollup`) and extract
     quantile values — per ``group_cols`` or one global row when None.
     Output: group cols + ``n`` (EXACT total count — KLL tracks n
     losslessly) + one ``qXX`` column per requested quantile (labels
     keep every fractional digit: 0.999 → ``q999``).  Costs slim sketch
-    rows per group, never a data rescan.  The value dtype comes from
-    the ``qsketch__<dtype>`` column NAME — schema-only, so this never
-    re-executes the upstream plan and an EMPTY sketch table flows
-    through with the full (group cols + n + quantile) schema.
+    rows per group, never a data rescan.  The value dtype and build k
+    come from the ``qsketch__<dtype>__k<k>`` column NAME — schema-only,
+    so this never re-executes the upstream plan and an EMPTY sketch
+    table flows through with the full (group cols + n + quantile)
+    schema.
+
+    Parameter propagation (the theta-union bug class, r12 instance):
+    Spark's ``kll_merge_agg_*`` with no ``k`` merges through a
+    default-k=200 partial-aggregation buffer whenever the sketch table
+    spans multiple partitions — a k=800 rollup silently degraded to
+    k=200 rank error, and the degradation was PARTITIONING-DEPENDENT
+    (a coalesce(1) input kept k=800).  The merge therefore always pins
+    ``k``: from the column name when present, else ``k_override``, else
+    the build default 200 (legacy ``qsketch__<dtype>`` tables predating
+    the name change — pinning 200 matches what the shuffled path
+    already produced, now deterministically).  Pinned in
+    test_sketch_params.py by parsing the merged sketch's serial header.
     """
     cands = [c for c in sketches.columns if c.startswith("qsketch__")]
     if len(cands) != 1:
@@ -460,14 +488,21 @@ def merge_quantile_sketches(
             f"column (from quantile_sketch_rollup), found {cands}"
         )
     sketch_col = cands[0]
-    suffix = sketch_col.rsplit("__", 1)[1]
+    parts = sketch_col.split("__")
+    suffix = parts[1]
+    if len(parts) >= 3 and parts[2].startswith("k"):
+        k = int(parts[2][1:])
+    elif k_override is not None:
+        k = int(k_override)
+    else:
+        k = 200  # quantile_sketch_rollup's historical build default
     labels = [_quantile_label(q) for q in quantiles]
     if len(set(labels)) != len(labels):
         raise ValueError(f"duplicate quantile labels: {labels}")
     merge = getattr(F, f"kll_merge_agg_{suffix}")
     get_q = getattr(F, f"kll_sketch_get_quantile_{suffix}")
     get_n = getattr(F, f"kll_sketch_get_n_{suffix}")
-    merged_col = merge(sketch_col).alias("__m")
+    merged_col = merge(sketch_col, F.lit(k)).alias("__m")
     if group_cols is None:
         base = sketches.agg(merged_col)
     else:

@@ -830,9 +830,14 @@ def stream_quantile_sketch_maintain(
     optimization.
 
     The value column must be double, float, or bigint (the KLL natives
-    are dtype-specific; the state column is ``qsketch__<dtype>``,
+    are dtype-specific; the state column is ``qsketch__<dtype>__k<k>``,
     matching the batch rollup's schema so batch and streaming state
-    interoperate).
+    interoperate — the k in the name is what lets
+    ``merge_quantile_sketches`` pin the merge k instead of falling into
+    Spark's partitioning-dependent k=200 default buffer, the r12
+    instance of the theta-union parameter bug class).  The per-batch
+    fold itself uses pairwise ``kll_sketch_merge``, which preserves the
+    build k (header-verified in test_sketch_params.py).
 
     Scale shape per batch: one hash-agg of the batch (a KB sketch per
     touched key), a full-outer join against the group-cardinality
@@ -851,7 +856,7 @@ def stream_quantile_sketch_maintain(
     suffix = _KLL_SUFFIX[dtype]
     agg = getattr(F, f"kll_sketch_agg_{suffix}")
     pair_merge = getattr(F, f"kll_sketch_merge_{suffix}")
-    sketch_col = f"qsketch__{suffix}"
+    sketch_col = f"qsketch__{suffix}__k{int(k)}"
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

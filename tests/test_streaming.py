@@ -918,7 +918,7 @@ def test_stream_theta_sketch_maintain_set_algebra_and_replay(spark, tmp_path):
         .select(
             est("sketch").cast("long").alias("nb"),
             est(F.theta_intersection("sketch", "__a")).cast("long").alias("ov"),
-            est(F.theta_union("sketch", "__a")).cast("long").alias("un"),
+            est(F.theta_union("sketch", "__a", F.lit(14))).cast("long").alias("un"),
             est(F.theta_difference("sketch", "__a")).cast("long").alias("only_b"),
         )
         .first()
