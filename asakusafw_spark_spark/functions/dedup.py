@@ -57,6 +57,14 @@ def release_cached_intermediates() -> int:
     once per micro-batch or per request in a long-lived service.  Safe
     any time: unpersist only drops cached blocks; un-consumed result
     frames stay valid and simply recompute their lineage.
+
+    Scope: the registry is PROCESS-GLOBAL, not per-caller — in a
+    multi-tenant driver a release from one thread also unpersists
+    intermediates a concurrent query is still consuming.  That is
+    correctness-safe (lineage recomputes) but a performance cliff:
+    serialize releases behind your request boundary, or scope them with
+    :func:`cached_intermediates_scope`, which releases only the frames
+    persisted inside its ``with`` block.
     """
     n = 0
     for df in _LIVE_INTERMEDIATES:
@@ -67,6 +75,42 @@ def release_cached_intermediates() -> int:
             pass  # session already stopped — nothing left to release
     _LIVE_INTERMEDIATES.clear()
     return n
+
+
+class cached_intermediates_scope:
+    """Context manager releasing only the intermediates persisted INSIDE
+    the ``with`` block — the per-call alternative to the process-global
+    :func:`release_cached_intermediates` for multi-tenant drivers::
+
+        with cached_intermediates_scope():
+            pairs = near_duplicate_pairs(docs).collect()
+        # pairs' banded-signature caches are released; other threads'
+        # caches are untouched
+
+    Implementation: snapshots the registry length on enter and releases
+    the tail on exit.  A concurrent thread persisting inside the window
+    gets its frames released early — correctness-safe (lineage
+    recomputes), same caveat as the global release, but the blast
+    radius shrinks from "everything live" to "what overlapped the
+    block".  ``released`` holds the count after exit.
+    """
+
+    def __init__(self) -> None:
+        self.released = 0
+
+    def __enter__(self) -> "cached_intermediates_scope":
+        self._start = len(_LIVE_INTERMEDIATES)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        tail = _LIVE_INTERMEDIATES[self._start:]
+        del _LIVE_INTERMEDIATES[self._start:]
+        for df in tail:
+            try:
+                df.unpersist()
+                self.released += 1
+            except Exception:
+                pass
 
 
 def _observe_cap(counts: DataFrame, family: str, max_bucket: int) -> DataFrame:

@@ -83,6 +83,22 @@ def _values_equal(a: Any, b: Any, float_tol: float) -> bool:
         if math.isnan(a) and math.isnan(b):
             return True
         return math.isclose(a, b, rel_tol=0.0, abs_tol=float_tol) if float_tol else a == b
+    # tolerance must reach NESTED floats too (an array<double> embedding
+    # column, a struct of measures) — recurse through containers instead
+    # of falling back to exact comparison (ADVICE r11)
+    if float_tol:
+        if isinstance(a, Row):
+            a = tuple(a)
+        if isinstance(b, Row):
+            b = tuple(b)
+        if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+            return len(a) == len(b) and all(
+                _values_equal(x, y, float_tol) for x, y in zip(a, b)
+            )
+        if isinstance(a, dict) and isinstance(b, dict):
+            return set(a) == set(b) and all(
+                _values_equal(a[k], b[k], float_tol) for k in a
+            )
     return _norm_value(a, 0.0) == _norm_value(b, 0.0)
 
 

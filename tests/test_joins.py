@@ -179,6 +179,60 @@ def test_group_view_broadcast_lookup(spark, sf_dir):
     assert all(joined[r.c_custkey] == r.n_name for r in rows)
 
 
+def test_group_view_transfer_paths_identical(spark):
+    """All three build paths — rows collect, arrow stream, distributed
+    executor-side partials — must produce the SAME mapping, including
+    the two Arrow shapes that diverge from the Row contract (ADVICE
+    r11): MapType values (tuple lists vs dicts) and timestamps
+    (tz-aware UTC vs naive local)."""
+    from datetime import datetime
+
+    from asakusafw_spark_spark.operators import group_view
+
+    df = spark.createDataFrame(
+        [
+            (1, {"a": 10, "b": 20}, datetime(2024, 3, 1, 12, 30), [1.5, 2.5]),
+            (1, {"c": 30}, datetime(2024, 3, 2, 0, 0), []),
+            (2, None, None, None),
+        ],
+        "k int, m map<string,int>, ts timestamp, arr array<double>",
+    )
+    views = {
+        name: group_view(df, ["k"], transfer=t, distributed=d).value
+        for name, t, d in [
+            ("rows", "rows", False),
+            ("arrow", "arrow", False),
+            ("dist", "arrow", True),
+        ]
+    }
+    for name, v in views.items():
+        # within-group order is unspecified; sort by a stable key
+        v = {
+            k: sorted(rows_, key=lambda r: str(r))
+            for k, rows_ in v.items()
+        }
+        assert v == {
+            (1,): sorted(
+                [
+                    {
+                        "k": 1,
+                        "m": {"a": 10, "b": 20},
+                        "ts": datetime(2024, 3, 1, 12, 30),
+                        "arr": [1.5, 2.5],
+                    },
+                    {
+                        "k": 1,
+                        "m": {"c": 30},
+                        "ts": datetime(2024, 3, 2, 0, 0),
+                        "arr": [],
+                    },
+                ],
+                key=lambda r: str(r),
+            ),
+            (2,): [{"k": 2, "m": None, "ts": None, "arr": None}],
+        }, f"path {name} diverged"
+
+
 def test_group_view_enforces_cap(spark, sf_dir):
     import pytest as _pytest
 

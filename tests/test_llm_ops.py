@@ -1559,6 +1559,35 @@ def test_release_cached_intermediates(spark):
     assert release_cached_intermediates() == 0
 
 
+def test_cached_intermediates_scope_releases_only_its_tail(spark):
+    """The per-call alternative to the global release (ADVICE r11):
+    frames persisted BEFORE the scope survive it; frames persisted
+    inside are released on exit."""
+    from asakusafw_spark_spark.functions import (
+        cached_intermediates_scope,
+        minhash_lsh_pairs,
+        release_cached_intermediates,
+    )
+    from asakusafw_spark_spark.functions import dedup as dedup_mod
+
+    release_cached_intermediates()
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} words {' '.join(str(j) for j in range(8))}")
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    minhash_lsh_pairs(docs).collect()
+    outer = list(dedup_mod._LIVE_INTERMEDIATES)
+    assert outer
+    with cached_intermediates_scope() as scope:
+        minhash_lsh_pairs(docs.withColumn("text", docs.text)).collect()
+        assert len(dedup_mod._LIVE_INTERMEDIATES) > len(outer)
+    assert scope.released > 0
+    assert dedup_mod._LIVE_INTERMEDIATES == outer  # outer caches untouched
+    assert all(df.is_cached for df in outer)
+    assert release_cached_intermediates() == len(outer)
+
+
 def test_dedup_against_corpus_bucket_counts_validation(spark):
     from asakusafw_spark_spark.functions import (
         band_bucket_counts,

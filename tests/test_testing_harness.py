@@ -111,6 +111,35 @@ def test_verify_float_tolerance_and_rule(spark):
         )
 
 
+def test_verify_float_tolerance_reaches_nested_floats(spark):
+    """float_tol applies INSIDE arrays/structs/maps too (ADVICE r11) —
+    an array<double> embedding column must compare tolerantly, and the
+    tolerance must still FAIL a genuinely different nested value."""
+    df = spark.createDataFrame(
+        [("a", [0.1 + 0.2, 1.0], {"x": 0.30000000000000004})],
+        "k string, emb array<double>, m map<string,double>",
+    )
+    assert_frames_equal(
+        df,
+        [("a", [0.3, 1.0], {"x": 0.3})],
+        schema="k string, emb array<double>, m map<string,double>",
+        float_tol=1e-9,
+    )
+    with pytest.raises(FrameMismatch):
+        assert_frames_equal(
+            df,
+            [("a", [0.3, 1.0], {"x": 0.3})],
+            schema="k string, emb array<double>, m map<string,double>",
+        )
+    with pytest.raises(FrameMismatch):
+        assert_frames_equal(
+            df,
+            [("a", [0.4, 1.0], {"x": 0.3})],
+            schema="k string, emb array<double>, m map<string,double>",
+            float_tol=1e-9,
+        )
+
+
 def test_run_binds_by_parameter_name_and_validates(spark):
     td = TestDriver(spark)
     td.input("a", [(1,)], "x long")
