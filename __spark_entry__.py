@@ -5113,52 +5113,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_k_per_group": q_topk,
         "training_pipeline": q_training_pipeline,
     }
-    # --- r11 window head (50 = 28 + 11 + 11; rotation ledger is the
+    # --- r12 window head (50 = 37 + 1 + 12; rotation ledger is the
     #     union of all CORRECTNESS_r*.json windows — per-query
-    #     last-verified round):
-    #     1. the 28 queries last verified in the r07 window (these are
-    #        the rolled-over tail of the 46-query r07 block, INCLUDING
-    #        the two r10 head entries — manifest_stats,
-    #        master_join_multikey — that the ~50-entry driver
-    #        truncation cut; VERDICT r10 Next #4 puts them first);
-    #     2. queries riding code EDITED in r11: the canonicalize_url
-    #        rewrite (one-pass tracking strip + ensure_parallelism),
-    #        the 3-arg levenshtein verify, and the dedup-family
-    #        _persist/registry + bucket_counts-validation pass;
-    #     3. 11 of the 47-query r08 block reaching the ≤3-round
-    #        staleness boundary (the rest lead the r12 window; all are
-    #        green in the committed LOCAL_VERIFY_r11 sweeps meanwhile).
+    #     last-verified round, `python tools/staleness.py`):
+    #     1. the ENTIRE remaining r08 block — all 37 queries at the
+    #        3-round staleness boundary (includes cube_agg/distinct,
+    #        displaced from the r11 head, per VERDICT r11 Next #3);
+    #     2. the one registry query riding code EDITED in r12:
+    #        group_view_lookup (arrow-shape normalization +
+    #        distributed build in operators/view.py).  The r12 sketch
+    #        edits (KLL k propagation, stats.py) touch no registry
+    #        query — pytest test_sketch_params.py covers them;
+    #     3. 12 of the r09 block (staleness 2, alphabetical head);
+    #        the ~29 r09 remainder leads the r13 window.
     head = [
-        # 1. r07-stale (worst first — includes the two r10 roll-overs)
-        "manifest_stats", "master_join_multikey", "master_join_shuffled",
-        "master_join_where", "mix_corpus", "multimodal_features",
-        "q18_large_volume_customer", "q2_min_cost_supplier",
-        "q3_shipping_priority", "q5_local_supplier_volume", "quality_filter",
-        "range_join_bands", "sample_exact_n", "seqfile_roundtrip",
-        "sessionize", "shard_assignment", "streaming_dedup",
-        "streaming_interval_join", "streaming_quality_report",
-        "streaming_sessionize", "streaming_stateful_count",
-        "streaming_windowed_agg", "summarize_any", "summarize_q1",
-        "suppress_rare_groups", "top_k_per_group", "training_pipeline",
-        "zorder_roundtrip",
-        # 2. r11-edited code paths (incl. the cosine norm hoist —
-        #    near_dup + brute-force represent the similarity family
-        #    in-window; LSH/IVF/rerank ride the same _paired_cosine and
-        #    are green in the committed r11 LV sweeps at sf0.01/0.1/sf1,
-        #    all regenerated after that edit)
-        "url_canonical_dedup", "dedup_edit_distance", "dedup_minhash_lsh",
-        "dedup_simhash_pairs", "dedup_simhash_groups", "dedup_ngram_jaccard",
-        "dedup_incremental", "dedup_clusters", "dedup_corpus_best",
-        "scrub_spans", "contamination_check",
-        "similarity_near_dup", "similarity_bruteforce_topk",
-        # 3. r08-stale fill (the sf1-swept members of the r08 block —
-        #    q10/q13/q17/q21, running_total, percentile_agg, bloom_join —
-        #    are deprioritized here since they gain fresh 10×-scale rows
-        #    this round; cube_agg/distinct lead the r12 head instead,
-        #    displaced by the two similarity rows above)
-        "analyze_table", "audience_overlap", "bm25", "cap_per_group",
-        "checkpoint", "compaction_roundtrip", "confluent",
-        "constraint_report", "direct_input",
+        # 1. r08-stale (the full block at the boundary)
+        "bloom_join", "cube_agg", "distinct", "except_keys",
+        "extract_json", "funnel", "hadoop_input", "incremental_agg",
+        "intersect_keys", "iterative_rounds",
+        "iterative_transactional_output", "lm_score", "logging",
+        "materialize_packs", "merge_evolve", "moving_avg",
+        "normalize_text", "output_roundtrip", "pack_sequences",
+        "percentile_agg", "pivot_agg", "q10_returned_items",
+        "q12_late_priority_lines", "q13_customer_distribution",
+        "q14_promo_revenue", "q15_top_supplier",
+        "q17_small_quantity_revenue", "q19_discounted_revenue",
+        "q21_waiting_suppliers", "q22_global_sales_opportunity",
+        "q4_order_priority", "rank_in_group", "retention_expire",
+        "rollup_agg", "running_total", "streaming_distinct_sketch",
+        "streaming_incremental_agg",
+        # 2. r12-edited code path
+        "group_view_lookup",
+        # 3. r09-stale fill (alphabetical head of the staleness-2 set)
+        "approx_distinct", "approx_percentile", "bfs_levels", "branch",
+        "bucketed_join", "cogroup_chunked", "convert", "corpus_stats",
+        "embedding_centroids", "embedding_dup_clusters", "extend",
+        "extract",
     ]
     ordered = {k: all_q[k] for k in head}
     ordered.update((k, v) for k, v in all_q.items() if k not in ordered)
