@@ -214,6 +214,57 @@ QUERIES = [
     "summarize_any",
     "manifest_stats",
     "audience_overlap",
+    # r12 widening (125 → 168 = the FULL registry; VERDICT r11 Next #5):
+    # everything left — the record-op/projection family (cheap per row
+    # but their null/type edges are exactly what a 10× synthetic corpus
+    # stresses), the remaining master_* join variants and selection
+    # modes, the IO/roundtrip family (hadoop/seqfile/fixed-width/cli
+    # subprocess) over sf1-sized frames, set ops, BPE tokenize apply,
+    # multimodal feature extraction over the binary columns, and the
+    # transactional iterative sink.
+    "project",
+    "extend",
+    "restructure",
+    "checkpoint",
+    "extract",
+    "update",
+    "convert",
+    "branch",
+    "split",
+    "logging",
+    "confluent",
+    "distinct",
+    "except_keys",
+    "intersect_keys",
+    "unpivot_measures",
+    "flatten_structs",
+    "fold_custom",
+    "fold_partial",
+    "master_join_missed",
+    "master_join_shuffled",
+    "master_join_where",
+    "master_join_update",
+    "master_branch",
+    "master_selection_custom_fn",
+    "bucketed_join",
+    "analyze_table",
+    "constraint_report",
+    "cap_per_group",
+    "chunk_documents",
+    "corpus_stats",
+    "materialize_packs",
+    "retention_expire",
+    "bpe_tokenize",
+    "multimodal_features",
+    "direct_input",
+    "fixed_width_input",
+    "hadoop_input",
+    "hadoop_input_newapi",
+    "hadoop_output_newapi",
+    "seqfile_roundtrip",
+    "output_roundtrip",
+    "iterative_transactional_output",
+    "cli_roundtrip",
 ]
 
 P, S, O, L, C = 200_000, 10_000, 1_500_000, 6_000_000, 150_000
