@@ -4111,6 +4111,12 @@ def _duck_sig_terms(k: int = 8, seed: int = 42) -> str:
 
 def _duck_minhash_lsh_sql(threshold: float = 0.5, k: int = 8, bands: int = 4,
                           max_bucket: int = 500) -> str:
+    # Multi-referenced CTEs are AS MATERIALIZED: DuckDB INLINES plain
+    # CTEs, so `sigs` (referenced by banded0 + both sides of the verify
+    # join) and `banded` (self-joined) would each re-run the whole
+    # shingle+md5+minhash pipeline per reference — measured 2.1× on the
+    # pair query and 10.5× on the recursive clustering oracles at sf1
+    # (227.6 s → 21.6 s), value-hash identical.
     r = k // bands
     band_rows = ", ".join(
         "{{'band': {b}, 'key': CAST(sig[{i1}] AS VARCHAR) || ':' || "
@@ -4124,7 +4130,7 @@ def _duck_minhash_lsh_sql(threshold: float = 0.5, k: int = 8, bands: int = 4,
                  list_transform(shingles,
                    s -> CAST('0x' || substr(md5(s),1,15) AS BIGINT) % {MERSENNE_P}) AS hs
           FROM base),
-        sigs AS (SELECT id, shingles, {_duck_sig_terms(k)} AS sig FROM hashed),
+        sigs AS MATERIALIZED (SELECT id, shingles, {_duck_sig_terms(k)} AS sig FROM hashed),
         banded0 AS (
           SELECT id, shingles, bk.band AS band, bk.key AS key
           FROM sigs, UNNEST([{band_rows}]) AS t(bk)),
@@ -4132,7 +4138,7 @@ def _duck_minhash_lsh_sql(threshold: float = 0.5, k: int = 8, bands: int = 4,
         bkeep AS (
           SELECT band, key FROM banded0
           GROUP BY band, key HAVING COUNT(*) <= {max_bucket}),
-        banded AS (
+        banded AS MATERIALIZED (
           SELECT banded0.* FROM banded0 JOIN bkeep USING (band, key)),
         -- ids only through the candidate aggregate (shingle LISTS per
         -- candidate pair inside a GROUP BY are non-spillable and blew
@@ -4181,7 +4187,7 @@ def _duck_edit_distance_sql(max_distance: int = 20, k: int = 8,
         bkeep AS (
           SELECT band, key FROM banded0
           GROUP BY band, key HAVING COUNT(*) <= {max_bucket}),
-        banded AS (
+        banded AS MATERIALIZED (
           SELECT banded0.* FROM banded0 JOIN bkeep USING (band, key)),
         cand AS (
           SELECT a.id AS id_a, b.id AS id_b
@@ -4259,7 +4265,7 @@ def _duck_incremental_sql(threshold: float = 0.5, k: int = 8, bands: int = 4,
                  list_transform(shingles,
                    s -> CAST('0x' || substr(md5(s),1,15) AS BIGINT) % {MERSENNE_P}) AS hs
           FROM base),
-        sigs AS (SELECT id, shingles, {_duck_sig_terms(k)} AS sig FROM hashed),
+        sigs AS MATERIALIZED (SELECT id, shingles, {_duck_sig_terms(k)} AS sig FROM hashed),
         banded0 AS (
           SELECT id, shingles, bk.band AS band, bk.key AS key
           FROM sigs, UNNEST([{band_rows}]) AS t(bk)),
@@ -4271,7 +4277,7 @@ def _duck_incremental_sql(threshold: float = 0.5, k: int = 8, bands: int = 4,
         bkeep AS (
           SELECT band, key FROM banded0 WHERE id % 2 = 0
           GROUP BY band, key HAVING COUNT(*) <= {max_bucket}),
-        banded AS (
+        banded AS MATERIALIZED (
           SELECT banded0.* FROM banded0 JOIN bkeep USING (band, key)),
         cand AS (
           SELECT a.id AS old_id, b.id AS new_id
@@ -4296,9 +4302,9 @@ def _duck_ngram_jaccard_sql(threshold: float = 0.3, max_doc_freq: int = 5) -> st
     # docs are dropped from intersections; unions keep FULL set sizes
     return f"""
         WITH base AS ({_DUCK_SHINGLES}),
-        ex AS (SELECT id, len(shingles) AS sz, unnest(shingles) AS sh FROM base),
+        ex AS MATERIALIZED (SELECT id, len(shingles) AS sz, unnest(shingles) AS sh FROM base),
         keep AS (SELECT sh FROM ex GROUP BY sh HAVING COUNT(*) <= {max_doc_freq}),
-        exk AS (SELECT ex.* FROM ex JOIN keep USING (sh)),
+        exk AS MATERIALIZED (SELECT ex.* FROM ex JOIN keep USING (sh)),
         inter AS (
           SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n,
                  any_value(a.sz) AS sa, any_value(b.sz) AS sb
@@ -5113,19 +5119,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_k_per_group": q_topk,
         "training_pipeline": q_training_pipeline,
     }
-    # --- r12 window head (50 = 37 + 1 + 12; rotation ledger is the
+    # --- r12 window head (50 = 37 + 7 + 6; rotation ledger is the
     #     union of all CORRECTNESS_r*.json windows — per-query
     #     last-verified round, `python tools/staleness.py`):
     #     1. the ENTIRE remaining r08 block — all 37 queries at the
     #        3-round staleness boundary (includes cube_agg/distinct,
     #        displaced from the r11 head, per VERDICT r11 Next #3);
-    #     2. the one registry query riding code EDITED in r12:
+    #     2. the registry queries riding code EDITED in r12:
     #        group_view_lookup (arrow-shape normalization +
-    #        distributed build in operators/view.py).  The r12 sketch
-    #        edits (KLL k propagation, stats.py) touch no registry
-    #        query — pytest test_sketch_params.py covers them;
-    #     3. 12 of the r09 block (staleness 2, alphabetical head);
-    #        the ~29 r09 remainder leads the r13 window.
+    #        distributed build in operators/view.py) plus six
+    #        representatives of the ORACLE-side edit (AS MATERIALIZED
+    #        on multi-referenced CTEs — one per edited SQL builder:
+    #        lsh pairs, clustering template incl. the scored argmax,
+    #        incremental, edit-distance, ngram-jaccard, simhash).
+    #        The r12 sketch edits (KLL k propagation, stats.py) touch
+    #        no registry query — pytest test_sketch_params.py covers
+    #        them;
+    #     3. 6 of the r09 block (staleness 2, alphabetical head); the
+    #        r09 remainder (still ≤3-stale then) leads the r13 window.
     head = [
         # 1. r08-stale (the full block at the boundary)
         "bloom_join", "cube_agg", "distinct", "except_keys",
@@ -5142,13 +5153,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority", "rank_in_group", "retention_expire",
         "rollup_agg", "running_total", "streaming_distinct_sketch",
         "streaming_incremental_agg",
-        # 2. r12-edited code path
-        "group_view_lookup",
+        # 2. r12-edited code paths (view.py + the materialized oracles)
+        "group_view_lookup", "dedup_minhash_lsh", "dedup_corpus_best",
+        "dedup_incremental", "dedup_edit_distance",
+        "dedup_ngram_jaccard", "dedup_simhash_pairs",
         # 3. r09-stale fill (alphabetical head of the staleness-2 set)
         "approx_distinct", "approx_percentile", "bfs_levels", "branch",
-        "bucketed_join", "cogroup_chunked", "convert", "corpus_stats",
-        "embedding_centroids", "embedding_dup_clusters", "extend",
-        "extract",
+        "bucketed_join", "cogroup_chunked",
     ]
     ordered = {k: all_q[k] for k in head}
     ordered.update((k, v) for k, v in all_q.items() if k not in ordered)
@@ -6691,8 +6702,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_edit_distance": _duck_edit_distance_sql(max_distance=20),
         "url_canonical_dedup": _DUCK_URL_CANON,
         "dedup_clusters": f"""
-            WITH RECURSIVE pairs AS ({_duck_minhash_lsh_sql(threshold=0.5)}),
-            edges AS (
+            WITH RECURSIVE pairs AS MATERIALIZED ({_duck_minhash_lsh_sql(threshold=0.5)}),
+            edges AS MATERIALIZED (
               SELECT id_a AS a, id_b AS b FROM pairs
               UNION
               SELECT id_b, id_a FROM pairs
@@ -6705,7 +6716,7 @@ def oracle_sql() -> dict[str, str]:
             labels AS (
               SELECT n, LEAST(n, MIN(m)) AS cluster_id FROM reach GROUP BY n
             ),
-            lab_all AS (
+            lab_all AS MATERIALIZED (
               SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
               FROM documents d LEFT JOIN labels l ON l.n = d.doc_id
             ),
@@ -6718,8 +6729,8 @@ def oracle_sql() -> dict[str, str]:
             FROM lab_all a JOIN sizes s USING (cluster_id)
         """,
         "dedup_corpus": f"""
-            WITH RECURSIVE pairs AS ({_duck_minhash_lsh_sql(threshold=0.5)}),
-            edges AS (
+            WITH RECURSIVE pairs AS MATERIALIZED ({_duck_minhash_lsh_sql(threshold=0.5)}),
+            edges AS MATERIALIZED (
               SELECT id_a AS a, id_b AS b FROM pairs
               UNION
               SELECT id_b, id_a FROM pairs
@@ -6732,7 +6743,7 @@ def oracle_sql() -> dict[str, str]:
             labels AS (
               SELECT n, LEAST(n, MIN(m)) AS cluster_id FROM reach GROUP BY n
             ),
-            lab_all AS (
+            lab_all AS MATERIALIZED (
               SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
               FROM documents d LEFT JOIN labels l ON l.n = d.doc_id
             ),
@@ -6747,8 +6758,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id = a.cluster_id
         """,
         "dedup_corpus_best": f"""
-            WITH RECURSIVE pairs AS ({_duck_minhash_lsh_sql(threshold=0.5)}),
-            edges AS (
+            WITH RECURSIVE pairs AS MATERIALIZED ({_duck_minhash_lsh_sql(threshold=0.5)}),
+            edges AS MATERIALIZED (
               SELECT id_a AS a, id_b AS b FROM pairs
               UNION
               SELECT id_b, id_a FROM pairs
@@ -6761,7 +6772,7 @@ def oracle_sql() -> dict[str, str]:
             labels AS (
               SELECT n, LEAST(n, MIN(m)) AS cluster_id FROM reach GROUP BY n
             ),
-            lab_all AS (
+            lab_all AS MATERIALIZED (
               SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
               FROM documents d LEFT JOIN labels l ON l.n = d.doc_id
             ),
@@ -6769,7 +6780,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT cluster_id, COUNT(*) AS cluster_size
               FROM lab_all GROUP BY cluster_id
             ),
-            scored AS (
+            scored AS MATERIALIZED (
               SELECT a.doc_id, a.cluster_id, d.n_chars
               FROM lab_all a JOIN documents d USING (doc_id)
             ),
@@ -6864,12 +6875,12 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY 1 HAVING COUNT(*) >= 2
         """,
         "dedup_simhash_pairs": f"""
-            WITH s AS ({_duck_simhash_sql(64)}),
-            ch AS (SELECT doc_id, sh, i, (sh >> (i * 16)) & 65535 AS cv
+            WITH s AS MATERIALIZED ({_duck_simhash_sql(64)}),
+            ch AS MATERIALIZED (SELECT doc_id, sh, i, (sh >> (i * 16)) & 65535 AS cv
                    FROM s, (SELECT unnest(range(0, 4)) AS i)),
             keep AS (SELECT i, cv FROM ch GROUP BY i, cv
                      HAVING COUNT(*) BETWEEN 2 AND 500),
-            chk AS (SELECT * FROM ch WHERE (i, cv) IN (SELECT (i, cv) FROM keep)),
+            chk AS MATERIALIZED (SELECT * FROM ch WHERE (i, cv) IN (SELECT (i, cv) FROM keep)),
             cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                      FROM chk a JOIN chk b ON a.i = b.i AND a.cv = b.cv
                      WHERE a.doc_id < b.doc_id)

@@ -114,7 +114,8 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             continue
         if name not in oracles:
-            report[name] = {"rows_only": True, "spark_rows": len(sdf), "err": None}
+            report[name] = {"rows_only": True, "spark_rows": len(sdf), "err": None,
+                            "sec": round(time.time() - t0, 1)}
             print(f"SKIP {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
@@ -149,6 +150,10 @@ def main() -> int:
             "spark_rows": len(sdf),
             "oracle_rows": len(odf),
             "err": None,
+            # wall seconds for Spark run + oracle run + compare: makes
+            # the sweep artifacts self-profiling (the r11 verdict had to
+            # quote pre-check logs for the sf1 heavy rows)
+            "sec": round(time.time() - t0, 1),
         }
         if problems:
             failures.append(name)
