@@ -1,11 +1,19 @@
 #!/usr/bin/env python3
 """Robustness sweep: run EVERY registered query against degenerate inputs —
-(a) fully EMPTY tables (schema-only parquet) and (b) NULL-heavy tables
-(~20% nulls injected into nullable payload columns; keys stay non-null).
-A query passes if it executes to completion; row counts are reported, not
-asserted (degenerate-input semantics are engine-defined).
+(a) fully EMPTY tables (schema-only parquet), (b) NULL-heavy tables
+(~20% nulls injected into nullable payload columns; keys stay non-null),
+and (c) SKEWED tables (one mega-key per table: half of events collapse to
+one user, a third of documents to one identical text, a quarter of
+lineitem to one part — the shapes that turn keyed shuffles, LSH buckets,
+session windows and CC components degenerate).  A query passes if it
+executes to completion; row counts are reported, not asserted
+(degenerate-input semantics are engine-defined).  The skew mode is the
+mechanical check behind SCALING.md's skew-defense claims (max_bucket
+keep-filters, capped chunk buckets, AQE skew splits): the documented
+caps must DROP the mega-buckets, not follow them quadratic.
 
-Usage: python tools/robustness_sweep.py [empty|nulls|both]
+Usage: python tools/robustness_sweep.py [empty|nulls|skew|both|all]
+(``both`` = empty+nulls, the historical pair; ``all`` adds skew)
 """
 
 from __future__ import annotations
@@ -35,11 +43,50 @@ NULLABLE = {
 }
 
 
-def build(dst: str, nulls: bool) -> None:
+#: mega-key collapses for the skew build: column → (modulus, SQL literal).
+#: FK/value columns only — primary keys stay unique, so every query's id
+#: arithmetic and dedup keeper conventions remain well-defined; what
+#: changes is key-distribution: one user owns half the events stream, one
+#: text owns a third of the corpus (a giant LSH bucket AND a giant CC
+#: component), one part/customer becomes the hot join key.
+SKEW = {
+    "events": {"user_id": (2, "1")},
+    "documents": {"text": (3, "'the same boilerplate page text repeated across the crawl'")},
+    "lineitem": {"l_partkey": (4, "1")},
+    "orders": {"o_custkey": (4, "1")},
+    "customer": {"c_nationkey": (2, "1")},
+    "embeddings": {"label": (3, "1")},
+}
+
+
+def build(dst: str, nulls: bool = False, skew: bool = False) -> None:
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     for t in TABLES:
-        if not nulls:
+        if skew:
+            targets = SKEW.get(t, {})
+            if not targets:
+                sel = f"SELECT * FROM '{SRC}/{t}.parquet'"
+            else:
+                cols = []
+                desc = con.sql(
+                    f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'"
+                ).fetchall()
+                for name, *_ in desc:
+                    if name in targets:
+                        mod, lit = targets[name]
+                        cols.append(
+                            f"CASE WHEN hash(rowid) % {mod} = 0 "
+                            f"THEN {lit} ELSE {name} END AS {name}"
+                        )
+                    else:
+                        cols.append(name)
+                sel = (
+                    f"SELECT {', '.join(cols)} FROM "
+                    f"(SELECT *, row_number() OVER () AS rowid "
+                    f"FROM '{SRC}/{t}.parquet')"
+                )
+        elif not nulls:
             sel = f"SELECT * FROM '{SRC}/{t}.parquet' LIMIT 0"
         else:
             cols = []
@@ -82,12 +129,15 @@ def sweep(dst: str, label: str) -> int:
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "both"
     rc = 0
-    if mode in ("empty", "both"):
+    if mode in ("empty", "both", "all"):
         build("/tmp/sf_empty", nulls=False)
         rc += sweep("/tmp/sf_empty", "empty")
-    if mode in ("nulls", "both"):
+    if mode in ("nulls", "both", "all"):
         build("/tmp/sf_nulls", nulls=True)
         rc += sweep("/tmp/sf_nulls", "nulls")
+    if mode in ("skew", "all"):
+        build("/tmp/sf_skew", skew=True)
+        rc += sweep("/tmp/sf_skew", "skew")
     sys.exit(1 if rc else 0)
 
 
