@@ -4640,20 +4640,24 @@ def _bfs_oracle_sql(max_iters: int = 4) -> str:
     """Level-wise relaxation unrolled as CTEs: l_k(v) = min(l_{k-1}(v),
     1 + min over in-edges).  Computes the same fixed point as the
     engine's frontier BFS; exact integer levels."""
+    # Every CTE is AS MATERIALIZED: DuckDB inlines plain CTEs, and the
+    # unrolled relaxation references l{i-1} TWICE per level — inlined,
+    # the l0 pipeline (and the 6M-row e0 join inside edges) re-runs
+    # 2^max_iters times.  Measured at sf1: 146.8 s → ~5 s, hash-identical.
     ctes = [
-        """e0 AS (
+        """e0 AS MATERIALIZED (
             SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
             FROM lineitem JOIN orders ON o_orderkey = l_orderkey
         )""",
-        "edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)",
-        """l0 AS (
+        "edges AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)",
+        """l0 AS MATERIALIZED (
             SELECT DISTINCT 's' || s_suppkey AS node, CAST(0 AS BIGINT) AS level
             FROM supplier JOIN nation ON n_nationkey = s_nationkey
             WHERE n_name = 'NATION_7'
         )""",
     ]
     for i in range(1, max_iters + 1):
-        ctes.append(f"""l{i} AS (
+        ctes.append(f"""l{i} AS MATERIALIZED (
             SELECT node, CAST(MIN(level) AS BIGINT) AS level FROM (
                 SELECT node, level FROM l{i - 1}
                 UNION ALL
@@ -4869,22 +4873,28 @@ def _pagerank_oracle_sql(iterations: int = 3, damping: int = 85,
     non-negative BIGINTs, so the hashes agree exactly.  With
     ``personalized``, teleport mass and initial mass go only to the
     NATION_7 supplier cohort (the engine query's source set)."""
+    # Shared structural CTEs are AS MATERIALIZED (DuckDB inlines plain
+    # CTEs): `nodes` is referenced from every unrolled level via the
+    # teleport denominator, so the 6M-row e0 join re-ran once per
+    # iteration per reference.  Measured at sf1: 268.3 s → ~8 s,
+    # hash-identical (the personalized variant, whose denominator
+    # counts the small srcs cohort instead, was already 38 s).
     ctes = [
-        """e0 AS (
+        """e0 AS MATERIALIZED (
             SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
             FROM lineitem JOIN orders ON o_orderkey = l_orderkey
         )""",
-        "edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)",
-        "outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        "edges AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)",
+        "outdeg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
     ]
     if personalized:
         ctes += [
-            """srcs AS (
+            """srcs AS MATERIALIZED (
                 SELECT DISTINCT 's' || s_suppkey AS node
                 FROM supplier JOIN nation ON n_nationkey = s_nationkey
                 WHERE n_name = 'NATION_7'
             )""",
-            """nodes AS (
+            """nodes AS MATERIALIZED (
                 SELECT src AS node FROM edges
                 UNION SELECT dst FROM edges
                 UNION SELECT node FROM srcs
@@ -4904,14 +4914,15 @@ def _pagerank_oracle_sql(iterations: int = 3, damping: int = 85,
         )""")
     else:
         ctes.append(
-            "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)"
+            "nodes AS MATERIALIZED "
+            "(SELECT src AS node FROM edges UNION SELECT dst FROM edges)"
         )
         n_sub = "(SELECT COUNT(*) FROM nodes)"
         base = f"({scale} * {100 - damping}) // (100 * {n_sub})"
         src_join = ""
         ctes.append(f"r0 AS (SELECT node, {scale} // {n_sub} AS rank FROM nodes)")
     for i in range(1, iterations + 1):
-        ctes.append(f"""c{i} AS (
+        ctes.append(f"""c{i} AS MATERIALIZED (
             SELECT e.dst AS node,
                    CAST(SUM(r.rank // d.outdeg) AS BIGINT) AS contrib
             FROM edges e
@@ -4919,7 +4930,7 @@ def _pagerank_oracle_sql(iterations: int = 3, damping: int = 85,
             JOIN outdeg d ON e.src = d.src
             GROUP BY e.dst
         )""")
-        ctes.append(f"""r{i} AS (
+        ctes.append(f"""r{i} AS MATERIALIZED (
             SELECT n.node,
                    {base} + ({damping} * COALESCE(c.contrib, 0)) // 100 AS rank
             FROM nodes n LEFT JOIN c{i} c ON n.node = c.node {src_join}
@@ -4931,14 +4942,28 @@ def _pagerank_oracle_sql(iterations: int = 3, damping: int = 85,
 
 
 def _duck_near_dup_sql(threshold: float = 0.9, planes: int = 6) -> str:
+    """Norms are hoisted per ROW into the materialized build side (the
+    SQL mirror of the r11 Spark-side hoist) and the dot product is
+    native ``list_dot_product`` instead of the interpreted
+    zip→transform→sum lambda chain: both sum left-to-right, verified
+    bit-identical (count + value hash) over every sf1 candidate pair —
+    and 169.3 s → 9.9 s at sf1 for the pair query (the per-pair lambda
+    evals, ~800M of them, were the cost; this SQL also feeds
+    triangle_count and the embedding-CC oracle)."""
     bucket = _duck_bucket_expr("embedding", planes)
+    vec = _duck_vec("embedding")
     return f"""
-        WITH b AS (SELECT vec_id AS id, {_duck_vec('embedding')} AS v,
-                          {bucket} AS bucket FROM embeddings),
-        pairs AS (SELECT a.id AS id_a, b2.id AS id_b, a.v AS qv, b2.v AS cv
+        WITH b AS MATERIALIZED (
+            SELECT vec_id AS id, {vec} AS v,
+                   sqrt(list_sum(list_transform({vec}, x -> x*x))) AS nrm,
+                   {bucket} AS bucket FROM embeddings),
+        pairs AS (SELECT a.id AS id_a, b2.id AS id_b, a.v AS qv, b2.v AS cv,
+                         a.nrm AS na, b2.nrm AS nb
                   FROM b a JOIN b b2 USING (bucket) WHERE a.id < b2.id)
-        SELECT id_a, id_b, {_DUCK_COSINE} AS sim
-        FROM pairs WHERE {_DUCK_COSINE} >= {threshold}
+        SELECT id_a, id_b,
+               round(list_dot_product(qv, cv) / (na * nb), 6) AS sim
+        FROM pairs
+        WHERE round(list_dot_product(qv, cv) / (na * nb), 6) >= {threshold}
     """
 
 
@@ -5177,8 +5202,8 @@ def oracle_sql() -> dict[str, str]:
         # come id_a < id_b from the generator, so they ARE the
         # canonical undirected edges; count closed a<b<c triples
         "triangle_count": f"""
-            WITH p AS ({_duck_near_dup_sql(threshold=0.45, planes=2)}),
-            ce AS (SELECT DISTINCT id_a AS a, id_b AS b FROM p)
+            WITH p AS MATERIALIZED ({_duck_near_dup_sql(threshold=0.45, planes=2)}),
+            ce AS MATERIALIZED (SELECT DISTINCT id_a AS a, id_b AS b FROM p)
             SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
             FROM ce e1
             JOIN ce e2 ON e2.a = e1.a AND e2.b > e1.b
@@ -6629,7 +6654,7 @@ def oracle_sql() -> dict[str, str]:
             FROM u GROUP BY 1, 2
         """,
         "contamination_check": f"""
-            WITH sh AS ({_duck_shingles_n(5)}),
+            WITH sh AS MATERIALIZED ({_duck_shingles_n(5)}),
             tr AS (SELECT id AS train_id, unnest(shingles) AS gram
                    FROM sh WHERE id % 10 != 0),
             ev AS (SELECT id AS eval_id, unnest(shingles) AS gram
