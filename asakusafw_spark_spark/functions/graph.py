@@ -277,12 +277,21 @@ def triangle_count(
     simple a<b<c three-way join — same number, strict hash oracle.
     """
     a, b = F.col(src), F.col(dst)
+    # persist-on-fanout, same discipline as pagerank's linked frame:
+    # `und` feeds THREE plan branches (two degree scans + the wedge
+    # base) and `oriented` three more (both wedge sides + the closing
+    # join).  Without the persists Spark recomputes the INPUT lineage
+    # per branch — on a near-dup pair graph that lineage is the whole
+    # banded cosine pair generation, and the sf1 probe measured the
+    # query at ~3-4x its persisted cost (106 -> ~35 s).  Both frames
+    # are bounded by the deduplicated edge list (slim 2-3 columns).
     und = (
         edges.where(a != b)
         .select(
             F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
         )
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     deg = (
         und.select(F.col("a").alias("node"))
@@ -313,7 +322,7 @@ def triangle_count(
         F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("kv"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     o1 = oriented.select(
         F.col("u"), F.col("v").alias("w1"), F.col("kv").alias("k1")
     )
