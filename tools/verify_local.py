@@ -94,6 +94,19 @@ def main() -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
+    # Release the dedup/similarity families' persisted intermediates
+    # between queries: within a shared batch JVM the banded/signature
+    # caches of one query otherwise stay pinned through every later
+    # query (Spark's CacheManager holds blocks until explicit
+    # unpersist), and the r12 sf1 artifact measured a 35x inflation on
+    # an innocent bystander (scrub_spans 155.9 s in-batch vs 4.5 s
+    # standalone) from exactly this eviction pressure.  Each query's
+    # result is fully materialized (toPandas) before release, so this
+    # is correctness-neutral by construction.
+    from asakusafw_spark_spark.functions.dedup import (
+        release_cached_intermediates,
+    )
+
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     unknown = only - set(qs)
@@ -104,6 +117,7 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        release_cached_intermediates()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
