@@ -49,6 +49,19 @@ def _persist(df: DataFrame) -> DataFrame:
     return df
 
 
+def register_intermediate(df: DataFrame) -> DataFrame:
+    """Register an ALREADY-persisted frame for
+    :func:`release_cached_intermediates` without re-persisting it.
+
+    For callers (e.g. the graph family) that manage persist timing
+    themselves but whose returned frame still references a persisted
+    input lazily — registering keeps the shared release hook able to
+    reclaim those blocks too.
+    """
+    _LIVE_INTERMEDIATES.append(df)
+    return df
+
+
 def release_cached_intermediates() -> int:
     """Unpersist every intermediate cached by the dedup/similarity
     family and clear the registry; returns how many were released.

@@ -44,6 +44,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
+from .dedup import _persist, register_intermediate
+
 __all__ = ["pagerank", "bfs_levels", "triangle_count"]
 
 
@@ -173,6 +175,11 @@ def pagerank(
 
     linked.unpersist()
     nodes.unpersist()
+    if last_persisted is not None:
+        # the final ranks frame stays persisted (the returned frame IS
+        # the cached one) — register it so release_cached_intermediates
+        # can reclaim the blocks after the caller's action completes
+        register_intermediate(last_persisted)
     return ranks
 
 
@@ -285,13 +292,17 @@ def triangle_count(
     # banded cosine pair generation, and the sf1 probe measured the
     # query at ~3-4x its persisted cost (106 -> ~35 s).  Both frames
     # are bounded by the deduplicated edge list (slim 2-3 columns).
+    # The returned frame references both lazily, so they must outlive
+    # this call — they are registered in the shared intermediate
+    # registry (dedup._persist) so release_cached_intermediates()
+    # reclaims the blocks once the caller's action completes.
     und = (
         edges.where(a != b)
         .select(
             F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
         )
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(_persist)
     )
     deg = (
         und.select(F.col("a").alias("node"))
@@ -322,7 +333,7 @@ def triangle_count(
         F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("kv"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(_persist)
     o1 = oriented.select(
         F.col("u"), F.col("v").alias("w1"), F.col("kv").alias("k1")
     )

@@ -58,6 +58,14 @@ SKEW = {
     "embeddings": {"label": (3, "1")},
 }
 
+#: derived columns to recompute AFTER a skew collapse so they stay
+#: consistent with the injected values (e.g. documents.n_chars is
+#: length(text); leaving the original lengths on collapsed rows would
+#: feed the n_chars-based keeper scoring unrealistic inputs).
+SKEW_DERIVED = {
+    "documents": {"n_chars": "length(text)"},
+}
+
 
 def build(dst: str, nulls: bool = False, skew: bool = False) -> None:
     os.makedirs(dst, exist_ok=True)
@@ -86,6 +94,12 @@ def build(dst: str, nulls: bool = False, skew: bool = False) -> None:
                     f"(SELECT *, row_number() OVER () AS rowid "
                     f"FROM '{SRC}/{t}.parquet')"
                 )
+                derived = SKEW_DERIVED.get(t)
+                if derived:
+                    repl = ", ".join(
+                        f"{expr} AS {name}" for name, expr in derived.items()
+                    )
+                    sel = f"SELECT * REPLACE ({repl}) FROM ({sel})"
         elif not nulls:
             sel = f"SELECT * FROM '{SRC}/{t}.parquet' LIMIT 0"
         else:

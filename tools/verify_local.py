@@ -94,15 +94,20 @@ def main() -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
-    # Release the dedup/similarity families' persisted intermediates
-    # between queries: within a shared batch JVM the banded/signature
-    # caches of one query otherwise stay pinned through every later
-    # query (Spark's CacheManager holds blocks until explicit
-    # unpersist), and the r12 sf1 artifact measured a 35x inflation on
-    # an innocent bystander (scrub_spans 155.9 s in-batch vs 4.5 s
-    # standalone) from exactly this eviction pressure.  Each query's
-    # result is fully materialized (toPandas) before release, so this
-    # is correctness-neutral by construction.
+    # Release the dedup/similarity/graph families' persisted
+    # intermediates between queries: within a shared batch JVM the
+    # banded/signature caches of one query otherwise stay pinned
+    # through every later query (Spark's CacheManager holds blocks
+    # until explicit unpersist).  This is HARNESS HYGIENE — it makes
+    # each row's `sec` independent of batch composition — NOT a perf
+    # fix for any specific row: the r12 scrub_spans 155.9s-vs-4.5s gap
+    # was first blamed on this eviction pressure, but the release did
+    # not move the row; the standalone 4.5 s probe was count()-pruned
+    # (see SCALING.md "a diagnosis corrected" — the real cost is the
+    # clean-column expression chain, only visible under full
+    # materialization).  Each query's result is fully materialized
+    # (toPandas) before release, so this is correctness-neutral by
+    # construction.
     from asakusafw_spark_spark.functions.dedup import (
         release_cached_intermediates,
     )
