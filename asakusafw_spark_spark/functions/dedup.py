@@ -932,11 +932,20 @@ def scrub_duplicate_spans(
     (one scan, no Python); the global span count is a partial-aggregable
     hash aggregate over one row per token position; the duplicated-span
     → occurrence lookup is a LEFT SEMI equi-join (output ≤ span rows,
-    immune to hot-span fan-out); cover expansion multiplies only
-    duplicated positions by ``n``.  Nothing is quadratic and the only
-    wide payload (the text) rides exactly one shuffle-free scan — the
-    span/cover frames carry (id, pos) pairs plus the span string.
+    immune to hot-span fan-out).  Only duplicated span STARTS ride the
+    per-doc shuffle (the ``n``-wide cover expansion happens inside the
+    reassembly expression, per doc, after the agg — ``n``× less agg
+    input than exploding covered positions).  Nothing is quadratic and
+    the only wide payload (the text) rides exactly one shuffle-free
+    scan — the span frames carry (id, pos) pairs plus the span string.
     """
+    # reassembly evaluates a per-token expression chain over every doc,
+    # and on a small/few-file input the final stage inherits the SCAN's
+    # partitioning (the cover side broadcasts) — the sf1 probe measured
+    # the whole query at 150 s on a 2-partition scan vs 17 s spread
+    # (8.8x).  At 100 TB scans come thousands of partitions wide and
+    # this is a no-op.
+    docs = ensure_parallelism(docs)
     sz = F.size(tokens(F.col(text_col)))
     # the raw text column deliberately does NOT ride along: everything
     # downstream (spans, cover, reassembly) works off the token array,
@@ -968,20 +977,28 @@ def scrub_duplicate_spans(
         .filter(F.col("__c__") >= min_count)
         .select("gram")
     )
+    # collect only the duplicated span STARTS per doc — n× fewer rows
+    # through the partial-aggregable collect_set than exploding every
+    # covered position; the n-wide expansion happens per doc below
     covered = (
         spans.join(dup_grams, "gram", "left_semi")
-        .select(
-            F.col(id_col),
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("cov"),
-        )
         .groupBy(id_col)
-        .agg(F.collect_set("cov").alias("__cov__"))
+        .agg(F.collect_set("pos").alias("__starts__"))
+    )
+    cov = F.array_distinct(
+        F.flatten(
+            F.transform(F.col("__starts__"), lambda s: F.sequence(s, s + (n - 1)))
+        )
     )
     # cover probe is a MAP lookup, not array_contains: a heavily-
     # duplicated long doc has |cover| ≈ n_tokens, and a linear probe per
-    # token would make reassembly O(n_tokens²) in that worst case
+    # token would make reassembly O(n_tokens²) in that worst case.
+    # Untouched docs (no duplicated span) skip the per-token filter
+    # entirely — clean is a straight array_join of the token array,
+    # byte-identical to filtering an empty cover.
     out = (
         toked.join(covered, id_col, "left")
+        .withColumn("__cov__", cov)
         .withColumn(
             "__covmap__",
             F.map_from_entries(
@@ -993,21 +1010,27 @@ def scrub_duplicate_spans(
         )
         .select(
             F.col(id_col),
-            F.array_join(
-                F.filter(
-                    F.zip_with(
-                        F.col("__toks__"),
-                        F.sequence(
-                            F.lit(0), F.greatest(F.col("n_tokens") - 1, F.lit(0))
+            F.when(F.col("__starts__").isNull(), F.array_join("__toks__", " "))
+            .otherwise(
+                F.array_join(
+                    # filter INT positions, then fetch kept tokens by
+                    # element_at — no per-token struct materialization
+                    # (the previous zip_with(struct) chain measured
+                    # ~15% slower on the same cover sets)
+                    F.transform(
+                        F.filter(
+                            F.sequence(F.lit(0), F.col("n_tokens") - 1),
+                            lambda p: ~F.coalesce(
+                                F.try_element_at(F.col("__covmap__"), p),
+                                F.lit(False),
+                            ),
                         ),
-                        lambda t, p: F.struct(t.alias("t"), p.alias("p")),
+                        lambda p: F.element_at(F.col("__toks__"), p + 1),
                     ),
-                    lambda s: ~F.coalesce(
-                        F.try_element_at(F.col("__covmap__"), s["p"]), F.lit(False)
-                    ),
-                ).getField("t"),
-                " ",
-            ).alias("clean"),
+                    " ",
+                )
+            )
+            .alias("clean"),
             F.col("n_tokens"),
             F.coalesce(F.size("__cov__"), F.lit(0)).cast("long").alias("n_removed"),
         )
