@@ -5144,47 +5144,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_k_per_group": q_topk,
         "training_pipeline": q_training_pipeline,
     }
-    # --- r12 window head (50 = 37 + 7 + 6; rotation ledger is the
+    # --- r13 window head (50 = 33 + 3 + 14; rotation ledger is the
     #     union of all CORRECTNESS_r*.json windows — per-query
     #     last-verified round, `python tools/staleness.py`):
-    #     1. the ENTIRE remaining r08 block — all 37 queries at the
-    #        3-round staleness boundary (includes cube_agg/distinct,
-    #        displaced from the r11 head, per VERDICT r11 Next #3);
-    #     2. the registry queries riding code EDITED in r12:
-    #        group_view_lookup (arrow-shape normalization +
-    #        distributed build in operators/view.py) plus six
-    #        representatives of the ORACLE-side edit (AS MATERIALIZED
-    #        on multi-referenced CTEs — one per edited SQL builder:
-    #        lsh pairs, clustering template incl. the scored argmax,
-    #        incremental, edit-distance, ngram-jaccard, simhash).
-    #        The r12 sketch edits (KLL k propagation, stats.py) touch
-    #        no registry query — pytest test_sketch_params.py covers
-    #        them;
-    #     3. 6 of the r09 block (staleness 2, alphabetical head); the
-    #        r09 remainder (still ≤3-stale then) leads the r13 window.
+    #     1. the ENTIRE remaining r09 block — all 33 queries at the
+    #        3-round staleness boundary;
+    #     2. the registry queries riding code EDITED in r13:
+    #        scrub_spans (scrub_duplicate_spans rebuilt: scan-split
+    #        guard, starts-based cover agg, int-position reassembly)
+    #        plus pagerank / pagerank_personalized (final-ranks
+    #        registration in functions/graph.py; triangle_count, the
+    #        other graph edit, is already in the r09 block);
+    #     3. 14 of the r10 block (staleness 2, alphabetical head); the
+    #        r10 remainder (still ≤3-stale then) leads the r14 window.
     head = [
-        # 1. r08-stale (the full block at the boundary)
-        "bloom_join", "cube_agg", "distinct", "except_keys",
-        "extract_json", "funnel", "hadoop_input", "incremental_agg",
-        "intersect_keys", "iterative_rounds",
-        "iterative_transactional_output", "lm_score", "logging",
-        "materialize_packs", "merge_evolve", "moving_avg",
-        "normalize_text", "output_roundtrip", "pack_sequences",
-        "percentile_agg", "pivot_agg", "q10_returned_items",
-        "q12_late_priority_lines", "q13_customer_distribution",
-        "q14_promo_revenue", "q15_top_supplier",
-        "q17_small_quantity_revenue", "q19_discounted_revenue",
-        "q21_waiting_suppliers", "q22_global_sales_opportunity",
-        "q4_order_priority", "rank_in_group", "retention_expire",
-        "rollup_agg", "running_total", "streaming_distinct_sketch",
-        "streaming_incremental_agg",
-        # 2. r12-edited code paths (view.py + the materialized oracles)
-        "group_view_lookup", "dedup_minhash_lsh", "dedup_corpus_best",
-        "dedup_incremental", "dedup_edit_distance",
-        "dedup_ngram_jaccard", "dedup_simhash_pairs",
-        # 3. r09-stale fill (alphabetical head of the staleness-2 set)
-        "approx_distinct", "approx_percentile", "bfs_levels", "branch",
-        "bucketed_join", "cogroup_chunked",
+        # 1. r09-stale (the full block at the boundary)
+        "convert", "corpus_stats", "embedding_centroids",
+        "embedding_dup_clusters", "extend", "extract",
+        "flatten_structs", "fold_partial", "hadoop_input_newapi",
+        "master_branch", "master_check_found", "master_check_missed",
+        "master_join", "master_join_missed", "merge_upsert",
+        "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+        "quantile_bucket", "quantize_embeddings", "redact",
+        "resample_locf", "retention", "scd2_apply",
+        "similarity_quantized_topk", "snapshot_diff",
+        "streaming_theta_maintain", "text_index_search", "tfidf",
+        "triangle_count", "unpivot_measures", "vocab_top_k",
+        "winsorize",
+        # 2. r13-edited code paths (dedup.py scrub + graph.py persists)
+        "scrub_spans", "pagerank", "pagerank_personalized",
+        # 3. r10-stale fill (alphabetical head of the staleness-2 set)
+        "asof_join", "bpe_pair_counts", "bpe_tokenize",
+        "chunk_documents", "cli_roundtrip", "cogroup", "cogroup3",
+        "dedup_corpus", "dedup_exact", "fixed_width_input",
+        "flagship_revenue_per_nation", "fold", "fold_custom",
+        "group_sort",
     ]
     ordered = {k: all_q[k] for k in head}
     ordered.update((k, v) for k, v in all_q.items() if k not in ordered)
