@@ -137,6 +137,18 @@ def fold(
     fold over chunks in sort order, memory-bounded by one batch.  Requires
     the reference @Fold contract: ``fn`` must accept previously-folded
     output as input (associativity).
+
+    When ``partial=True`` and no ``ordering`` is requested, the fold
+    additionally pre-folds MAP-SIDE: each input partition collapses its
+    slice of every group to one accumulator record before the shuffle —
+    the user-fn analogue of the reference's PARTIAL aggregation
+    combiners (AggregationCompiler's partialAggregation=PARTIAL emits
+    map-side combine exactly when no group ordering is required).  Only
+    per-partition partials ride the shuffle, so a giant group's
+    parallelism is the SCAN's width, not the group count — and the
+    reduce side folds #partitions records instead of the group.  An
+    ``ordering`` disables it (partials would break the sort-order left
+    fold).
     """
     if (exprs is None) == (fn is None):
         raise ValueError("fold: pass exactly one of exprs / fn")
@@ -149,7 +161,48 @@ def fold(
     def apply(_key_vals, pdf: pd.DataFrame) -> pd.DataFrame:
         return fn(pdf)[cols]
 
+    if partial and not ordering:
+        df = _map_side_prefold(df, key, fn, cols)
     return cogroup([Grouping(df, key, ordering)], apply, df.schema, partial=partial)
+
+
+def _map_side_prefold(
+    df: DataFrame,
+    key: Sequence[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    cols: Sequence[str],
+) -> DataFrame:
+    """Collapse each partition's slice of every group to one accumulator
+    record via ``fn`` — the map-side combine half of a PARTIAL fold.
+
+    Streams Arrow batches (memory = one record per live key per
+    partition, never the group); each batch's slice is left-folded into
+    the key's accumulator in batch order, which the @Fold associativity
+    contract makes equivalent to any other grouping of the same rows.
+    NaN/None key values are normalized to one accumulator slot; a miss
+    is still correct (the reduce-side fold merges partials null-safely),
+    it would only cost an extra partial row.
+    """
+    key_list = list(key)
+    cols_list = list(cols)
+    schema = df.schema
+
+    def gen(batches):
+        acc: dict = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for kv, grp in pdf.groupby(key_list, dropna=False, sort=False):
+                kt = kv if isinstance(kv, tuple) else (kv,)
+                kt = tuple(None if pd.isna(v) else v for v in kt)
+                prev = acc.get(kt)
+                if prev is not None:
+                    grp = pd.concat([prev, grp], ignore_index=True)
+                acc[kt] = fn(grp)[cols_list]
+        if acc:
+            yield pd.concat(list(acc.values()), ignore_index=True)
+
+    return df.mapInPandas(gen, schema)
 
 
 # ---------------------------------------------------------------------------
