@@ -59,8 +59,11 @@ def word_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
     tokenizer as :func:`.text.vocab_top_k`), exact counts."""
     from .text import tokens
 
+    # explode_outer: a plain explode's inferred size()>0 filter would
+    # re-evaluate tokens() a second time; the existing != '' predicate
+    # on the generated attribute already drops outer's null rows
     return (
-        df.select(F.explode(tokens(text_col)).alias("word"))
+        df.select(F.explode_outer(tokens(text_col)).alias("word"))
         .where(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wcount"))
@@ -97,11 +100,15 @@ def bpe_pair_counts(
     """Adjacent-pair frequencies over a symbolized word histogram →
     ``(left, right, pair_count)``.  The BPE inner-loop statistic: one
     native transform+explode and one map-side-combined hash-agg."""
+    # explode_outer + null-drop: a plain explode's inferred size()>0
+    # filter would re-evaluate the zip_with a second time; fully-merged
+    # single-symbol words have an empty pair array → one null row each
     return (
         hist.select(
-            F.explode(_sym_pairs(syms_col)).alias("p"),
+            F.explode_outer(_sym_pairs(syms_col)).alias("p"),
             F.col(count_col).alias("__c__"),
         )
+        .where(F.col("p").isNotNull())
         .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
         .agg(F.sum("__c__").alias("pair_count"))
     )

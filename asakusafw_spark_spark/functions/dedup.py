@@ -406,9 +406,15 @@ def ngram_jaccard_pairs(
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
     ).withColumn("set_size", F.size("shingles"))
-    # consumed by both join sides (+ doc_freq) — materialize once
+    # consumed by both join sides (+ doc_freq) — materialize once.
+    # explode_OUTER: plain explode makes InferFiltersFromGenerate add a
+    # size()>0 filter whose pushdown re-inlines the whole word_shingles
+    # expression BELOW the repartition exchange — the sf1 probe measured
+    # the shingle scan 3x-computed with 2/3 of it on the pre-shuffle
+    # partitions (97 s for a 3.4M-row explode).  word_shingles is total
+    # (never null / never empty), so outer is row-identical.
     exploded = base.select(
-        "id", "set_size", F.explode("shingles").alias("sh")
+        "id", "set_size", F.explode_outer("shingles").alias("sh")
     ).transform(_persist)
     if max_doc_freq is not None:
         doc_freq = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
@@ -459,13 +465,16 @@ def ngram_contamination(
     the corpus); the train side explodes per gram and the equi-join on
     the gram itself bounds fan-out to true matches.  No all-pairs.
     """
+    # explode_outer on both sides: see ngram_jaccard_pairs — a plain
+    # explode's inferred size()>0 filter re-inlines word_shingles below
+    # the exchange / into a second evaluation; word_shingles is total
     t = ensure_parallelism(train).select(
         F.col(id_col).alias("train_id"),
-        F.explode(word_shingles(text_col, n)).alias("gram"),
+        F.explode_outer(word_shingles(text_col, n)).alias("gram"),
     )
     e = eval_set.select(
         F.col(id_col).alias("eval_id"),
-        F.explode(word_shingles(text_col, n)).alias("gram"),
+        F.explode_outer(word_shingles(text_col, n)).alias("gram"),
     )
     joined = t.join(e, "gram")
     return (
@@ -960,9 +969,15 @@ def scrub_duplicate_spans(
     )
     # one row per span start: (id, pos, gram). sequence() guard — Spark
     # sequence(0, negative) counts DOWN, so short docs must yield [].
+    # posexplode_OUTER + null-drop: plain posexplode infers a size()>0
+    # filter whose pushdown re-inlines the whole span-building transform
+    # below the repartition exchange (see ngram_jaccard_pairs).  Short
+    # docs yield an empty array → outer emits one (null, null) row,
+    # dropped by the gram filter (a filter on a GENERATED attribute
+    # cannot be pushed below the Generate, so nothing is recomputed).
     spans = toked.select(
         F.col(id_col),
-        F.posexplode(
+        F.posexplode_outer(
             F.when(
                 F.col("n_tokens") >= n,
                 F.transform(
@@ -971,7 +986,7 @@ def scrub_duplicate_spans(
                 ),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("pos", "gram"),
-    )
+    ).where(F.col("gram").isNotNull())
     dup_grams = (
         spans.groupBy("gram").agg(F.count(F.lit(1)).alias("__c__"))
         .filter(F.col("__c__") >= min_count)

@@ -542,11 +542,17 @@ def ivf_topk(
         payload(F.col(vec_col)).alias("c_vec"),
         F.element_at(_nearest_centroids(vec_col, cents, 1), 1).alias("cid"),
     )
+    # explode_outer + null-drop: a plain explode's inferred size()>0
+    # filter would evaluate the full centroid-distance sort a second
+    # time per query row; the null filter on the generated attribute
+    # also preserves the empty-corpus (typed-null array) behavior
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         payload(F.col(vec_col)).alias("q_vec"),
-        F.explode(_nearest_centroids(vec_col, cents, nprobe)).alias("cid"),
-    )
+        F.explode_outer(
+            _nearest_centroids(vec_col, cents, nprobe)
+        ).alias("cid"),
+    ).where(F.col("cid").isNotNull())
     if quantized:
         qn, cn = _int_norm(F.col("q_vec")), _int_norm(F.col("c_vec"))
         sim = F.when(

@@ -286,7 +286,11 @@ def chunk_documents(
         F.greatest(F.size("__toks") - overlap - 1, F.lit(0)),
         F.lit(stride),
     )
-    e = t.select(F.col(id_col), F.col("__toks"), F.explode(starts).alias("__start"))
+    # explode_outer: a plain explode's inferred size()>0 filter would
+    # re-evaluate the sequence (and the tokens projection it references)
+    # a second time below this projection; `starts` is never empty
+    # (sequence from 0 with a non-negative stop) so outer is identical
+    e = t.select(F.col(id_col), F.col("__toks"), F.explode_outer(starts).alias("__start"))
     chunk = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens)
     return e.select(
         F.col(id_col),
@@ -343,9 +347,14 @@ def vocab_top_k(
     """
     from pyspark.sql import Window as W
 
+    # explode_outer + null-drop: a plain explode's inferred size()>0
+    # filter re-evaluates tokens() a second time (and below any
+    # exchange); tokens() can be empty/null, so outer emits one null
+    # row per empty doc which the generated-attribute filter drops
     ex = df.select(
-        F.col(id_col).alias("__d__"), F.explode(tokens(text_col)).alias("token")
-    )
+        F.col(id_col).alias("__d__"),
+        F.explode_outer(tokens(text_col)).alias("token"),
+    ).where(F.col("token").isNotNull())
     stats = ex.groupBy("token").agg(
         F.count(F.lit(1)).alias("tf"),
         F.countDistinct("__d__").alias("df"),
@@ -374,7 +383,10 @@ def tfidf(
     broadcast threshold at corpus scale) + a 1-row broadcast of N.
     ``min_df`` prunes hapax noise before the join.
     """
-    ex = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    # explode_outer + null-drop — see vocab_top_k for why
+    ex = df.select(
+        F.col(id_col), F.explode_outer(tokens(text_col)).alias("token")
+    ).where(F.col("token").isNotNull())
     tf = ex.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = (
         tf.groupBy("token")
@@ -480,10 +492,13 @@ def bm25_rank(
     ).select(
         F.col(id_col),
         F.size("__toks__").alias("__dl__"),
-        F.explode(
+        # explode_outer + null-drop — see vocab_top_k; docs matching no
+        # term explode to one null row, dropped here (they scored 0 and
+        # were omitted before, identically)
+        F.explode_outer(
             F.filter(F.col("__toks__"), lambda t: t.isin(*terms))
         ).alias("token"),
-    )
+    ).where(F.col("token").isNotNull())
     tf = base.groupBy(id_col, "__dl__", "token").agg(
         F.count(F.lit(1)).alias("tf")
     )
@@ -541,13 +556,14 @@ def build_text_index(
     tail of the vocabulary); scoring semantics for surviving terms are
     IDENTICAL to :func:`bm25_rank` over the same corpus.
     """
+    # explode_outer + null-drop — see vocab_top_k for why
     ex = df.select(
         F.col(id_col), tokens(text_col).alias("__toks__")
     ).select(
         F.col(id_col),
         F.size("__toks__").alias("dl"),
-        F.explode("__toks__").alias("token"),
-    )
+        F.explode_outer("__toks__").alias("token"),
+    ).where(F.col("token").isNotNull())
     tf = ex.groupBy("token", id_col, "dl").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = (
         tf.groupBy("token")
@@ -650,10 +666,12 @@ def bigram_lm_score(
             ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
             .alias("__bg__"),
         )
+        # explode_outer + null-drop — see vocab_top_k; single-token docs
+        # have an empty bigram array
         ex = t.select(
             *([F.col(id_col)] if keep_id else []),
-            F.explode("__bg__").alias("__p__"),
-        )
+            F.explode_outer("__bg__").alias("__p__"),
+        ).where(F.col("__p__").isNotNull())
         return ex.select(
             *([F.col(id_col)] if keep_id else []),
             F.col("__p__.w1").alias("w1"),

@@ -230,7 +230,10 @@ def resample_timeseries(
         ).otherwise(gap_end)
     full = with_next.select(
         *klist,
-        F.explode(
+        # explode_outer: plain explode infers a size()>0 filter that
+        # re-evaluates the sequence a second time; the gap sequence is
+        # never empty (gap_end >= __b by construction)
+        F.explode_outer(
             F.sequence(
                 F.col("__b"),
                 gap_end,
