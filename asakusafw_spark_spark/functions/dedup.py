@@ -1072,7 +1072,12 @@ def build_dedup_index(
     with ``write_flat``/``write_bucketed`` and read it back for the
     next batch.
     """
-    base = docs.select(
+    # shingling + k-hash signing is the heavy work this index exists to
+    # capture — spread it: a few-file history scan otherwise signs the
+    # whole corpus on the scan's 1-2 partitions when the index persist
+    # materializes (the sf1 probe measured dedup_incremental at 57 s,
+    # dominated by exactly that)
+    base = ensure_parallelism(docs).select(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("shingles")
     )
     return base.withColumn("sig", minhash_signature(F.col("shingles"), k, seed))
@@ -1188,9 +1193,9 @@ def dedup_against_corpus(
             corpus, id_col=id_col, text_col=text_col, n=n, k=k, seed=seed
         )
     index = index.transform(_persist)
+    # build_dedup_index applies the scan-split guard itself
     new_index = build_dedup_index(
-        ensure_parallelism(new_docs), id_col=id_col, text_col=text_col, n=n, k=k,
-        seed=seed,
+        new_docs, id_col=id_col, text_col=text_col, n=n, k=k, seed=seed
     ).transform(_persist)
 
     hist_rows = _band_rows(index, k, bands)
