@@ -87,13 +87,16 @@ def pagerank(
     if scale < 10**6:
         raise ValueError("pagerank: scale must be >= 1e6 (quantization)")
 
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).distinct()
+    # repartition FIRST, dedupe second: HashPartitioning(src) satisfies
+    # the distinct's ClusteredDistribution(src, dst), so the dedupe (and
+    # the outdeg aggregate, and the iteration joins) all reuse the ONE
+    # edge shuffle — distinct-then-repartition moved the edge list twice
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if num_partitions:
         e = e.repartition(num_partitions, "src")
     else:
         e = e.repartition("src")
+    e = e.dropDuplicates(["src", "dst"])
 
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # one persisted, src-partitioned (src, dst, outdeg) frame: every
@@ -101,8 +104,12 @@ def pagerank(
     # frame moves
     linked = e.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
 
-    nodes = e.select(F.col("src").alias("node")).union(
-        e.select(F.col("dst").alias("node"))
+    # derive nodes from LINKED, not e: e's lineage (the caller's edge
+    # build, often a multi-table join) would otherwise be recomputed a
+    # second time just to list the vertices; linked is the persisted
+    # copy of the same pairs
+    nodes = linked.select(F.col("src").alias("node")).union(
+        linked.select(F.col("dst").alias("node"))
     )
     s_count = None
     if sources is not None:
@@ -218,10 +225,15 @@ def bfs_levels(
     """
     if max_iters < 0:
         raise ValueError("bfs_levels: max_iters must be >= 0")
-    e = edges.select(
-        F.col(src).alias("__s__"), F.col(dst).alias("__d__")
-    ).distinct()
-    e = e.repartition("__s__").persist(StorageLevel.MEMORY_AND_DISK)
+    # repartition FIRST, dedupe second — the src-hash partitioning
+    # satisfies the distinct's clustering, so the edge list moves once
+    # (see pagerank)
+    e = edges.select(F.col(src).alias("__s__"), F.col(dst).alias("__d__"))
+    e = (
+        e.repartition("__s__")
+        .dropDuplicates(["__s__", "__d__"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     l0 = (
         sources.select(F.col(node_col).alias("node"))
