@@ -177,9 +177,11 @@ def test_round5_session2_ops_plan_budgets(spark, sf_dir):
     assert s["joins"] == []
 
     # span-count agg + cover agg (+ AQE-chosen join exchanges at real
-    # volume); never a cartesian, never Python
+    # volume) + ONE round-robin scan-split exchange (ensure_parallelism
+    # fires on this few-file test input; a no-op on wide scans); never
+    # a cartesian, never Python
     assert_scale_safe(
-        scrub_duplicate_spans(docs, n=8), max_shuffles=4, max_python_stages=0
+        scrub_duplicate_spans(docs, n=8), max_shuffles=5, max_python_stages=0
     )
 
     # the BNLJ is the same documented exact-scan theta-join as
