@@ -368,3 +368,85 @@ def test_graph_and_bpe_plan_budgets(spark, sf_dir):
     assert not s["cartesian"]
     s = assert_scale_safe(triangle_count(edges), max_python_stages=0)
     assert not s["cartesian"]
+
+
+def test_no_inferred_generate_filter_reinlines_heavy_exprs(spark, sf_dir):
+    """Round-13 regression pin: a plain explode() makes Catalyst infer a
+    size()>0 filter below the Generate; predicate pushdown substitutes
+    the array-building expression into it and pushes it below any
+    round-robin exchange — heavy expressions (word_shingles, span
+    transforms) then evaluate up to 3×, mostly on the narrow pre-shuffle
+    partitions.  The dynamic-array sites use explode_outer, which infers
+    no filter: the OPTIMIZED plan must contain no Filter node whose
+    condition embeds the shingle/tokenize machinery."""
+    import re
+
+    from asakusafw_spark_spark.functions.dedup import (
+        ngram_jaccard_pairs,
+        scrub_duplicate_spans,
+    )
+    from asakusafw_spark_spark.functions.text import tfidf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def filters_of(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return [ln for ln in plan.splitlines() if re.match(r"\s*[+:]?-?\s*Filter ", ln)]
+
+    for df in (
+        ngram_jaccard_pairs(docs, threshold=0.3, max_doc_freq=5),
+        scrub_duplicate_spans(docs, n=8),
+        tfidf(docs),
+    ):
+        for ln in filters_of(df):
+            # the tokenizer split (and anything built on it) must never
+            # appear inside a Filter condition — that is the re-inlined
+            # inferred-filter shape
+            assert "split(" not in ln, f"re-inlined generate filter:\n{ln}"
+
+
+def test_ensure_parallelism_no_listing_fallback(spark):
+    """Round-13 regression pin: frames with no file listing (foreachBatch
+    micro-batches, in-memory frames) must fall back to the rdd partition
+    probe instead of silently staying narrow."""
+    from asakusafw_spark_spark.functions.dedup import ensure_parallelism
+
+    narrow = spark.range(0, 1000, 1, 1)  # 1 partition, no files
+    assert narrow.inputFiles() == []
+    out = ensure_parallelism(narrow)
+    assert (
+        out.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+    wide = spark.range(0, 1000, 1, spark.sparkContext.defaultParallelism)
+    assert ensure_parallelism(wide) is wide  # already wide: untouched
+
+
+def test_fold_partial_prefold_gating(spark):
+    """The map-side pre-fold applies exactly when partial=True and no
+    ordering is requested (reference PARTIAL-combiner semantics); an
+    ordering keeps raw rows flowing to the sort-order left fold."""
+    import pandas as pd
+
+    from asakusafw_spark_spark.operators.group import fold
+
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+    ).repartition(8)
+
+    def fmax(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([{"k": pdf["k"].iloc[0], "v": pdf["v"].max()}])
+
+    out = fold(df, ["k"], fn=fmax, partial=True)
+    rows = {r["k"]: r["v"] for r in out.collect()}
+    assert rows == {0: 3999, 1: 3997, 2: 3998}
+
+    ordered = fold(df, ["k"], fn=fmax, partial=True, ordering=[("v", "asc")])
+    rows_o = {r["k"]: r["v"] for r in ordered.collect()}
+    assert rows_o == rows
+    # with ordering, the plan must NOT carry the prefold's extra
+    # MapInPandas stage
+    plan_o = ordered._jdf.queryExecution().optimizedPlan().toString()
+    plan_p = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan_p.count("MapInPandas") == plan_o.count("MapInPandas") + 1
