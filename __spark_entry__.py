@@ -2985,13 +2985,25 @@ def q_summarize_q1(spark, sf):
             "min_price": ("min", "l_extendedprice"),
         },
     )
-    sums = li.groupBy("l_returnflag", "l_linestatus").agg(
+    sums = li.groupBy(
+        F.col("l_returnflag").alias("__rf"), F.col("l_linestatus").alias("__ls")
+    ).agg(
         _dsum(F.col("l_quantity"), 2).alias("sum_qty"),
         _dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
         _dsum(F.col("disc_price")).alias("sum_disc_price"),
         _dsum(F.col("charge")).alias("sum_charge"),
     )
-    return out.join(sums, ["l_returnflag", "l_linestatus"])
+    # NULL-SAFE join on the group keys: a plain equi-join silently drops
+    # null-key groups that BOTH aggregates produce (SQL null equality),
+    # diverging from the oracle's single GROUP BY on null-bearing
+    # corpora — caught by the r13 null-injected oracle sweep
+    return out.join(
+        sums,
+        on=[
+            out["l_returnflag"].eqNullSafe(F.col("__rf")),
+            out["l_linestatus"].eqNullSafe(F.col("__ls")),
+        ],
+    ).drop("__rf", "__ls")
 
 
 def q_fold(spark, sf):

@@ -214,14 +214,26 @@ def _affine_params(k: int, seed: int) -> list[tuple[int, int]]:
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """DISTINCT word n-gram shingles of the text (array<string>).
     Texts with fewer than ``n`` tokens yield their whole token join as
-    the single shingle (so short docs still participate)."""
+    the single shingle (so short docs still participate); texts with NO
+    tokens (null/empty) yield NO shingles — they cannot near-dup match
+    anything.  The zero-token guard is a correctness AND scale
+    contract: without it every null/empty document shared one
+    degenerate shingle (and, through concat_ws's null-skipping, one
+    minhash band key), so they all paired with each other — a
+    quadratic mega-bucket of empties on any real corpus with nulls,
+    and a divergence from the oracle twins' null→no-tokens semantics.
+    Caught by the r13 null-injected oracle sweep (engine emitted 4575
+    pairs vs the oracle's 15 on a 20%-null corpus).  Exact dedup still
+    catches identical empties via the fingerprint hash."""
     toks = tokens(col)
     sz = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(0), sz - n),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
-    whole = F.array(F.array_join(toks, " "))
+    whole = F.when(sz > 0, F.array(F.array_join(toks, " "))).otherwise(
+        F.array().cast("array<string>")
+    )
     return F.array_distinct(F.when(sz >= n, grams).otherwise(whole))
 
 
@@ -331,7 +343,15 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         word_shingles(text_col, n).alias("shingles"),
     ).transform(_persist)
-    sig = base.withColumn("sig", minhash_signature(F.col("shingles"), k, seed))
+    # token-less docs (null/empty text) have NO shingles and must not
+    # band: their all-null signature would collapse through concat_ws's
+    # null-skipping into one shared "" band key — every empty doc
+    # pairing with every other (quadratic mega-bucket, 0/0 jaccard).
+    # The oracle's null band keys never equi-join, so this also aligns
+    # the engines (r13 null-injected sweep).
+    sig = base.where(F.size("shingles") > 0).withColumn(
+        "sig", minhash_signature(F.col("shingles"), k, seed)
+    )
 
     banded = sig.select(
         "id",
@@ -1092,8 +1112,13 @@ def build_dedup_index(
 
 
 def _band_rows(index: DataFrame, k: int, bands: int) -> DataFrame:
-    """Slim (id, band, key) rows projected from a signature index."""
+    """Slim (id, band, key) rows projected from a signature index.
+
+    Token-less docs (no shingles) are excluded — see minhash_lsh_pairs:
+    their all-null sig would concat_ws-collapse to one shared band key.
+    """
     r = k // bands
+    index = index.where(F.size("shingles") > 0)
     return index.select(
         "id",
         F.explode(
@@ -1308,7 +1333,10 @@ def edit_distance_pairs(
         )
         .transform(_persist)
     )
-    sig = base.withColumn("sig", minhash_signature(F.col("shingles"), k, seed))
+    # exclude token-less docs from banding — see minhash_lsh_pairs
+    sig = base.where(F.size("shingles") > 0).withColumn(
+        "sig", minhash_signature(F.col("shingles"), k, seed)
+    )
     banded = sig.select(
         "id",
         F.explode(

@@ -22,12 +22,18 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokens; empty/null-safe (empty text → empty array)."""
+    """Whitespace tokens; empty/null-safe (NULL or empty text → empty
+    array).  The null case must be EXPLICIT: ``trim(NULL) = ''`` is
+    null, so the previous empty-only guard fell through to
+    ``split(NULL)`` = a NULL array — and every downstream consumer
+    (size = -1, shingles = [null], simhash of nothing) diverged from
+    the oracle twins' documented null→no-tokens semantics.  Caught by
+    the r13 null-injected oracle sweep."""
     c = F.col(col) if isinstance(col, str) else col
     trimmed = F.trim(c)
-    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, r"\s+")
-    )
+    return F.when(
+        trimmed.isNull() | (trimmed == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(trimmed, r"\s+"))
 
 
 def token_count(col: Column | str) -> Column:
