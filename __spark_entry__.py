@@ -684,12 +684,20 @@ def q_fold_custom(spark, sf):
     TWO = Decimal("0.01")
 
     def reduce_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        # mirror SUM(CAST(x AS DECIMAL(_,2))): quantize each value, then sum
-        qty = sum(Decimal(str(v)).quantize(TWO) for v in pdf["l_quantity"])
+        # mirror SUM(CAST(x AS DECIMAL(_,2))): quantize each value, then
+        # sum — SKIPPING nulls like SQL SUM (a raw `+` fold would let
+        # one NaN row poison the whole group; caught by the r13
+        # null-injected oracle sweep).  All-null groups sum to NULL.
+        vals = [
+            Decimal(str(v)).quantize(TWO)
+            for v in pdf["l_quantity"]
+            if not pd.isna(v)
+        ]
+        qty = float(sum(vals)) if vals else None
         return pd.DataFrame(
             {
                 "l_suppkey": [pdf["l_suppkey"].iloc[0]],
-                "l_quantity": [float(qty)],
+                "l_quantity": [qty],
                 "l_extendedprice": [pdf["l_extendedprice"].max()],
             }
         )
@@ -970,6 +978,12 @@ def q_approx_percentile(spark, sf):
     within = (F.col("__approx") >= F.col("__lo")) & (
         F.col("__approx") <= F.col("__hi")
     )
+    # a group with no non-null quantities has nothing to approximate:
+    # both the sketch and the exact bounds are NULL — vacuously within
+    # bound (the oracle's unconditional TRUE), not three-valued NULL
+    within = F.when(
+        F.col("__approx").isNull() & F.col("__lo").isNull(), F.lit(True)
+    ).otherwise(within)
     return agg.select(
         "l_returnflag", "median_qty", "n_items", within.alias("within_bound")
     )
@@ -2557,13 +2571,17 @@ def q_streaming_distinct_sketch(spark, sf):
     maintained = merge_distinct_sketches(
         spark.read.parquet(target), "event_type", out_col="est"
     )
-    oneshot = ev.groupBy("event_type").agg(
+    oneshot = ev.groupBy(F.col("event_type").alias("__et")).agg(
         F.hll_sketch_estimate(
             F.hll_sketch_agg("user_id", F.lit(16))
         ).alias("oneshot_est"),
         F.countDistinct("user_id").alias("n_distinct_users"),
     )
-    return maintained.join(oneshot, "event_type").select(
+    # null-safe join: a null event_type group exists on BOTH sides and
+    # must pair up, not silently drop (r13 null-injected oracle sweep)
+    return maintained.join(
+        oneshot, maintained["event_type"].eqNullSafe(F.col("__et"))
+    ).select(
         "event_type",
         "n_distinct_users",
         (F.col("est") == F.col("oneshot_est")).alias("fold_matches_oneshot"),
@@ -3025,12 +3043,16 @@ def q_cogroup(spark, sf):
     li = _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
 
     def fn(key, opdf: pd.DataFrame, lpdf: pd.DataFrame) -> dict:
-        # dict return → engine's batched single-record fast path
+        # dict return → engine's batched single-record fast path.
+        # min_count=1 = SQL SUM null semantics: a group whose every
+        # quantity is NULL sums to NULL, not pandas' skipna 0.0
+        # (divergence caught by the r13 null-injected oracle sweep)
+        qty = lpdf["l_quantity"].sum(min_count=1) if len(lpdf) else None
         return {
             "o_orderkey": key[0],
             "n_orders": len(opdf),
             "n_items": len(lpdf),
-            "sum_qty": round(float(lpdf["l_quantity"].sum()), 2) if len(lpdf) else None,
+            "sum_qty": None if qty is None or pd.isna(qty) else round(float(qty), 2),
         }
 
     return cogroup(
@@ -4409,21 +4431,26 @@ _MERGE_ORACLE = """
 
 
 def _duck_text_analysis_sql() -> str:
+    # null/empty text tokenizes to [] (the engine tokens() contract):
+    # zero hits -> 'unknown', n_tokens 0, quality 0.0
     hits, case = _duck_lang_hits()
     return f"""
         WITH t AS (
-          SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
+          SELECT doc_id, text,
+                 CASE WHEN text IS NULL OR trim(text) = ''
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(text), '\\s+') END AS toks
           FROM documents),
         h AS (SELECT doc_id, text, toks, {hits} FROM t)
         SELECT doc_id,
                CAST(len(toks) AS BIGINT) AS n_tokens,
                {case} AS lang_guess,
-               round(
+               CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(
                  (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.4
                  + least(1.0, (CAST(length(regexp_replace(text,'\\s+','','g')) AS DOUBLE)
                                / len(toks)) / 8.0) * 0.3
                  + (CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)
-                    / length(text)) * 0.3, 6) AS quality,
+                    / length(text)) * 0.3, 6) END AS quality,
                md5(lower(trim(regexp_replace(text,'\\s+',' ','g')))) AS fp
         FROM h
     """
@@ -4947,9 +4974,17 @@ def _pagerank_oracle_sql(iterations: int = 3, damping: int = 85,
                    {base} + ({damping} * COALESCE(c.contrib, 0)) // 100 AS rank
             FROM nodes n LEFT JOIN c{i} c ON n.node = c.node {src_join}
         )""")
+    # empty personalized cohort → empty ranking, mirroring the engine
+    # query's guard (pagerank itself REFUSES an empty sources set; the
+    # pipeline query maps that to an empty frame — without this WHERE
+    # the unrolled SQL would divide by the zero cohort count instead)
+    guard = (
+        f" WHERE (SELECT COUNT(*) FROM srcs) > 0" if personalized else ""
+    )
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r{iterations}"
+        + guard
     )
 
 
@@ -5689,9 +5724,11 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(CAST(doc_id AS VARCHAR), ','
                               ORDER BY start % 512, CAST(doc_id AS VARCHAR))
                      AS doc_ids,
-                   string_agg(text, ' '
-                              ORDER BY start % 512, CAST(doc_id AS VARCHAR))
-                     AS pack_text
+                   -- COALESCE: an all-null-text pack aggregates to NULL
+                   -- in string_agg; the engine's concat_ws yields ''
+                   COALESCE(string_agg(text, ' '
+                              ORDER BY start % 512, CAST(doc_id AS VARCHAR)),
+                            '') AS pack_text
             FROM c GROUP BY source, CAST(start // 512 AS BIGINT)
         """,
         "dedup_incremental": _duck_incremental_sql(threshold=0.5),
@@ -6252,7 +6289,12 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN l_extendedprice IS NULL THEN NULL
                         ELSE least(greatest(CAST(l_extendedprice AS DOUBLE), lo), hi)
                    END AS price_w
-            FROM lineitem l JOIN cuts USING (l_returnflag)
+            -- null-safe join: GROUP BY produces a null-flag cuts row,
+            -- and a plain equi-join would silently drop every
+            -- null-flag lineitem (the engine winsorizes them in their
+            -- own group)
+            FROM lineitem l JOIN cuts
+              ON l.l_returnflag IS NOT DISTINCT FROM cuts.l_returnflag
         """,
         "scrub_spans": """
             WITH toks AS (
@@ -6550,10 +6592,15 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag
         """,
         "multimodal_features": """
+            -- a NULL payload decodes to the zero vector (the
+            -- fake_decoder contract), not NULL features
             SELECT doc_id AS media_id,
-                   CAST('0x' || substr(md5(text), 1, 2) AS INT) / 256.0 AS f0,
-                   CAST('0x' || substr(md5(text), 15, 2) AS INT) / 256.0 AS f7,
-                   CAST('0x' || substr(md5(text), 31, 2) AS INT) / 256.0 AS f15
+                   CASE WHEN text IS NULL THEN 0.0 ELSE
+                     CAST('0x' || substr(md5(text), 1, 2) AS INT) / 256.0 END AS f0,
+                   CASE WHEN text IS NULL THEN 0.0 ELSE
+                     CAST('0x' || substr(md5(text), 15, 2) AS INT) / 256.0 END AS f7,
+                   CASE WHEN text IS NULL THEN 0.0 ELSE
+                     CAST('0x' || substr(md5(text), 31, 2) AS INT) / 256.0 END AS f15
             FROM documents
         """,
         "cogroup": """
@@ -6671,16 +6718,21 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY train_id HAVING COUNT(*) >= 1
         """,
         "corpus_stats": """
+            -- null/empty text tokenizes to [] (the engine's tokens()
+            -- contract) and scores quality 0.0, mirroring the guarded
+            -- per-term ratios Spark-side
             WITH t AS (SELECT lang, text,
-                              string_split_regex(trim(text), '\\s+') AS toks
+                              CASE WHEN text IS NULL OR trim(text) = ''
+                                   THEN CAST([] AS VARCHAR[])
+                                   ELSE string_split_regex(trim(text), '\\s+') END AS toks
                        FROM documents),
             q AS (SELECT lang, len(toks) AS nt,
-                         round(
+                         CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(
                            (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.4
                            + least(1.0, (CAST(length(regexp_replace(text,'\\s+','','g')) AS DOUBLE)
                                          / len(toks)) / 8.0) * 0.3
                            + (CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)
-                              / length(text)) * 0.3, 6) AS qs
+                              / length(text)) * 0.3, 6) END AS qs
                   FROM t)
             SELECT lang, COUNT(*) AS n_docs,
                    CAST(SUM(nt) AS BIGINT) AS total_tokens,
@@ -6873,18 +6925,22 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "quality_filter": """
+            -- null/empty text tokenizes to [] and scores 0.0 (engine
+            -- tokens()/quality_score contract)
             WITH t AS (
               SELECT doc_id, lang, text,
-                     string_split_regex(trim(text), '\\s+') AS toks
+                     CASE WHEN text IS NULL OR trim(text) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(text), '\\s+') END AS toks
               FROM documents),
             q AS (
               SELECT doc_id, lang,
-                round(
+                CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(
                   (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.4
                   + least(1.0, (CAST(length(regexp_replace(text,'\\s+','','g')) AS DOUBLE)
                                 / len(toks)) / 8.0) * 0.3
                   + (CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)
-                     / length(text)) * 0.3, 6) AS quality
+                     / length(text)) * 0.3, 6) END AS quality
               FROM t),
             r AS (
               SELECT *, cume_dist() OVER (

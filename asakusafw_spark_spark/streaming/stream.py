@@ -711,6 +711,34 @@ def stream_quality_monitor(
     return w.start()
 
 
+def _null_safe_state_merge(
+    state: DataFrame, batch: DataFrame, keys: "Sequence[str]"
+):
+    """Full-outer state-vs-batch join that treats NULL group keys as
+    EQUAL (``eqNullSafe``), plus the coalesced key columns to select.
+
+    A plain ``join(..., keys, "full_outer")`` never matches null keys,
+    so a null-key state row and a null-key batch row both survive as
+    two distinct rows — the state table forks one extra null row per
+    batch instead of folding (caught by the r13 null-injected oracle
+    sweep: the theta maintainer emitted a duplicated null group).  Same
+    contract as apply_agg_delta's merge (operators/core.py).
+    """
+    b = batch.select(
+        *[F.col(k).alias(f"__bk_{k}") for k in keys],
+        *[c for c in batch.columns if c not in keys],
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"__bk_{k}").eqNullSafe(F.col(k))
+        cond = c if cond is None else (cond & c)
+    merged = state.join(b, cond, "full_outer")
+    key_cols = [
+        F.coalesce(F.col(k), F.col(f"__bk_{k}")).alias(k) for k in keys
+    ]
+    return merged, key_cols
+
+
 def stream_distinct_sketch_maintain(
     stream_df: DataFrame,
     target_path: str,
@@ -768,18 +796,16 @@ def stream_distinct_sketch_maintain(
             state = spark.read.format(format).load(base).select(
                 *keys, F.col("sketch").alias("__old")
             )
-            return (
-                state.join(batch_sk, keys, "full_outer")
-                .select(
-                    *keys,
-                    F.when(
-                        F.col("__old").isNotNull()
-                        & F.col("sketch").isNotNull(),
-                        F.hll_union("__old", "sketch"),
-                    )
-                    .otherwise(F.coalesce("__old", "sketch"))
-                    .alias("sketch"),
+            merged, key_cols = _null_safe_state_merge(state, batch_sk, keys)
+            return merged.select(
+                *key_cols,
+                F.when(
+                    F.col("__old").isNotNull()
+                    & F.col("sketch").isNotNull(),
+                    F.hll_union("__old", "sketch"),
                 )
+                .otherwise(F.coalesce("__old", "sketch"))
+                .alias("sketch"),
             )
 
         _run_maintain_batch(
@@ -873,18 +899,16 @@ def stream_quantile_sketch_maintain(
             state = spark.read.format(format).load(base).select(
                 *keys, F.col(sketch_col).alias("__old")
             )
-            return (
-                state.join(batch_sk, keys, "full_outer")
-                .select(
-                    *keys,
-                    F.when(
-                        F.col("__old").isNotNull()
-                        & F.col(sketch_col).isNotNull(),
-                        pair_merge("__old", sketch_col),
-                    )
-                    .otherwise(F.coalesce("__old", sketch_col))
-                    .alias(sketch_col),
+            merged, key_cols = _null_safe_state_merge(state, batch_sk, keys)
+            return merged.select(
+                *key_cols,
+                F.when(
+                    F.col("__old").isNotNull()
+                    & F.col(sketch_col).isNotNull(),
+                    pair_merge("__old", sketch_col),
                 )
+                .otherwise(F.coalesce("__old", sketch_col))
+                .alias(sketch_col),
             )
 
         _run_maintain_batch(
@@ -1052,18 +1076,16 @@ def stream_theta_sketch_maintain(
             state = spark.read.format(format).load(base).select(
                 *keys, F.col("sketch").alias("__old")
             )
-            return (
-                state.join(batch_sk, keys, "full_outer")
-                .select(
-                    *keys,
-                    F.when(
-                        F.col("__old").isNotNull()
-                        & F.col("sketch").isNotNull(),
-                        F.theta_union("__old", "sketch", F.lit(int(lg_k))),
-                    )
-                    .otherwise(F.coalesce("__old", "sketch"))
-                    .alias("sketch"),
+            merged, key_cols = _null_safe_state_merge(state, batch_sk, keys)
+            return merged.select(
+                *key_cols,
+                F.when(
+                    F.col("__old").isNotNull()
+                    & F.col("sketch").isNotNull(),
+                    F.theta_union("__old", "sketch", F.lit(int(lg_k))),
                 )
+                .otherwise(F.coalesce("__old", "sketch"))
+                .alias("sketch"),
             )
 
         _run_maintain_batch(

@@ -48,7 +48,8 @@ def docs(spark):
 
 def test_token_count(docs):
     r = {x.doc_id: x.n for x in docs.select("doc_id", token_count("text").alias("n")).collect()}
-    assert r[1] == 9 and r[6] == 0 and r[7] is None
+    # NULL text tokenizes to [] (r13 contract): 0 tokens, same as empty
+    assert r[1] == 9 and r[6] == 0 and r[7] == 0
 
 
 def test_lang_id(docs):
