@@ -6768,7 +6768,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_budget": r"""
             SELECT source, COUNT(*) AS n_docs,
-                   CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                   CAST(SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
                         ELSE len(string_split_regex(trim(text), '\s+')) END)
                         AS BIGINT) AS ws_tokens,
                    CAST(SUM(len(regexp_extract_all(text,
