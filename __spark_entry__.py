@@ -4232,7 +4232,8 @@ def _duck_edit_distance_sql(max_distance: int = 20, k: int = 8,
         FROM cand c
         JOIN documents da ON da.doc_id = c.id_a
         JOIN documents db ON db.doc_id = c.id_b
-        WHERE levenshtein(da.text, db.text) <= {max_distance}
+        WHERE abs(length(da.text) - length(db.text)) <= {max_distance}
+          AND levenshtein(da.text, db.text) <= {max_distance}
     """
 
 

@@ -439,11 +439,17 @@ def ngram_jaccard_pairs(
     # size()>0 filter whose pushdown re-inlines the whole word_shingles
     # expression BELOW the repartition exchange — the sf1 probe measured
     # the shingle scan 3x-computed with 2/3 of it on the pre-shuffle
-    # partitions (97 s for a 3.4M-row explode).  word_shingles is total
-    # (never null / never empty), so outer is row-identical.
-    exploded = base.select(
-        "id", "set_size", F.explode_outer("shingles").alias("sh")
-    ).transform(_persist)
+    # partitions (97 s for a 3.4M-row explode).  Token-less docs have an
+    # EMPTY shingle array (r13 null contract), so outer emits one
+    # null-sh row per such doc — dropped right after the Generate (a
+    # filter on a GENERATED attribute cannot be pushed below the
+    # Generate, so nothing is recomputed) to keep null rows out of the
+    # persisted frame and the doc_freq aggregate.
+    exploded = (
+        base.select("id", "set_size", F.explode_outer("shingles").alias("sh"))
+        .where(F.col("sh").isNotNull())
+        .transform(_persist)
+    )
     if max_doc_freq is not None:
         doc_freq = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
         pruned = exploded.join(
@@ -495,15 +501,18 @@ def ngram_contamination(
     """
     # explode_outer on both sides: see ngram_jaccard_pairs — a plain
     # explode's inferred size()>0 filter re-inlines word_shingles below
-    # the exchange / into a second evaluation; word_shingles is total
+    # the exchange / into a second evaluation.  Token-less docs shingle
+    # to an EMPTY array, so outer emits a null-gram row per such doc;
+    # drop it post-Generate (un-pushable, so nothing is recomputed) to
+    # keep nulls out of the gram equi-join inputs.
     t = ensure_parallelism(train).select(
         F.col(id_col).alias("train_id"),
         F.explode_outer(word_shingles(text_col, n)).alias("gram"),
-    )
+    ).where(F.col("gram").isNotNull())
     e = eval_set.select(
         F.col(id_col).alias("eval_id"),
         F.explode_outer(word_shingles(text_col, n)).alias("gram"),
-    )
+    ).where(F.col("gram").isNotNull())
     joined = t.join(e, "gram")
     return (
         joined.groupBy("train_id")
@@ -1375,6 +1384,15 @@ def edit_distance_pairs(
         base.select(F.col("id").alias("id_a"), F.col("txt").alias("t_a")), "id_a"
     ).join(
         base.select(F.col("id").alias("id_b"), F.col("txt").alias("t_b")), "id_b"
+    )
+    # Length prefilter (VERDICT r13 Next #4): deletions/insertions alone
+    # cost |len(a) − len(b)|, so any pair whose length gap exceeds the
+    # bound can never verify — an exact prune that skips the DP entirely
+    # (the heaviest verified stage in the project: ~35k multi-KB pairs
+    # at sf1).  Null texts produce a null predicate → dropped, same as
+    # the existing edit_distance >= 0 filter already guaranteed.
+    verified = verified.filter(
+        F.abs(F.length("t_a") - F.length("t_b")) <= max_distance
     )
     # 3-arg levenshtein early-exits the O(len_a × len_b) DP as soon as
     # every path exceeds the threshold (returns -1 past the bound) — a

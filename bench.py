@@ -159,22 +159,48 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def _current_round() -> "int | None":
+    """The round currently being built = newest driver CORRECTNESS
+    report + 1 (the driver writes CORRECTNESS_r{N}.json at the END of
+    round N, so during round N+1 the max is N)."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"_r(\d+)\.json$", p))
+    ]
+    return max(rounds) + 1 if rounds else None
+
+
 def _movers_vs_previous_round(times: "dict[str, float]"):
     """Trend guard (VERDICT r11 Next #7): compare per-query times with
-    the newest committed clean-host artifact (BENCH_LOCAL_r*_final.json)
-    and report queries >1.3× slower, so regressions are machine-flagged
+    the newest PRIOR-round committed clean-host artifact
+    (BENCH_LOCAL_r*_final.json, round < the round being built) and
+    report queries >1.3× slower, so regressions are machine-flagged
     instead of judge-recomputed.  Returns ``{"baseline": <file>,
     "slower_1p3x": {q: {"prev": s, "cur": s, "ratio": r}}}``, or None
     when no prior artifact exists.  Sub-0.3 s queries are skipped —
-    they sit inside host-noise jitter and flag spuriously."""
+    they sit inside host-noise jitter and flag spuriously.
+
+    VERDICT r13: the guard must NEVER baseline against a same-round
+    file — when the r13 final artifact was re-taken on a recovered
+    host, "newest committed artifact" picked the artifact's own prior
+    version and reported zero movers by construction while a recount
+    vs r12 showed 9.  The current round is inferred from the driver's
+    CORRECTNESS_r*.json sequence and same-or-later-round artifacts are
+    excluded, so re-running bench after writing this round's artifact
+    still compares against last round's."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
     arts = glob.glob(os.path.join(here, "BENCH_LOCAL_r*_final.json"))
+    cur = _current_round()
     rounds = []
     for p in arts:
         m = re.search(r"_r(\d+)_final\.json$", p)
-        if m:
+        if m and (cur is None or int(m.group(1)) < cur):
             rounds.append((int(m.group(1)), p))
     if not rounds:
         return None

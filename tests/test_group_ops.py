@@ -208,6 +208,79 @@ def test_fold_partial_giant_group_bounded_memory(spark):
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
 
 
+def test_fold_partial_high_cardinality_flush(spark):
+    """The pre-fold accumulator FLUSHES past max_live_keys (VERDICT r13
+    Next #5): near-unique keys — the combiner's worst case — must not
+    grow the map-side dict O(distinct keys).  Driving _map_side_prefold
+    directly with a tiny flush threshold forces many flush cycles per
+    partition; the reduce-side fold must merge the resulting multiple
+    partials per key back to the exact answer."""
+    from asakusafw_spark_spark.operators.group import (
+        Grouping,
+        _map_side_prefold,
+        cogroup,
+    )
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
+    try:
+        # 1_000 distinct keys x50 over 2 partitions >> max_live_keys=64,
+        # but a 500-row batch holds ~390 distinct (< the 0.9 skip
+        # threshold) so the COMBINE path runs and must flush repeatedly
+        n = 50_000
+        df = spark.range(n).repartition(2).select(
+            (F.col("id") % 1_000).cast("int").alias("k"),
+            F.lit(1).cast("long").alias("v"),
+        )
+
+        def fsum(pdf):
+            return pd.DataFrame([{"k": pdf["k"].iloc[0], "v": pdf["v"].sum()}])
+
+        cols = ["k", "v"]
+        pre = _map_side_prefold(df, ["k"], fsum, cols, max_live_keys=64)
+        out = cogroup(
+            [Grouping(pre, ["k"])],
+            lambda _k, pdf: fsum(pdf)[cols],
+            df.schema,
+            partial=True,
+        )
+        rows = {r.k: r.v for r in out.collect()}
+        assert len(rows) == 1_000
+        assert all(v == 50 for v in rows.values())
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_fold_partial_near_unique_keys_passthrough(spark):
+    """Keys ≈ rows (the combiner's degenerate case) must produce exact
+    results via the passthrough skip — raw rows are valid partials under
+    the @Fold reduce-side contract — and must not regress when a key's
+    rows straddle the passthrough batches."""
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
+    try:
+        n = 20_000
+        df = spark.range(n).repartition(2).select(
+            (F.col("id") % 10_000).cast("int").alias("k"),
+            F.lit(1).cast("long").alias("v"),
+        )
+
+        def fsum(pdf):
+            return pd.DataFrame([{"k": pdf["k"].iloc[0], "v": pdf["v"].sum()}])
+
+        rows = {r.k: r.v for r in fold(df, ["k"], fn=fsum, partial=True).collect()}
+        assert len(rows) == 10_000
+        assert all(v == 2 for v in rows.values())
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
 def test_cogroup_max_buffered_rows_fail_fast_names_key(spark):
     """In strict mode (on_overflow='error'), an over-limit group raises a
     diagnosable error carrying the key value instead of OOMing the

@@ -391,7 +391,14 @@ def test_no_inferred_generate_filter_reinlines_heavy_exprs(spark, sf_dir):
 
     def filters_of(df):
         plan = df._jdf.queryExecution().optimizedPlan().toString()
-        return [ln for ln in plan.splitlines() if re.match(r"\s*[+:]?-?\s*Filter ", ln)]
+        # ADVICE r13: match Filter nodes at ANY tree depth — nested
+        # prefixes like ':     +- Filter' defeat a prefix regex, so a
+        # re-inlined Filter deep in the plan would escape the pin.
+        return [
+            ln
+            for ln in plan.splitlines()
+            if re.search(r"(^|- )Filter ", ln)
+        ]
 
     for df in (
         ngram_jaccard_pairs(docs, threshold=0.3, max_doc_freq=5),
