@@ -1013,23 +1013,35 @@ def q_multimodal_features(spark, sf):
 
 def q_rollup_agg(spark, sf):
     """Hierarchical rollup totals (beyond-reference §2.8: grouping sets).
-    NULL-filled subtotal rows exactly as ANSI ROLLUP."""
+    NULL-filled subtotal rows exactly as ANSI ROLLUP — including the
+    grand-total row over an EMPTY table, which Spark's Expand-based
+    rollup drops (r14 empty-corpus gate; operators.rollup_agg)."""
+    from asakusafw_spark_spark.operators import rollup_agg
+
     li = _t(spark, sf, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            _dsum(F.col("l_quantity"), 2).alias("sum_qty"),
-        )
+    return rollup_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "n_items": F.count(F.lit(1)),
+            "sum_qty": _dsum(F.col("l_quantity"), 2),
+        },
     )
 
 
 def q_cube_agg(spark, sf):
-    """CUBE over two dims (§2.8 grouping sets family)."""
+    """CUBE over two dims (§2.8 grouping sets family), ANSI
+    empty-input semantics via operators.cube_agg."""
+    from asakusafw_spark_spark.operators import cube_agg
+
     orders = _t(spark, sf, "orders")
-    return orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        _dsum(F.col("o_totalprice")).alias("sum_price"),
+    return cube_agg(
+        orders,
+        ["o_orderstatus", "o_orderpriority"],
+        {
+            "n_orders": F.count(F.lit(1)),
+            "sum_price": _dsum(F.col("o_totalprice")),
+        },
     )
 
 
@@ -2970,15 +2982,16 @@ def q_percentile_agg(spark, sf):
 
 
 def q_grouping_sets(spark, sf):
-    """Arbitrary GROUPING SETS via the SQL surface (rollup/cube's general
-    form): totals by (returnflag), by (linestatus), and overall."""
-    _t(spark, sf, "lineitem").createOrReplaceTempView("v_lineitem")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items
-        FROM v_lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        """
+    """Arbitrary GROUPING SETS (rollup/cube's general form): totals by
+    (returnflag), by (linestatus), and overall — the () set computed
+    with ANSI empty-input semantics (one global row even over an empty
+    table; operators.ansi_grouping_sets)."""
+    from asakusafw_spark_spark.operators import ansi_grouping_sets
+
+    return ansi_grouping_sets(
+        _t(spark, sf, "lineitem"),
+        [("l_returnflag",), ("l_linestatus",), ()],
+        {"n_items": F.count(F.lit(1))},
     )
 
 
@@ -5206,27 +5219,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     3. 14 of the r10 block (staleness 2, alphabetical head); the
     #        r10 remainder (still ≤3-stale then) leads the r14 window.
     head = [
-        # 1. r09-stale (the full block at the boundary)
-        "convert", "corpus_stats", "embedding_centroids",
-        "embedding_dup_clusters", "extend", "extract",
-        "flatten_structs", "fold_partial", "hadoop_input_newapi",
-        "master_branch", "master_check_found", "master_check_missed",
-        "master_join", "master_join_missed", "merge_upsert",
-        "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-        "quantile_bucket", "quantize_embeddings", "redact",
-        "resample_locf", "retention", "scd2_apply",
-        "similarity_quantized_topk", "snapshot_diff",
-        "streaming_theta_maintain", "text_index_search", "tfidf",
-        "triangle_count", "unpivot_measures", "vocab_top_k",
-        "winsorize",
-        # 2. r13-edited code paths (dedup.py scrub + graph.py persists)
-        "scrub_spans", "pagerank", "pagerank_personalized",
-        # 3. r10-stale fill (alphabetical head of the staleness-2 set)
-        "asof_join", "bpe_pair_counts", "bpe_tokenize",
-        "chunk_documents", "cli_roundtrip", "cogroup", "cogroup3",
-        "dedup_corpus", "dedup_exact", "fixed_width_input",
-        "flagship_revenue_per_nation", "fold", "fold_custom",
-        "group_sort",
+        # r14 window (VERDICT r13 Next #6: no query staler than 3 rounds)
+        # 1. r10-stale (the FULL staleness-3 block — 25 queries)
+        "grouping_sets", "hadoop_output_newapi", "heavy_hitters",
+        "k_anonymity_report", "master_join_update",
+        "master_selection_custom_fn", "master_selection_ordering",
+        "project", "q11_important_stock",
+        "q16_parts_supplier_relationship", "q20_potential_promotion",
+        "q9_product_type_profit", "restructure", "sample_stratified",
+        "similarity_ivf", "similarity_lsh_ann", "split",
+        "streaming_cdc_upsert", "streaming_dedup_ingest",
+        "text_analysis", "text_repetition", "text_simhash",
+        "token_budget", "train_val_split", "update",
+        # 2. r14-edited code/oracle paths (grouping-sets ANSI helper,
+        #    edit-distance prefilter, ngram null-drop, prefold flush,
+        #    contamination oracle rewrite, quality-monitor empty batches)
+        "rollup_agg", "cube_agg", "dedup_edit_distance",
+        "dedup_ngram_jaccard", "dedup_incremental",
+        "contamination_check", "manifest_stats",
+        "streaming_quality_report",
+        # 3. r11-stale riskiest half (stream.py/group.py-adjacent and
+        #    sketch/dedup families first; the rest lead the r15 window)
+        "streaming_dedup", "streaming_interval_join",
+        "streaming_sessionize", "streaming_stateful_count",
+        "streaming_windowed_agg", "dedup_clusters",
+        "dedup_simhash_groups", "similarity_near_dup",
+        "url_canonical_dedup", "multimodal_features", "summarize_q1",
+        "summarize_any", "training_pipeline", "sessionize",
+        "quality_filter", "constraint_report", "top_k_per_group",
     ]
     ordered = {k: all_q[k] for k in head}
     ordered.update((k, v) for k, v in all_q.items() if k not in ordered)
@@ -6109,7 +6129,12 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_orderstatus
         """,
         "manifest_stats": """
-            SELECT CAST(4 AS BIGINT) AS n_files,
+            -- empty-input contract (r14 empty gate): a 0-row
+            -- repartition(4) write emits ONE schema-carrying part file,
+            -- not 4 — Spark writes a file per non-empty task plus a
+            -- single empty file to preserve the schema
+            SELECT CAST(CASE WHEN COUNT(*) = 0 THEN 1 ELSE 4 END AS BIGINT)
+                     AS n_files,
                    CAST(COUNT(*) AS BIGINT) AS total_rows
             FROM documents
         """,
@@ -6708,15 +6733,26 @@ def oracle_sql() -> dict[str, str]:
             FROM u GROUP BY 1, 2
         """,
         "contamination_check": f"""
+            -- r14 rewrite (VERDICT r13 Next #7): the former tr-x-ev
+            -- gram join materialized a 161M-row pair stream through a
+            -- poorly-parallelized CTE scan (EXPLAIN ANALYZE: 38.7 s
+            -- join + 13.6 s distinct-agg of 65 s total at sf1).  The
+            -- eval side is pre-aggregated per gram (count + id list),
+            -- so the join emits one row per MATCHED TRAIN GRAM
+            -- (~4M rows, 40x smaller); n_shared_grams = SUM of
+            -- per-gram eval counts, n_eval_docs = distinct over the
+            -- flattened id lists — identical results, 71 -> 15 s.
             WITH sh AS MATERIALIZED ({_duck_shingles_n(5)}),
-            tr AS (SELECT id AS train_id, unnest(shingles) AS gram
-                   FROM sh WHERE id % 10 != 0),
-            ev AS (SELECT id AS eval_id, unnest(shingles) AS gram
-                   FROM sh WHERE id % 10 = 0)
-            SELECT train_id, COUNT(*) AS n_shared_grams,
-                   COUNT(DISTINCT eval_id) AS n_eval_docs
-            FROM tr JOIN ev USING (gram)
-            GROUP BY train_id HAVING COUNT(*) >= 1
+            g AS MATERIALIZED (SELECT id, unnest(shingles) AS gram FROM sh),
+            tr AS (SELECT id AS train_id, gram FROM g WHERE id % 10 != 0),
+            evg AS (SELECT gram, COUNT(*) AS n_ev, list(id) AS ev_ids
+                    FROM g WHERE id % 10 = 0 GROUP BY gram),
+            agg AS (SELECT train_id, SUM(n_ev) AS n_shared_grams,
+                           flatten(list(ev_ids)) AS all_ev
+                    FROM tr JOIN evg USING (gram) GROUP BY train_id)
+            SELECT train_id, CAST(n_shared_grams AS BIGINT) AS n_shared_grams,
+                   CAST(len(list_distinct(all_ev)) AS BIGINT) AS n_eval_docs
+            FROM agg WHERE n_shared_grams >= 1
         """,
         "corpus_stats": """
             -- null/empty text tokenizes to [] (the engine's tokens()

@@ -1333,15 +1333,23 @@ def edit_distance_pairs(
     if max_bucket is not None and max_bucket < 2:
         raise ValueError("max_bucket must be >= 2 (or None)")
     r = k // bands
+    # SLIM persisted base (r14): only (id, shingles) is cached — the
+    # multi-KB texts used to ride the persist and then shuffle through
+    # both verify joins, dominating the sf1 Spark side (candidate
+    # generation+text movement ~135 s of 146; the thresholded-DP verify
+    # itself is ~8 s).  Verify instead joins a pruned re-scan of the
+    # source: the deduped candidate list is tiny (95k id pairs at sf1),
+    # so Catalyst broadcasts it against the two text scans and no text
+    # bytes cross a shuffle at all.
     base = (
         ensure_parallelism(df)
         .select(
             F.col(id_col).alias("id"),
-            F.col(text_col).alias("txt"),
             word_shingles(text_col, n).alias("shingles"),
         )
         .transform(_persist)
     )
+    texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
     # exclude token-less docs from banding — see minhash_lsh_pairs
     sig = base.where(F.size("shingles") > 0).withColumn(
         "sig", minhash_signature(F.col("shingles"), k, seed)
@@ -1374,16 +1382,24 @@ def edit_distance_pairs(
         ).select("band", "key")
         banded = banded.join(keep, ["band", "key"], "left_semi")
     a, b = banded.alias("a"), banded.alias("b")
+    # explicit post-dedup width (r14): AQE coalesces this shuffle by
+    # BYTES — 95k slim id pairs at sf1 fit one partition — and the
+    # broadcast text joins below inherit that width, serializing every
+    # levenshtein DP onto one core (measured 78 of the row's 89 s: the
+    # 4th manifestation of the r13 narrow-stage-inheritance class).
+    # A user repartition is exempt from AQE coalescing; the id-pair
+    # shuffle it adds is trivially cheap at every scale.
     cand = (
         a.join(b, on=[F.col("a.band") == F.col("b.band"), F.col("a.key") == F.col("b.key")])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
     verified = cand.join(
-        base.select(F.col("id").alias("id_a"), F.col("txt").alias("t_a")), "id_a"
+        texts.select(F.col("id").alias("id_a"), F.col("txt").alias("t_a")), "id_a"
     ).join(
-        base.select(F.col("id").alias("id_b"), F.col("txt").alias("t_b")), "id_b"
+        texts.select(F.col("id").alias("id_b"), F.col("txt").alias("t_b")), "id_b"
     )
     # Length prefilter (VERDICT r13 Next #4): deletions/insertions alone
     # cost |len(a) − len(b)|, so any pair whose length gap exceeds the

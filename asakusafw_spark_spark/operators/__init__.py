@@ -28,7 +28,16 @@ from .joins import (
     range_join,
     MasterSelection,
 )
-from .group import summarize, fold, cogroup, group_sort, Grouping
+from .group import (
+    summarize,
+    fold,
+    cogroup,
+    group_sort,
+    Grouping,
+    ansi_grouping_sets,
+    rollup_agg,
+    cube_agg,
+)
 from .view import group_view
 from .window import (
     resample_timeseries,
@@ -64,6 +73,9 @@ __all__ = [
     "range_join",
     "MasterSelection",
     "summarize",
+    "ansi_grouping_sets",
+    "rollup_agg",
+    "cube_agg",
     "fold",
     "cogroup",
     "group_sort",

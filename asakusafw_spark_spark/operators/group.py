@@ -105,6 +105,91 @@ def summarize(
     return df.groupBy(*key).agg(*exprs)
 
 
+def ansi_grouping_sets(
+    df: DataFrame,
+    sets: Sequence[Sequence[str]],
+    aggs: Mapping[str, Column],
+) -> DataFrame:
+    """GROUPING SETS / ROLLUP / CUBE with ANSI empty-input semantics.
+
+    Spark lowers rollup/cube/grouping-sets to one Expand + hash
+    aggregate keyed on the grouping-set id — efficient, but a groupBy
+    over an EMPTY table has no groups, so the ``()`` grouping set's
+    global-total row vanishes: ``GROUP BY GROUPING SETS (())`` returns
+    0 rows on Spark vs 1 row (the ANSI answer, same as a plain global
+    aggregate) on DuckDB/Postgres.  Caught by the r14 empty-corpus
+    oracle gate on rollup_agg / cube_agg / grouping_sets.
+
+    This helper computes the empty set(s) as plain global aggregates —
+    one row ALWAYS, with null-typed grouping columns — and the
+    non-empty sets through Spark's native ``groupingSets`` (single
+    Expand plan).  Results match Spark's native operator exactly
+    whenever the input has rows, and ANSI everywhere.
+
+    Scale note: the split costs one extra pass over ``df`` for the
+    global row, but that pass is a pure map-side partial aggregate
+    (one partial row per partition crosses the shuffle) and both scans
+    share pushed filters/pruned columns; the native single-Expand plan
+    is kept for every non-empty set, where the real data volume is.
+    """
+    sets = [tuple(s) for s in sets]
+    non_empty = [s for s in sets if s]
+    n_empty = sum(1 for s in sets if not s)
+    # grouping columns in first-appearance order across the sets
+    group_cols: list[str] = []
+    for s in sets:
+        for c in s:
+            if c not in group_cols:
+                group_cols.append(c)
+    agg_exprs = [e.alias(name) for name, e in aggs.items()]
+
+    parts: list[DataFrame] = []
+    if non_empty:
+        parts.append(
+            df.groupingSets(
+                [[F.col(c) for c in s] for s in non_empty],
+                *[F.col(c) for c in group_cols],
+            ).agg(*agg_exprs)
+        )
+    if n_empty:
+        fields = {f.name: f.dataType for f in df.schema.fields}
+        total = df.agg(*agg_exprs).select(
+            *[F.lit(None).cast(fields[c]).alias(c) for c in group_cols],
+            *[F.col(name) for name in aggs],
+        )
+        for _ in range(n_empty):
+            parts.append(total)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def rollup_agg(
+    df: DataFrame, key: Sequence[str], aggs: Mapping[str, Column]
+) -> DataFrame:
+    """ANSI ROLLUP(key...): prefix grouping sets (k1..kn), (k1..kn-1),
+    …, () via :func:`ansi_grouping_sets`."""
+    key = list(key)
+    return ansi_grouping_sets(
+        df, [tuple(key[:i]) for i in range(len(key), -1, -1)], aggs
+    )
+
+
+def cube_agg(
+    df: DataFrame, key: Sequence[str], aggs: Mapping[str, Column]
+) -> DataFrame:
+    """ANSI CUBE(key...): all 2^n column subsets (subsequence order)
+    via :func:`ansi_grouping_sets`."""
+    key = list(key)
+    subsets: list[tuple[str, ...]] = [()]
+    for c in key:
+        subsets += [s + (c,) for s in subsets]
+    # native CUBE enumerates from the full set downward; order of sets
+    # does not affect results (union), only plan display
+    return ansi_grouping_sets(df, sorted(subsets, key=len, reverse=True), aggs)
+
+
 # ---------------------------------------------------------------------------
 # Fold
 # ---------------------------------------------------------------------------

@@ -644,8 +644,11 @@ def stream_quality_monitor(
         )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        # Empty batches are NOT skipped (r14 empty-corpus gate): the
+        # report must carry one 0-violations row per constraint per
+        # batch, or "no data arrived" is indistinguishable from "the
+        # monitor never ran" — the row-local counts are a global agg,
+        # which yields exactly one all-zero row over an empty batch.
         spark = batch_df.sparkSession
         # foreachBatch is at-least-once: a batch replayed after a crash
         # between this append and the checkpoint commit would write

@@ -520,3 +520,70 @@ def test_cogroup_chunked_partial_consume_and_validation(spark, foo, bar):
             chunked=True,
             partial=True,
         )
+
+
+def test_ansi_grouping_sets_empty_input_global_row(spark):
+    """ANSI: the () grouping set is a global aggregate — ONE row even
+    over an empty table (Spark's native Expand-based rollup returns
+    zero; DuckDB/Postgres return one — the r14 empty-corpus gate)."""
+    from asakusafw_spark_spark.operators import (
+        ansi_grouping_sets,
+        cube_agg,
+        rollup_agg,
+    )
+
+    empty = spark.createDataFrame([], "k string, j string, v long")
+    aggs = {"n": F.count(F.lit(1)), "s": F.sum("v")}
+
+    r = rollup_agg(empty, ["k", "j"], aggs).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row.k, row.j, row.n, row.s) == (None, None, 0, None)
+
+    c = cube_agg(empty, ["k", "j"], aggs).collect()
+    assert len(c) == 1 and c[0].n == 0
+
+    g = ansi_grouping_sets(empty, [("k",), ()], aggs).collect()
+    assert len(g) == 1 and g[0].n == 0
+
+
+def test_ansi_grouping_sets_matches_native_on_rows(spark):
+    """On non-empty input the split plan must equal Spark's native
+    rollup/cube exactly (same rows including null-filled subtotals)."""
+    from asakusafw_spark_spark.operators import cube_agg, rollup_agg
+
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 3), (None, "y", 4)],
+        "k string, j string, v long",
+    )
+    aggs = {"n": F.count(F.lit(1)), "s": F.sum("v")}
+
+    got = sorted(
+        map(tuple, rollup_agg(df, ["k", "j"], aggs).collect()),
+        key=lambda t: tuple(map(str, t)),
+    )
+    want = sorted(
+        map(
+            tuple,
+            df.rollup("k", "j")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+            .collect(),
+        ),
+        key=lambda t: tuple(map(str, t)),
+    )
+    assert got == want
+
+    got_c = sorted(
+        map(tuple, cube_agg(df, ["k", "j"], aggs).collect()),
+        key=lambda t: tuple(map(str, t)),
+    )
+    want_c = sorted(
+        map(
+            tuple,
+            df.cube("k", "j")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+            .collect(),
+        ),
+        key=lambda t: tuple(map(str, t)),
+    )
+    assert got_c == want_c

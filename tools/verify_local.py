@@ -61,6 +61,27 @@ def value_hash(pdf: pd.DataFrame) -> str:
     return h.hexdigest()[:16]
 
 
+def observed_cap_metrics(df) -> "dict | None":
+    """Named ``_observe_cap`` observations from the EXECUTED plan
+    (VERDICT r13 Next #8): per-query dropped-bucket / largest-bucket
+    numbers recorded into the sweep JSON so silent recall loss from the
+    max_bucket keep-filters is auditable round over round, not just
+    visible in the Spark UI.  Returns {observation: {metric: value}},
+    or None when the plan carries no observations."""
+    try:
+        jm = df._jdf.queryExecution().observedMetrics()
+        out = {}
+        it = jm.iterator()
+        while it.hasNext():
+            kv = it.next()
+            import json as _json
+
+            out[kv._1()] = _json.loads(kv._2().json())
+        return out or None
+    except Exception:
+        return None
+
+
 def main() -> int:
     args = sys.argv[1:]
     json_out = None
@@ -125,7 +146,9 @@ def main() -> int:
         release_cached_intermediates()
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            _df = fn(spark, sf_dir)
+            sdf = _df.toPandas()
+            caps = observed_cap_metrics(_df)
         except Exception as e:
             failures.append(name)
             report[name] = {"rows_match": False, "schema_match": False,
@@ -135,6 +158,8 @@ def main() -> int:
         if name not in oracles:
             report[name] = {"rows_only": True, "spark_rows": len(sdf), "err": None,
                             "sec": round(time.time() - t0, 1)}
+            if caps:
+                report[name]["cap_metrics"] = caps
             print(f"SKIP {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
@@ -174,6 +199,8 @@ def main() -> int:
             # quote pre-check logs for the sf1 heavy rows)
             "sec": round(time.time() - t0, 1),
         }
+        if caps:
+            report[name]["cap_metrics"] = caps
         if problems:
             failures.append(name)
             print(f"FAIL {name}: {'; '.join(problems)}")
