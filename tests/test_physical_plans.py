@@ -457,3 +457,25 @@ def test_fold_partial_prefold_gating(spark):
     plan_o = ordered._jdf.queryExecution().optimizedPlan().toString()
     plan_p = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan_p.count("MapInPandas") == plan_o.count("MapInPandas") + 1
+
+
+def test_edit_distance_verify_stage_is_wide(spark, sf_dir):
+    """Round-14 regression pin (SCALING.md round 14): AQE coalesces the
+    ~MB-scale candidate id-pair shuffle to one partition by BYTES, and
+    the broadcast text joins preserve the stream side's width — every
+    levenshtein DP then runs on one core (78 of 89 s at sf1).  The
+    explicit AQE-exempt repartition above the candidate dedup must stay
+    in the optimized plan, between the dedup aggregate and the verify."""
+    from asakusafw_spark_spark.functions.dedup import edit_distance_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = edit_distance_pairs(docs, max_distance=20)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Repartition" in plan, (
+        "candidate repartition lost — verify stage will inherit AQE's "
+        "bytes-coalesced width:\n" + plan[:2000]
+    )
+    # and the levenshtein must sit ABOVE the repartition in the tree
+    lev = plan.find("levenshtein")
+    rep = plan.find("Repartition")
+    assert lev != -1 and lev < rep, "levenshtein below the width guard"
