@@ -389,11 +389,18 @@ def minhash_lsh_pairs(
 
     a = banded.alias("a")
     b = banded.alias("b")
+    # explicit post-dedup width (r14, SCALING.md round 14): AQE
+    # coalesces the slim id-pair shuffle by BYTES and the verify joins
+    # inherit that width, serializing the array_intersect verify —
+    # the sf1 coalesce-off probe measured this query 19.5 vs 9.3 s.
+    # A user repartition is AQE-exempt; the extra id-pair shuffle is
+    # trivially cheap at every scale.
     cand = (
         a.join(b, on=[F.col("a.band") == F.col("b.band"), F.col("a.key") == F.col("b.key")])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
     verified = cand.join(
         base.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a"
@@ -1280,6 +1287,10 @@ def dedup_against_corpus(
         )
         .select(F.col("a.id").alias("old_id"), F.col("b.id").alias("new_id"))
         .dropDuplicates(["old_id", "new_id"])
+        # AQE-exempt width for the array_intersect verify below — the
+        # slim pair shuffle otherwise coalesces narrow (SCALING.md
+        # round 14; sf1 coalesce-off probe: 10.7 vs 7.8 s)
+        .repartition(new_docs.sparkSession.sparkContext.defaultParallelism)
     )
     verified = cand.join(
         index.select(F.col("id").alias("old_id"), F.col("shingles").alias("sh_a")),
