@@ -479,3 +479,21 @@ def test_edit_distance_verify_stage_is_wide(spark, sf_dir):
     lev = plan.find("levenshtein")
     rep = plan.find("Repartition")
     assert lev != -1 and lev < rep, "levenshtein below the width guard"
+
+
+def test_ansi_rollup_keeps_single_expand_plan(spark, sf_dir):
+    """The ANSI empty-input split (operators.ansi_grouping_sets) must not
+    degrade the scale shape: every non-empty grouping set still lowers
+    through ONE Expand + hash aggregate (Spark's native plan), with
+    exactly one extra global-aggregate branch unioned in for the ()
+    set — not one aggregate pass per set."""
+    from asakusafw_spark_spark.operators import rollup_agg
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = rollup_agg(
+        li, ["l_returnflag", "l_linestatus"], {"n": F.count(F.lit(1))}
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Expand") == 1, plan[:1500]
+    assert plan.count("Union") == 1
+    assert plan.count("Aggregate") == 2  # Expand-agg + the () global agg
