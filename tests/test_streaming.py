@@ -934,3 +934,43 @@ def test_stream_theta_sketch_maintain_set_algebra_and_replay(spark, tmp_path):
         for r in spark.read.parquet(target).collect()
     }
     assert after == before
+
+
+def test_stream_quality_monitor_empty_batches_report_zero_rows(spark, tmp_path):
+    """r14 empty-corpus contract: an EMPTY micro-batch still appends one
+    0-violations row per constraint — 'no data arrived' must be
+    distinguishable from 'the monitor never ran'.  Two empty feed files
+    → two batches → per-constraint n_batches=2, violations=0."""
+    import glob as g
+    import shutil
+    import time as _t
+
+    from asakusafw_spark_spark.streaming import stream_quality_monitor
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    empty = spark.createDataFrame([], "k long, cat string, v double")
+    for i in range(2):
+        stage = tmp_path / f"s{i}"
+        empty.coalesce(1).write.parquet(str(stage))
+        shutil.copy(g.glob(f"{stage}/part-*.parquet")[0], src / f"{i:04d}.parquet")
+        _t.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("k long, cat string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    report = str(tmp_path / "report")
+    stream_quality_monitor(
+        stream, report, str(tmp_path / "ck_q"),
+        query_name="t_quality_monitor_empty",
+        not_null=["k"],
+        ranges={"v": (0.0, 100.0)},
+    )
+    rep = spark.read.parquet(report)
+    rows = {
+        (r["constraint"], r["batch_id"]): r["violations"] for r in rep.collect()
+    }
+    assert len(rows) == 4  # 2 constraints x 2 batches
+    assert all(v == 0 for v in rows.values())
