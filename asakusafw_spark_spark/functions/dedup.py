@@ -173,6 +173,21 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
         return df
     if len(files) >= target:
         return df  # already wide — leave the plan alone
+    est = _estimated_scan_splits(df, files)
+    if est < target:
+        return df.repartition(target)
+    return df
+
+
+def _estimated_scan_splits(df: DataFrame, files: "list[str] | None" = None) -> int:
+    """Estimated parquet scan width of ``df`` from its source file
+    listing (count + bytes vs ``maxPartitionBytes``) — no job, no
+    physical planning.  0 when the frame has no file source."""
+    spark = df.sparkSession
+    if files is None:
+        files = df.inputFiles()
+    if not files:
+        return 0
     raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
     digits = "".join(ch for ch in raw if ch.isdigit()) or "134217728"
     max_bytes = int(digits)
@@ -183,12 +198,22 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
         for f in files:
             p = jpath(f)
             total += p.getFileSystem(hconf).getFileStatus(p).getLen()
-        est = max(len(files), -(-total // max_bytes))  # ceil-div, ≥1 per file
+        return max(len(files), -(-total // max_bytes))  # ceil-div, ≥1/file
     except Exception:
-        est = len(files)  # listing failed: assume 1 split per file
-    if est < target:
-        return df.repartition(target)
-    return df
+        return len(files)  # listing failed: assume 1 split per file
+
+
+def _verify_width(src: DataFrame) -> int:
+    """AQE-exempt width for a candidate-pair verify stage (VERDICT r14
+    Next #7): at least total cores, GROWING with the source corpus's
+    scan width — so on a real cluster a huge banded-candidate frame is
+    not squeezed to exactly one task per core with no headroom.  Pairs
+    are banded + capped by construction, so source scan width is a
+    safe upper-bound proxy for the pair frame's size class."""
+    return max(
+        src.sparkSession.sparkContext.defaultParallelism,
+        _estimated_scan_splits(src),
+    )
 
 
 def str_hash64(col: Column) -> Column:
@@ -400,7 +425,7 @@ def minhash_lsh_pairs(
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .repartition(_verify_width(df))
     )
     verified = cand.join(
         base.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a"
@@ -1290,7 +1315,7 @@ def dedup_against_corpus(
         # AQE-exempt width for the array_intersect verify below — the
         # slim pair shuffle otherwise coalesces narrow (SCALING.md
         # round 14; sf1 coalesce-off probe: 10.7 vs 7.8 s)
-        .repartition(new_docs.sparkSession.sparkContext.defaultParallelism)
+        .repartition(_verify_width(new_docs))
     )
     verified = cand.join(
         index.select(F.col("id").alias("old_id"), F.col("shingles").alias("sh_a")),
@@ -1405,7 +1430,7 @@ def edit_distance_pairs(
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .repartition(_verify_width(df))
     )
     verified = cand.join(
         texts.select(F.col("id").alias("id_a"), F.col("txt").alias("t_a")), "id_a"

@@ -197,11 +197,22 @@ def _movers_vs_previous_round(times: "dict[str, float]"):
     here = os.path.dirname(os.path.abspath(__file__))
     arts = glob.glob(os.path.join(here, "BENCH_LOCAL_r*_final.json"))
     cur = _current_round()
-    rounds = []
+    all_rounds = []
     for p in arts:
         m = re.search(r"_r(\d+)_final\.json$", p)
-        if m and (cur is None or int(m.group(1)) < cur):
-            rounds.append((int(m.group(1)), p))
+        if m:
+            all_rounds.append((int(m.group(1)), p))
+    if not all_rounds:
+        return None
+    if cur is None:
+        # ADVICE r14: with no CORRECTNESS_r*.json on disk (pruned
+        # clone) the round inference fails; silently allowing the
+        # newest artifact as baseline would recreate the exact
+        # same-round failure this guard exists to prevent.  Treat the
+        # newest BENCH_LOCAL artifact as the current round's own and
+        # exclude it.
+        cur = max(r for r, _ in all_rounds)
+    rounds = [(r, p) for r, p in all_rounds if r < cur]
     if not rounds:
         return None
     _, prev_path = max(rounds)

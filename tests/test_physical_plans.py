@@ -482,18 +482,33 @@ def test_edit_distance_verify_stage_is_wide(spark, sf_dir):
 
 
 def test_ansi_rollup_keeps_single_expand_plan(spark, sf_dir):
-    """The ANSI empty-input split (operators.ansi_grouping_sets) must not
-    degrade the scale shape: every non-empty grouping set still lowers
-    through ONE Expand + hash aggregate (Spark's native plan), with
-    exactly one extra global-aggregate branch unioned in for the ()
-    set — not one aggregate pass per set."""
-    from asakusafw_spark_spark.operators import rollup_agg
+    """On non-empty input ansi_grouping_sets must return Spark's NATIVE
+    single-Expand plan — ONE scan of the source, one Expand, one
+    aggregate, NO Union (r15: the r14 implementation paid a second
+    full df.agg() scan for the () set on EVERY rollup/cube; the ANSI
+    empty-input row is now gated on an O(1) take(1) probe instead)."""
+    from asakusafw_spark_spark.operators import cube_agg, rollup_agg
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    out = rollup_agg(
-        li, ["l_returnflag", "l_linestatus"], {"n": F.count(F.lit(1))}
-    )
-    plan = out._jdf.queryExecution().optimizedPlan().toString()
-    assert plan.count("Expand") == 1, plan[:1500]
-    assert plan.count("Union") == 1
-    assert plan.count("Aggregate") == 2  # Expand-agg + the () global agg
+    for op in (rollup_agg, cube_agg):
+        out = op(
+            li, ["l_returnflag", "l_linestatus"], {"n": F.count(F.lit(1))}
+        )
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("Expand") == 1, plan[:1500]
+        assert plan.count("Union") == 0, plan[:1500]
+        assert plan.count("Aggregate") == 1, plan[:1500]
+        # exactly ONE scan of the parquet source
+        assert plan.count("Relation") == 1, plan[:1500]
+
+
+def test_ansi_grouping_sets_rejects_no_sets(spark):
+    """ADVICE r14: an empty sets list must raise a clear error, not
+    IndexError."""
+    import pytest
+
+    from asakusafw_spark_spark.operators import ansi_grouping_sets
+
+    df = spark.range(1)
+    with pytest.raises(ValueError, match="at least one grouping set"):
+        ansi_grouping_sets(df, [], {"n": F.count(F.lit(1))})

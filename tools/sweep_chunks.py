@@ -41,6 +41,21 @@ def merge(out: str, chunks: list[str]) -> None:
         d = json.load(open(c))
         sf_dir = d.get("sf_dir", sf_dir)
         queries.update(d["queries"])
+    # ADVICE r14: a missing chunk yields a merged artifact with fewer
+    # queries that still prints green counts — validate coverage
+    # against the live registry and fail loudly on gaps.
+    import __spark_entry__ as E
+
+    registered = set(E.queries())
+    missing = sorted(registered - set(queries))
+    extra = sorted(set(queries) - registered)
+    if missing:
+        print(f"MISSING {len(missing)} queries (incomplete chunk set?): "
+              f"{' '.join(missing)}")
+        raise SystemExit(1)
+    if extra:
+        print(f"note: {len(extra)} merged queries no longer registered: "
+              f"{' '.join(extra)}")
     n_green = sum(
         1 for v in queries.values()
         if v.get("hash_match") or v.get("rows_only")

@@ -78,7 +78,13 @@ def observed_cap_metrics(df) -> "dict | None":
 
             out[kv._1()] = _json.loads(kv._2().json())
         return out or None
-    except Exception:
+    except Exception as e:
+        # ADVICE r14: a silently-disabled audit channel looks like a
+        # clean sweep with no cap data and no signal why — warn once.
+        if not getattr(observed_cap_metrics, "_warned", False):
+            observed_cap_metrics._warned = True
+            print(f"WARN observed_cap_metrics disabled (API drift?): "
+                  f"{type(e).__name__}: {str(e)[:120]}", file=sys.stderr)
         return None
 
 
