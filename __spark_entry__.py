@@ -5219,34 +5219,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     3. 14 of the r10 block (staleness 2, alphabetical head); the
     #        r10 remainder (still ≤3-stale then) leads the r14 window.
     head = [
-        # r14 window (VERDICT r13 Next #6: no query staler than 3 rounds)
-        # 1. r10-stale (the FULL staleness-3 block — 25 queries)
-        "grouping_sets", "hadoop_output_newapi", "heavy_hitters",
-        "k_anonymity_report", "master_join_update",
-        "master_selection_custom_fn", "master_selection_ordering",
-        "project", "q11_important_stock",
-        "q16_parts_supplier_relationship", "q20_potential_promotion",
-        "q9_product_type_profit", "restructure", "sample_stratified",
-        "similarity_ivf", "similarity_lsh_ann", "split",
-        "streaming_cdc_upsert", "streaming_dedup_ingest",
-        "text_analysis", "text_repetition", "text_simhash",
-        "token_budget", "train_val_split", "update",
-        # 2. r14-edited code/oracle paths (grouping-sets ANSI helper,
-        #    edit-distance prefilter, ngram null-drop, prefold flush,
-        #    contamination oracle rewrite, quality-monitor empty batches)
-        "rollup_agg", "cube_agg", "dedup_edit_distance",
-        "dedup_ngram_jaccard", "dedup_incremental",
-        "contamination_check", "manifest_stats",
-        "streaming_quality_report",
-        # 3. r11-stale riskiest half (stream.py/group.py-adjacent and
-        #    sketch/dedup families first; the rest lead the r15 window)
-        "streaming_dedup", "streaming_interval_join",
-        "streaming_sessionize", "streaming_stateful_count",
-        "streaming_windowed_agg", "dedup_clusters",
-        "dedup_simhash_groups", "similarity_near_dup",
-        "url_canonical_dedup", "multimodal_features", "summarize_q1",
-        "summarize_any", "training_pipeline", "sessionize",
-        "quality_filter", "constraint_report", "top_k_per_group",
+        # r15 window (VERDICT r14 Next #5: no query staler than 3 rounds;
+        # judge histogram r11:23 r12:45 r13:50 r14:50)
+        # 1. the FULL r11-stale block (23 — at the staleness boundary)
+        "analyze_table", "audience_overlap", "bm25", "cap_per_group",
+        "checkpoint", "compaction_roundtrip", "confluent",
+        "direct_input", "master_join_multikey", "master_join_shuffled",
+        "master_join_where", "mix_corpus", "q18_large_volume_customer",
+        "q2_min_cost_supplier", "q3_shipping_priority",
+        "q5_local_supplier_volume", "range_join_bands",
+        "sample_exact_n", "seqfile_roundtrip", "shard_assignment",
+        "similarity_bruteforce_topk", "suppress_rare_groups",
+        "zorder_roundtrip",
+        # 2. r15-edited code paths (grouping-sets single-scan rewrite,
+        #    prefold passthrough re-validation, dedup verify-width)
+        "rollup_agg", "cube_agg", "grouping_sets", "fold",
+        "fold_partial", "fold_custom", "dedup_minhash_lsh",
+        "dedup_incremental", "dedup_edit_distance",
+        # 3. r12-stale riskiest half (iterative/IO/streaming/pandas/
+        #    sketch families first; the rest lead the r16 window)
+        "iterative_rounds", "iterative_transactional_output",
+        "output_roundtrip", "hadoop_input", "bucketed_join",
+        "group_view_lookup", "cogroup_chunked",
+        "streaming_distinct_sketch", "streaming_incremental_agg",
+        "retention_expire", "dedup_corpus_best", "dedup_simhash_pairs",
+        "approx_percentile", "approx_distinct", "bfs_levels",
+        "pack_sequences", "materialize_packs", "merge_evolve",
     ]
     ordered = {k: all_q[k] for k in head}
     ordered.update((k, v) for k, v in all_q.items() if k not in ordered)
