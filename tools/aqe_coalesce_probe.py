@@ -1,34 +1,80 @@
 """A/B each heavy sf1 query with AQE partition-coalescing ON (default)
 vs OFF: a big OFF-side speedup flags a tiny-bytes/heavy-CPU stage that
-coalescing serialized (the r14 edit-distance class)."""
-import sys, time
+coalescing serialized (the r14 edit-distance class — AQE coalesces a
+slim shuffle by BYTES and the heavy Python/array stage downstream
+inherits the narrow width).
+
+r15 (VERDICT r14 Next #4): coverage extended from the 10 dedup-family
+rows to the FULL top-15 sf1 wall-clock rows; results land in a JSON
+table for the committed probe record.
+
+Usage: python tools/aqe_coalesce_probe.py [JSON_OUT] [query ...]
+"""
+import json
+import sys
+import time
+
 sys.path.insert(0, "/root/repo")
 from asakusafw_spark_spark.session import get_spark
 import __spark_entry__ as E
 from asakusafw_spark_spark.functions.dedup import release_cached_intermediates
 
-spark = get_spark(app_name="aqe_probe")
-spark.sparkContext.setLogLevel("ERROR")
-sf = "/tmp/spark_graft_sf1_synth"
-HEAVY = ["dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash_pairs",
-         "dedup_clusters", "dedup_incremental", "similarity_near_dup",
-         "similarity_lsh_ann", "scrub_spans", "contamination_check",
-         "dedup_edit_distance"]
-qs = E.queries()
-for name in HEAVY:
-    row = {}
-    for mode, flag in (("on", "true"), ("off", "false")):
-        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", flag)
-        release_cached_intermediates()
-        t0 = time.time()
-        try:
-            qs[name](spark, sf).write.format("noop").mode("overwrite").save()
-            row[mode] = time.time() - t0
-        except Exception as e:
-            row[mode] = None
-            print(name, mode, "ERR", str(e)[:100], flush=True)
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    if row.get("on") and row.get("off"):
-        r = row["on"] / row["off"]
-        flag = "  <-- COALESCE PENALTY" if r > 1.3 else ""
-        print("%-24s on=%6.1fs off=%6.1fs ratio=%.2f%s" % (name, row["on"], row["off"], r, flag), flush=True)
+#: top-15 sf1 rows by LOCAL_VERIFY_sf1.json wall clock (r14 artifact),
+#: superset of the 10 dedup-family rows probed in r14.
+HEAVY = [
+    "dedup_edit_distance", "winsorize", "embedding_dup_clusters",
+    "training_pipeline", "triangle_count", "streaming_sessionize",
+    "text_repetition", "running_total", "url_canonical_dedup",
+    "streaming_dedup_ingest", "contamination_check", "project",
+    "dedup_minhash_lsh", "scrub_spans", "fold_partial",
+]
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0].endswith(".json"):
+        json_out, args = args[0], args[1:]
+    names = args or HEAVY
+
+    spark = get_spark(app_name="aqe_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/tmp/spark_graft_sf1_synth"
+    qs = E.queries()
+    table = {}
+    for name in names:
+        row = {}
+        for mode, flag in (("on", "true"), ("off", "false")):
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.enabled", flag
+            )
+            release_cached_intermediates()
+            t0 = time.time()
+            try:
+                qs[name](spark, sf).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                row[mode] = round(time.time() - t0, 1)
+            except Exception as e:
+                row[mode] = None
+                print(name, mode, "ERR", str(e)[:100], flush=True)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true"
+        )
+        if row.get("on") and row.get("off"):
+            row["ratio"] = round(row["on"] / row["off"], 2)
+            flag = "  <-- COALESCE PENALTY" if row["ratio"] > 1.3 else ""
+            print(
+                "%-24s on=%6.1fs off=%6.1fs ratio=%.2f%s"
+                % (name, row["on"], row["off"], row["ratio"], flag),
+                flush=True,
+            )
+        table[name] = row
+    if json_out:
+        json.dump({"sf_dir": sf, "queries": table}, open(json_out, "w"),
+                  indent=1)
+        print("wrote", json_out)
+
+
+if __name__ == "__main__":
+    main()
