@@ -281,6 +281,66 @@ def test_fold_partial_near_unique_keys_passthrough(spark):
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
 
 
+def test_fold_partial_prefold_mode_not_pinned_to_first_batch(spark):
+    """ADVICE r14 (group.py prefold): the combine/passthrough decision
+    must not be made solely from the first Arrow batch.
+
+    (a) a SMALL (<1024-row) all-distinct first batch must NOT flip the
+    partition to passthrough — the clustered remainder must still be
+    map-side combined (output rows ≪ input rows);
+    (b) once passthrough IS entered from a representative batch, the
+    ratio is re-validated every 16th batch, so a partition whose tail
+    turns key-clustered drops back to combining."""
+    from asakusafw_spark_spark.operators.group import _map_side_prefold
+
+    def fsum(pdf):
+        return pd.DataFrame([{"k": pdf["k"].iloc[0], "v": pdf["v"].sum()}])
+
+    cols = ["k", "v"]
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    try:
+        # (a) 500-row first batch, 500 distinct keys (ratio 1.0 but
+        # under the 1024-row representativeness floor), then 49.5k
+        # rows over 10 hot keys.  Old code: passthrough forever →
+        # ~50k output rows.  New code: combine → ~510 partials.
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
+        df = spark.range(50_000, numPartitions=1).select(
+            F.when(F.col("id") < 500, F.col("id"))
+            .otherwise(500 + F.col("id") % 10)
+            .cast("int")
+            .alias("k"),
+            F.lit(1).cast("long").alias("v"),
+        )
+        n_a = _map_side_prefold(df, ["k"], fsum, cols).count()
+        assert n_a < 2_000, f"small first batch pinned passthrough: {n_a} rows"
+
+        # (b) 2000-row batches: batch 1 is all-distinct (passthrough
+        # engages legitimately), the tail is 10 hot keys.  Re-validation
+        # at every 16th batch must drop back to combining: output is
+        # the raw passthrough prefix (≤ ~32k) plus a handful of
+        # partials, NOT the full 80k.
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
+        df_b = spark.range(80_000, numPartitions=1).select(
+            F.when(F.col("id") < 2_000, F.col("id"))
+            .otherwise(2_000 + F.col("id") % 10)
+            .cast("int")
+            .alias("k"),
+            F.lit(1).cast("long").alias("v"),
+        )
+        n_b = _map_side_prefold(df_b, ["k"], fsum, cols).count()
+        assert n_b < 40_000, f"passthrough never re-validated: {n_b} rows"
+
+        # correctness through the full fold on the clustered frame
+        rows = {r.k: r.v for r in fold(df, ["k"], fn=fsum, partial=True).collect()}
+        assert len(rows) == 510
+        assert rows[505] == 49_500 // 10
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
 def test_cogroup_max_buffered_rows_fail_fast_names_key(spark):
     """In strict mode (on_overflow='error'), an over-limit group raises a
     diagnosable error carrying the key value instead of OOMing the
