@@ -43,10 +43,25 @@ def main() -> None:
     qs = E.queries()
     table = {}
     for name in names:
+        # r15 protocol fix: one WARM pass first, then alternating
+        # off/on/off/on with min per mode — the original on-first
+        # single-pass protocol charged first-touch costs (file listing,
+        # codegen, tmp staging) entirely to the ON side and flagged 4
+        # phantom penalties (0.94-1.08 once warmed+alternated).
         row = {}
-        for mode, flag in (("on", "true"), ("off", "false")):
+        try:
+            qs[name](spark, sf).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as e:
+            print(name, "warm ERR", str(e)[:100], flush=True)
+            table[name] = {"on": None, "off": None}
+            continue
+        best = {"on": None, "off": None}
+        for mode in ("off", "on", "off", "on"):
             spark.conf.set(
-                "spark.sql.adaptive.coalescePartitions.enabled", flag
+                "spark.sql.adaptive.coalescePartitions.enabled",
+                "true" if mode == "on" else "false",
             )
             release_cached_intermediates()
             t0 = time.time()
@@ -54,10 +69,11 @@ def main() -> None:
                 qs[name](spark, sf).write.format("noop").mode(
                     "overwrite"
                 ).save()
-                row[mode] = round(time.time() - t0, 1)
+                dt = time.time() - t0
+                best[mode] = dt if best[mode] is None else min(best[mode], dt)
             except Exception as e:
-                row[mode] = None
                 print(name, mode, "ERR", str(e)[:100], flush=True)
+        row = {m: (round(v, 1) if v else v) for m, v in best.items()}
         spark.conf.set(
             "spark.sql.adaptive.coalescePartitions.enabled", "true"
         )
