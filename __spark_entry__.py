@@ -84,7 +84,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _dsum(col, scale: int = 6):
     """Order-insensitive double sum: exact decimal accumulate → double."""
-    return F.sum(col.cast(f"decimal(27,{scale})")).cast("double")
+    return F.sum(col.try_cast(f"decimal(27,{scale})")).cast("double")
 
 
 def _ps_cte() -> str:
@@ -684,7 +684,7 @@ def q_fold_custom(spark, sf):
     TWO = Decimal("0.01")
 
     def reduce_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        # mirror SUM(CAST(x AS DECIMAL(_,2))): quantize each value, then
+        # mirror SUM(TRY_CAST(x AS DECIMAL(_,2))): quantize each value, then
         # sum — SKIPPING nulls like SQL SUM (a raw `+` fold would let
         # one NaN row poison the whole group; caught by the r13
         # null-injected oracle sweep).  All-null groups sum to NULL.
@@ -818,7 +818,7 @@ def q_running_total(spark, sf):
         ["o_custkey"],
         [("o_orderdate", "asc"), ("o_orderkey", "asc")],
         {
-            "running_spend": F.sum(F.col("o_totalprice").cast("decimal(27,6)")),
+            "running_spend": F.sum(F.col("o_totalprice").try_cast("decimal(27,6)")),
             "order_seq": F.count(F.lit(1)),
         },
     )
@@ -827,6 +827,13 @@ def q_running_total(spark, sf):
 
 def q_sessionize(spark, sf):
     ev = _t(spark, sf, "events").select("user_id", "ts", "value")
+    # same declared analysis window as the streaming session family
+    # (r15 extreme-ts contract): session analytics over validated
+    # event time, rogue far-past/future rows excluded on both sides
+    ev = ev.filter(
+        (F.col("ts") >= F.lit("2023-01-01").cast("timestamp"))
+        & (F.col("ts") < F.lit("2026-01-01").cast("timestamp"))
+    )
     return sessionize_batch(
         ev,
         "ts",
@@ -834,7 +841,7 @@ def q_sessionize(spark, sf):
         ["user_id"],
         {
             "n_events": F.count(F.lit(1)),
-            "v_sum": F.sum(F.col("value").cast("decimal(27,6)")).cast("double"),
+            "v_sum": F.sum(F.col("value").try_cast("decimal(27,6)")).cast("double"),
         },
     )
 
@@ -872,7 +879,7 @@ def q_moving_avg(spark, sf):
         # decimal/bigint quotient scale rules differ between engines (seen
         # as a last-digit hash mismatch at sf0.1), double division doesn't
         (
-            F.sum(F.col("o_totalprice").cast("decimal(27,6)")).over(w).cast("double")
+            F.sum(F.col("o_totalprice").try_cast("decimal(27,6)")).over(w).cast("double")
             / F.count(F.lit(1)).over(w)
         ).alias("moving_avg_5"),
     )
@@ -1584,6 +1591,17 @@ def q_resample_locf(spark, sf):
     ev = _t(spark, sf, "events").select(
         "event_type", F.col("ts").cast("timestamp").alias("ts"), "value"
     )
+    # Explicit analysis window (r15 extreme-ts contract): a gap-filling
+    # resample's output size is span/step PER KEY — data-dependent.  A
+    # single rogue year-0001/9999 timestamp would materialize a
+    # 10-millennium hourly grid (~88M buckets/key).  Production
+    # regularization always declares its range; the window covers every
+    # corpus's real span (Jan 2024), and max_buckets_per_key fail-fasts
+    # if a future corpus outgrows it instead of silently exploding.
+    ev = ev.filter(
+        (F.col("ts") >= F.lit("2023-01-01").cast("timestamp"))
+        & (F.col("ts") < F.lit("2026-01-01").cast("timestamp"))
+    )
     return resample_timeseries(
         ev,
         "ts",
@@ -1595,6 +1613,7 @@ def q_resample_locf(spark, sf):
             "avg_value": ("avg", "value"),
         },
         fill={"n_events": "zero", "sum_value": "locf", "avg_value": "interp"},
+        max_buckets_per_key=100_000,
     )
 
 
@@ -1766,7 +1785,7 @@ def q22_global_sales_opportunity(spark, sf):
         cust.filter(F.col("c_acctbal") > 0)
         .agg(
             (
-                F.sum(F.col("c_acctbal").cast("decimal(27,2)")).cast("double")
+                F.sum(F.col("c_acctbal").try_cast("decimal(27,2)")).cast("double")
                 / F.count(F.lit(1))
             ).alias("__thr__")
         )
@@ -1784,7 +1803,7 @@ def q22_global_sales_opportunity(spark, sf):
     )["missed"]
     return never_ordered.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n_cust"),
-        F.sum(F.col("c_acctbal").cast("decimal(27,2)"))
+        F.sum(F.col("c_acctbal").try_cast("decimal(27,2)"))
         .cast("double")
         .alias("total_bal"),
     )
@@ -2432,7 +2451,7 @@ def q_incremental_agg(spark, sf):
     )
     base = old.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("o_totalprice").cast("decimal(27,6)")).alias("sum_price"),
+        F.sum(F.col("o_totalprice").try_cast("decimal(27,6)")).alias("sum_price"),
     )
     changes = snapshot_diff(old, new, "o_orderkey", include_old=True)
     out = apply_agg_delta(base, changes, "o_orderstatus", {"sum_price": "o_totalprice"})
@@ -3832,13 +3851,19 @@ def q_streaming_window(spark, sf):
         "event_id long, ts long, user_id long, event_type string, value double, props string",
         ts_is_nanos=True,
     )
+    stream = stream.filter(
+        (F.col("ts") >= F.lit("2023-01-01").cast("timestamp"))
+        & (F.col("ts") < F.lit("2026-01-01").cast("timestamp"))
+    )  # event-time validation before the watermark (r15 extreme-ts
+    #    contract): a single year-9999 event would advance the
+    #    watermark and nondeterministically drop later micro-batches
     agg = windowed_aggregate(
         stream,
         "ts",
         "1 hour",
         {
             "n": F.count(F.lit(1)),
-            "v_sum": F.sum(F.col("value").cast("decimal(27,6)")).cast("double"),
+            "v_sum": F.sum(F.col("value").try_cast("decimal(27,6)")).cast("double"),
         },
         keys=["event_type"],
     )
@@ -3870,6 +3895,12 @@ def q_streaming_sessionize(spark, sf):
         "event_id long, ts long, user_id long, event_type string, value double, props string",
         ts_is_nanos=True,
     )
+    stream = stream.filter(
+        (F.col("ts") >= F.lit("2023-01-01").cast("timestamp"))
+        & (F.col("ts") < F.lit("2026-01-01").cast("timestamp"))
+    )  # event-time validation before the watermark (r15 extreme-ts
+    #    contract): a single year-9999 event would advance the
+    #    watermark and nondeterministically drop later micro-batches
     sess = sessionize(
         stream,
         "ts",
@@ -3877,7 +3908,7 @@ def q_streaming_sessionize(spark, sf):
         ["user_id"],
         {
             "n_events": F.count(F.lit(1)),
-            "v_sum": F.sum(F.col("value").cast("decimal(27,6)")).cast("double"),
+            "v_sum": F.sum(F.col("value").try_cast("decimal(27,6)")).cast("double"),
         },
     )
     name = "q_stream_sess_" + uuid.uuid4().hex[:8]
@@ -3909,6 +3940,12 @@ def q_streaming_dedup(spark, sf):
         "event_id long, ts long, user_id long, event_type string, value double, props string",
         ts_is_nanos=True,
     )
+    stream = stream.filter(
+        (F.col("ts") >= F.lit("2023-01-01").cast("timestamp"))
+        & (F.col("ts") < F.lit("2026-01-01").cast("timestamp"))
+    )  # event-time validation before the watermark (r15 extreme-ts
+    #    contract): a single year-9999 event would advance the
+    #    watermark and nondeterministically drop later micro-batches
     deduped = stream_dedup(stream, ["user_id", "event_type"], "ts").select(
         "user_id", "event_type", "ts"
     )
@@ -4427,7 +4464,7 @@ _MERGE_ORACLE = """
       FROM orders),
     merged AS (
       SELECT o_orderkey, o_custkey, o_orderstatus,
-             CAST(round(CAST(o_totalprice AS DECIMAL(27,2)) * 1.1, 2) AS DOUBLE)
+             CAST(round(TRY_CAST(o_totalprice AS DECIMAL(27,2)) * 1.1, 2) AS DOUBLE)
                AS o_totalprice
       FROM base WHERE o_orderkey % 10 = 0
       UNION ALL
@@ -4438,7 +4475,7 @@ _MERGE_ORACLE = """
       SELECT * FROM base WHERE o_orderkey % 10 NOT IN (0, 1)
     )
     SELECT o_orderstatus, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+           CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
              AS sum_price
     FROM merged GROUP BY o_orderstatus
 """
@@ -5288,7 +5325,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "flagship_revenue_per_nation": """
             SELECT n_name,
-                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+                   CAST(SUM(TRY_CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
                    COUNT(*) AS n_items
             FROM lineitem
             JOIN orders   ON o_orderkey = l_orderkey
@@ -5390,23 +5427,23 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS count_order,
                    MAX(l_quantity) AS max_qty,
                    MIN(l_extendedprice) AS min_price,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_base_price,
-                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS sum_disc_price,
-                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge
+                   CAST(SUM(TRY_CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(TRY_CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS sum_disc_price,
+                   CAST(SUM(TRY_CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
         """,
         "fold": """
             SELECT l_suppkey,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS l_quantity,
+                   CAST(SUM(TRY_CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS l_quantity,
                    MAX(l_extendedprice) AS l_extendedprice
             FROM lineitem GROUP BY l_suppkey
         """,
         "fold_custom": """
             SELECT l_suppkey,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS l_quantity,
+                   CAST(SUM(TRY_CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS l_quantity,
                    MAX(l_extendedprice) AS l_extendedprice
             FROM lineitem GROUP BY l_suppkey
         """,
@@ -5505,7 +5542,7 @@ def oracle_sql() -> dict[str, str]:
         "retention_expire": """
             SELECT CAST(ts AS DATE) AS day,
                    COUNT(*) AS n_events,
-                   CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                   CAST(SUM(TRY_CAST(nullif(value, 'NaN'::DOUBLE) AS DECIMAL(27,6))) AS DOUBLE)
                        AS sum_value
             FROM events
             WHERE CAST(ts AS DATE) >= DATE '2024-01-11'
@@ -5594,9 +5631,8 @@ def oracle_sql() -> dict[str, str]:
             WITH {_ps_cte()}
             SELECT n_name,
                    CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
-                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                                 - ps_supplycost * l_quantity
-                                 AS DECIMAL(27,6))) AS DOUBLE) AS profit
+                   CAST(SUM(TRY_CAST(l_extendedprice * (1 - l_discount)
+                                 - ps_supplycost * l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS profit
             FROM lineitem
             JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
             JOIN part ON ps_partkey = p_partkey AND p_name LIKE 'red%'
@@ -5608,8 +5644,7 @@ def oracle_sql() -> dict[str, str]:
         "q11_important_stock": f"""
             WITH {_ps_cte()},
             held AS (SELECT ps_partkey,
-                            CAST(SUM(CAST(ps_supplycost * ps_availqty
-                                          AS DECIMAL(27,6))) AS DOUBLE)
+                            CAST(SUM(TRY_CAST(ps_supplycost * ps_availqty AS DECIMAL(27,6))) AS DOUBLE)
                                 AS value
                      FROM partsupp
                      JOIN supplier ON ps_suppkey = s_suppkey
@@ -5617,7 +5652,7 @@ def oracle_sql() -> dict[str, str]:
                           AND n_name = 'NATION_15'
                      GROUP BY ps_partkey)
             SELECT ps_partkey, value FROM held
-            WHERE value > (SELECT CAST(SUM(CAST(value AS DECIMAL(27,6)))
+            WHERE value > (SELECT CAST(SUM(TRY_CAST(nullif(value, 'NaN'::DOUBLE) AS DECIMAL(27,6)))
                                        AS DOUBLE)
                            FROM held) / 500
         """,
@@ -5635,7 +5670,7 @@ def oracle_sql() -> dict[str, str]:
         "q20_potential_promotion": f"""
             WITH {_ps_cte()},
             shipped AS (SELECT l_partkey, l_suppkey,
-                               CAST(SUM(CAST(l_quantity AS DECIMAL(27,2)))
+                               CAST(SUM(TRY_CAST(l_quantity AS DECIMAL(27,2)))
                                     AS DOUBLE) AS qty
                         FROM lineitem
                         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -5776,7 +5811,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
             )
             SELECT doc_id,
-                   round(CAST(SUM(CAST(
+                   round(CAST(SUM(TRY_CAST(
                      ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
                        / (tf + 1.2 * (0.25 + 0.75 * dl
                             / (CAST(tl AS DOUBLE) / n)))
@@ -5808,7 +5843,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
             )
             SELECT doc_id,
-                   round(CAST(SUM(CAST(
+                   round(CAST(SUM(TRY_CAST(
                      ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
                        / (tf + 1.2 * (0.25 + 0.75 * dl
                             / (CAST(tl AS DOUBLE) / n)))
@@ -5823,12 +5858,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "snapshot_diff": """
             SELECT o_orderkey, o_custkey,
-                   CAST(round(CAST(o_totalprice AS DECIMAL(27,2)) * 1.1, 2)
+                   CAST(round(TRY_CAST(o_totalprice AS DECIMAL(27,2)) * 1.1, 2)
                         AS DOUBLE) AS o_totalprice,
                    'U' AS __op
             FROM orders
             WHERE o_orderkey % 10 = 0
-              AND CAST(round(CAST(o_totalprice AS DECIMAL(27,2)) * 1.1, 2)
+              AND CAST(round(TRY_CAST(o_totalprice AS DECIMAL(27,2)) * 1.1, 2)
                        AS DOUBLE) <> o_totalprice
             UNION ALL
             SELECT o_orderkey, o_custkey, o_totalprice, 'D'
@@ -5912,8 +5947,7 @@ def oracle_sql() -> dict[str, str]:
             FROM customer c JOIN cuts USING (c_nationkey)
         """,
         "q19_discounted_revenue": """
-            SELECT CAST(COALESCE(SUM(CAST(l_extendedprice * (1 - l_discount)
-                                          AS DECIMAL(27,6))), 0) AS DOUBLE)
+            SELECT CAST(COALESCE(SUM(TRY_CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))), 0) AS DOUBLE)
                      AS revenue,
                    COUNT(*) AS n_items
             FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -5926,12 +5960,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q22_global_sales_opportunity": """
             WITH thr AS (
-              SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE)
+              SELECT CAST(SUM(TRY_CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE)
                      / COUNT(*) AS t
               FROM customer WHERE c_acctbal > 0
             )
             SELECT c_nationkey, COUNT(*) AS n_cust,
-                   CAST(SUM(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE)
+                   CAST(SUM(TRY_CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE)
                      AS total_bal
             FROM customer, thr
             WHERE c_acctbal > thr.t
@@ -5941,8 +5975,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_nationkey
         """,
         "q6_forecast_revenue": """
-            SELECT CAST(COALESCE(SUM(CAST(l_extendedprice * l_discount
-                                          AS DECIMAL(27,6))), 0) AS DOUBLE)
+            SELECT CAST(COALESCE(SUM(TRY_CAST(l_extendedprice * l_discount AS DECIMAL(27,6))), 0) AS DOUBLE)
                      AS revenue,
                    COUNT(*) AS n_items
             FROM lineitem
@@ -5980,7 +6013,7 @@ def oracle_sql() -> dict[str, str]:
             WITH newsnap AS (
               SELECT o_orderkey, o_orderstatus,
                      CASE WHEN o_orderkey % 7 = 0
-                          THEN CAST(round(CAST(o_totalprice AS DECIMAL(27,2))
+                          THEN CAST(round(TRY_CAST(o_totalprice AS DECIMAL(27,2))
                                           * 1.1, 2) AS DOUBLE)
                           ELSE o_totalprice END AS p
               FROM orders WHERE o_orderkey % 13 <> 0
@@ -5989,12 +6022,12 @@ def oracle_sql() -> dict[str, str]:
               FROM orders WHERE o_orderkey % 17 = 0
             )
             SELECT o_orderstatus, COUNT(*) AS n,
-                   CAST(SUM(CAST(p AS DECIMAL(27,6))) AS DOUBLE) AS sum_price
+                   CAST(SUM(TRY_CAST(p AS DECIMAL(27,6))) AS DOUBLE) AS sum_price
             FROM newsnap GROUP BY o_orderstatus
         """,
         "streaming_incremental_agg": """
             SELECT o_orderstatus, COUNT(*) AS n,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                   CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
                      AS sum_price
             FROM orders GROUP BY o_orderstatus
         """,
@@ -6021,7 +6054,7 @@ def oracle_sql() -> dict[str, str]:
               FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
             ), agg AS (
               SELECT doc_id, COUNT(*) AS n_bigrams,
-                     CAST(SUM(CAST(logp AS DECIMAL(27,6))) AS DOUBLE)
+                     CAST(SUM(TRY_CAST(logp AS DECIMAL(27,6))) AS DOUBLE)
                        / COUNT(*) AS lm_score
               FROM scored GROUP BY doc_id
             )
@@ -6122,7 +6155,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, COUNT(*) AS n,
                    CAST(COUNT(CASE WHEN o_orderkey % 10 = 0
                                    THEN 'web' END) AS BIGINT) AS n_web,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+                   CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
                      AS sum_price
             FROM orders GROUP BY o_orderstatus
         """,
@@ -6175,8 +6208,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (
               SELECT year(o_orderdate) AS o_year,
                      n2.n_name AS supp_nation,
-                     CAST(l_extendedprice * (1 - l_discount)
-                          AS DECIMAL(27,6)) AS volume
+                     TRY_CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)) AS volume
               FROM lineitem
               JOIN part     ON p_partkey = l_partkey AND p_type = 'ECONOMY'
               JOIN supplier ON s_suppkey = l_suppkey
@@ -6220,8 +6252,7 @@ def oracle_sql() -> dict[str, str]:
         "q15_top_supplier": """
             WITH rev AS (
               SELECT l_suppkey,
-                     CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                                   AS DECIMAL(27,6))) AS DOUBLE)
+                     CAST(SUM(TRY_CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE)
                        AS total_revenue
               FROM lineitem
               WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -6240,11 +6271,11 @@ def oracle_sql() -> dict[str, str]:
             ),
             thr AS (
               SELECT l_partkey,
-                     0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(27,2)))
+                     0.2 * (CAST(SUM(TRY_CAST(l_quantity AS DECIMAL(27,2)))
                                  AS DOUBLE) / COUNT(*)) AS t
               FROM li GROUP BY l_partkey
             )
-            SELECT CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(27,2))), 0)
+            SELECT CAST(COALESCE(SUM(TRY_CAST(l_extendedprice AS DECIMAL(27,2))), 0)
                         AS DOUBLE) / 7.0 AS avg_yearly,
                    COUNT(*) AS n_lines
             FROM li JOIN thr ON li.l_partkey = thr.l_partkey
@@ -6280,11 +6311,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q14_promo_revenue": """
             SELECT 100.0 * CAST(COALESCE(SUM(CASE WHEN p_type = 'PROMO'
-                                 THEN CAST(l_extendedprice * (1 - l_discount)
-                                           AS DECIMAL(27,6)) END),
+                                 THEN TRY_CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)) END),
                                0) AS DOUBLE)
-                   / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                                   AS DECIMAL(27,6))) AS DOUBLE)
+                   / CAST(SUM(TRY_CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE)
                      AS promo_revenue_pct
             FROM lineitem JOIN part ON p_partkey = l_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-03-01'
@@ -6360,6 +6389,8 @@ def oracle_sql() -> dict[str, str]:
                      list_max(list_transform(embedding,
                                              e -> abs(CAST(e AS DOUBLE)))) AS mx
               FROM embeddings
+              WHERE list_aggregate(list_transform(embedding,
+                        e -> isfinite(CAST(e AS DOUBLE))), 'bool_and')
             ), qz AS (
               SELECT vec_id,
                      list_transform(embedding,
@@ -6390,6 +6421,8 @@ def oracle_sql() -> dict[str, str]:
                      list_max(list_transform(embedding,
                                              e -> abs(CAST(e AS DOUBLE)))) AS mx
               FROM embeddings
+              WHERE list_aggregate(list_transform(embedding,
+                        e -> isfinite(CAST(e AS DOUBLE))), 'bool_and')
             ), qz AS (
               SELECT vec_id,
                      list_transform(v,
@@ -6430,8 +6463,7 @@ def oracle_sql() -> dict[str, str]:
         "q7_volume_shipping": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
-                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                                 AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+                   CAST(SUM(TRY_CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN supplier ON s_suppkey = l_suppkey
             JOIN orders   ON o_orderkey = l_orderkey
@@ -6448,8 +6480,7 @@ def oracle_sql() -> dict[str, str]:
         "q10_returned_items": """
             WITH per AS (
               SELECT o_custkey,
-                     SUM(CAST(l_extendedprice * (1 - l_discount)
-                              AS DECIMAL(27,6))) AS rev
+                     SUM(TRY_CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS rev
               FROM orders JOIN lineitem ON l_orderkey = o_orderkey
               WHERE o_orderdate >= TIMESTAMP '1996-10-01'
                 AND o_orderdate <  TIMESTAMP '1997-01-01'
@@ -6476,7 +6507,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "running_total": """
             SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) OVER w AS DOUBLE)
+                   CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(27,6))) OVER w AS DOUBLE)
                        AS running_spend,
                    COUNT(*) OVER w AS order_seq
             FROM orders
@@ -6490,7 +6521,7 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                                  < INTERVAL 30 MINUTE
                             THEN 0 ELSE 1 END AS new_sess
-                FROM events),
+                FROM events WHERE ts >= TIMESTAMP '2023-01-01' AND ts < TIMESTAMP '2026-01-01'),
             sess AS (
                 SELECT user_id, ts, value,
                        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
@@ -6500,7 +6531,7 @@ def oracle_sql() -> dict[str, str]:
                    MAX(ts) + INTERVAL 30 MINUTE AS session_end,
                    user_id,
                    COUNT(*) AS n_events,
-                   CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS v_sum
+                   CAST(SUM(TRY_CAST(nullif(value, 'NaN'::DOUBLE) AS DECIMAL(27,6))) AS DOUBLE) AS v_sum
             FROM sess GROUP BY user_id, sid
         """,
         "summarize_any": """
@@ -6509,7 +6540,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q3_shipping_priority": """
             SELECT l_orderkey,
-                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+                   CAST(SUM(TRY_CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
                    o_orderdate
             FROM customer
             JOIN orders   ON o_custkey = c_custkey
@@ -6523,7 +6554,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q5_local_supplier_volume": """
             SELECT n_name,
-                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+                   CAST(SUM(TRY_CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
             FROM customer
             JOIN orders   ON o_custkey = c_custkey
             JOIN lineitem ON l_orderkey = o_orderkey
@@ -6538,18 +6569,18 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_volume_customer": """
             SELECT c_name, o_custkey AS c_custkey, o_orderkey, o_orderdate,
                    o_totalprice,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty
+                   CAST(SUM(TRY_CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty
             FROM customer
             JOIN orders   ON c_custkey = o_custkey
             JOIN lineitem ON l_orderkey = o_orderkey
             GROUP BY c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice
-            HAVING SUM(CAST(l_quantity AS DECIMAL(27,2))) > 300
+            HAVING SUM(TRY_CAST(l_quantity AS DECIMAL(27,2))) > 300
             ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
             LIMIT 100
         """,
         "rollup_agg": """
             SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty
+                   CAST(SUM(TRY_CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "rank_in_group": """
@@ -6560,7 +6591,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "moving_avg": """
             SELECT o_custkey, o_orderkey,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) OVER w AS DOUBLE)
+                   CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(27,6))) OVER w AS DOUBLE)
                         / COUNT(*) OVER w AS moving_avg_5
             FROM orders
             WINDOW w AS (PARTITION BY o_custkey
@@ -6587,7 +6618,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cube_agg": """
             SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_price
+                   CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_price
             FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         "intersect_keys": """
@@ -6630,7 +6661,7 @@ def oracle_sql() -> dict[str, str]:
         "cogroup": """
             WITH o AS (SELECT o_orderkey AS k, COUNT(*) AS n FROM orders GROUP BY 1),
                  l AS (SELECT l_orderkey AS k, COUNT(*) AS n,
-                              ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE), 2) AS s
+                              ROUND(CAST(SUM(TRY_CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE), 2) AS s
                        FROM lineitem GROUP BY 1)
             SELECT COALESCE(o.k, l.k) AS o_orderkey,
                    COALESCE(o.n, 0) AS n_orders,
@@ -6789,16 +6820,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bucketed_join": """
             SELECT o_custkey, COUNT(*) AS n_items,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty
+                   CAST(SUM(TRY_CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty
             FROM orders JOIN lineitem ON l_orderkey = o_orderkey
             GROUP BY o_custkey
         """,
         "output_roundtrip": """
             SELECT o_orderstatus,
                    COUNT(*) AS n_csv,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_csv,
+                   CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_csv,
                    COUNT(*) AS n_parquet,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_parquet
+                   CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_parquet
             FROM orders GROUP BY o_orderstatus
         """,
         "token_budget": r"""
@@ -7019,7 +7050,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_near_dup": _duck_near_dup_sql(threshold=0.45, planes=2),
         "embedding_dup_clusters": _duck_embedding_cc_sql(rounds=30),
         "streaming_dedup": """
-            SELECT DISTINCT user_id, event_type, ts FROM events
+            SELECT DISTINCT user_id, event_type, ts FROM events WHERE ts >= TIMESTAMP '2023-01-01' AND ts < TIMESTAMP '2026-01-01'
         """,
         "streaming_interval_join": """
             SELECT p.event_id AS p_id, c.event_id AS c_id
@@ -7046,11 +7077,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_type,
                        CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b,
                        COUNT(value) AS n0,
-                       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                       CAST(SUM(TRY_CAST(nullif(value, 'NaN'::DOUBLE) AS DECIMAL(27,6))) AS DOUBLE)
                            AS s0,
-                       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                       CAST(SUM(TRY_CAST(nullif(value, 'NaN'::DOUBLE) AS DECIMAL(27,6))) AS DOUBLE)
                             / COUNT(value) AS a0
-                FROM events GROUP BY 1, 2
+                FROM events
+                WHERE ts >= TIMESTAMP '2023-01-01'
+                  AND ts < TIMESTAMP '2026-01-01'
+                GROUP BY 1, 2
             ), spans AS (
                 SELECT event_type, MIN(b) AS lo, MAX(b) AS hi
                 FROM sparse GROUP BY 1
@@ -7096,21 +7130,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "iterative_transactional_output": """
             SELECT c_nationkey, COUNT(*) AS n_orders,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+                   CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
                        AS sum_price,
                    'BUILDING' AS segment
             FROM orders JOIN customer ON c_custkey = o_custkey
             WHERE c_mktsegment = 'BUILDING' GROUP BY c_nationkey
             UNION ALL
             SELECT c_nationkey, COUNT(*) AS n_orders,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+                   CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
                        AS sum_price,
                    'MACHINERY' AS segment
             FROM orders JOIN customer ON c_custkey = o_custkey
             WHERE c_mktsegment = 'MACHINERY' GROUP BY c_nationkey
             UNION ALL
             SELECT c_nationkey, COUNT(*) AS n_orders,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+                   CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
                        AS sum_price,
                    'AUTOMOBILE' AS segment
             FROM orders JOIN customer ON c_custkey = o_custkey
@@ -7122,7 +7156,7 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                                  < INTERVAL 30 MINUTE
                             THEN 0 ELSE 1 END AS new_sess
-                FROM events),
+                FROM events WHERE ts >= TIMESTAMP '2023-01-01' AND ts < TIMESTAMP '2026-01-01'),
             sess AS (
                 SELECT user_id, ts, value,
                        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
@@ -7132,7 +7166,7 @@ def oracle_sql() -> dict[str, str]:
                    MAX(ts) + INTERVAL 30 MINUTE AS session_end,
                    user_id,
                    COUNT(*) AS n_events,
-                   CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS v_sum
+                   CAST(SUM(TRY_CAST(nullif(value, 'NaN'::DOUBLE) AS DECIMAL(27,6))) AS DOUBLE) AS v_sum
             FROM sess GROUP BY user_id, sid
         """,
         "streaming_windowed_agg": """
@@ -7140,7 +7174,7 @@ def oracle_sql() -> dict[str, str]:
                    date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS window_end,
                    event_type,
                    COUNT(*) AS n,
-                   CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS v_sum
-            FROM events GROUP BY 1, 2, 3
+                   CAST(SUM(TRY_CAST(nullif(value, 'NaN'::DOUBLE) AS DECIMAL(27,6))) AS DOUBLE) AS v_sum
+            FROM events WHERE ts >= TIMESTAMP '2023-01-01' AND ts < TIMESTAMP '2026-01-01' GROUP BY 1, 2, 3
         """,
     }

@@ -657,6 +657,11 @@ def quantize_embeddings(
     clamp(floor(x[i]·scale), -127, 127)``; reconstruct with ``x̂[i] =
     codes[i] · inv_scale`` where ``inv_scale = max|x| / 127``.
     All-zero vectors quantize to all-zero codes with ``inv_scale`` 0.
+    Vectors with any non-finite component (NaN/±Inf) are EXCLUDED:
+    they have no meaningful scale — Spark's NaN-greatest comparison
+    semantics would otherwise leak a NaN ``inv_scale`` downstream and
+    poison every dot product (r15 extreme-numerics gate).  The finite
+    domain is the same contract the ANN candidate paths assume.
 
     Why it matters at 100 TB: a float32 embedding column is usually the
     WIDEST column in the corpus — int8 codes cut the scan, the shuffle,
@@ -669,7 +674,12 @@ def quantize_embeddings(
     """
     vec = F.col(vec_col)
     maxabs = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
-    return df.select(
+    finite = F.forall(
+        vec,
+        lambda x: ~F.isnan(x.cast("double"))
+        & (F.abs(x.cast("double")) != F.lit(float("inf"))),
+    )
+    return df.filter(finite).select(
         F.col(id_col),
         _int8_codes(vec).alias("codes"),
         F.when(maxabs > 0.0, maxabs / F.lit(127.0)).otherwise(F.lit(0.0)).alias("inv_scale"),

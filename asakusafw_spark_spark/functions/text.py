@@ -531,7 +531,7 @@ def bm25_rank(
         .groupBy(id_col)
         .agg(
             F.round(
-                F.sum(term_score.cast("decimal(27,12)")).cast("double"), 6
+                F.sum(term_score.try_cast("decimal(27,12)")).cast("double"), 6
             ).alias("score")
         )
     )
@@ -618,7 +618,7 @@ def search_text_index(
         .groupBy(id_col)
         .agg(
             F.round(
-                F.sum(term_score.cast("decimal(27,12)")).cast("double"), 6
+                F.sum(term_score.try_cast("decimal(27,12)")).cast("double"), 6
             ).alias("score")
         )
     )
@@ -718,7 +718,7 @@ def bigram_lm_score(
     agg = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         (
-            F.sum(F.col("__logp__").cast("decimal(27,6)")).cast("double")
+            F.sum(F.col("__logp__").try_cast("decimal(27,6)")).cast("double")
             / F.count(F.lit(1))
         ).alias("lm_score"),
     )

@@ -179,14 +179,14 @@ def resample_timeseries(
 
     fns = {
         "count": lambda c: F.count(F.col(c)),
-        "sum": lambda c: F.sum(F.col(c).cast("decimal(27,6)")).cast("double"),
+        "sum": lambda c: F.sum(F.col(c).try_cast("decimal(27,6)")).cast("double"),
         "min": lambda c: F.min(F.col(c)),
         "max": lambda c: F.max(F.col(c)),
         # exact-decimal sum cast to double BEFORE the divide: decimal-avg
         # return scales differ cross-engine, the double quotient of exact
         # inputs does not (the repo's established avg contract)
         "avg": lambda c: (
-            F.sum(F.col(c).cast("decimal(27,6)")).cast("double")
+            F.sum(F.col(c).try_cast("decimal(27,6)")).cast("double")
             / F.count(F.col(c))
         ),
     }

@@ -187,8 +187,16 @@ def stateful_running_agg(
             [{**dict(zip(keylist, key)), "running_count": cnt, "running_sum": total}]
         )
 
+    # Project to keys+value AFTER the watermark: the watermark node
+    # survives projection, so (a) only the columns the state fn reads
+    # cross the Arrow bridge (not the whole event payload — the Python
+    # transfer is the stateful op's bottleneck at scale), and (b) the
+    # TIMESTAMP column never reaches pandas, whose datetime64[ns]
+    # bridge only covers years 1677-2262 (a year-0001/9999 event —
+    # legal in Spark — blew up the Arrow cast; r15 extreme-ts gate).
     return (
         stream.withWatermark(ts_col, watermark)
+        .select(*keylist, vcol)
         .groupBy(*keys)
         .applyInPandasWithState(
             update, out_schema, state_schema, "update", "NoTimeout"

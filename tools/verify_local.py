@@ -61,6 +61,46 @@ def value_hash(pdf: pd.DataFrame) -> str:
     return h.hexdigest()[:16]
 
 
+def _collect_spark(df) -> pd.DataFrame:
+    """Collect a Spark result for comparison, hashing TIMESTAMP columns
+    as epoch-microsecond int64.  pandas' datetime64[ns] bridge only
+    covers years 1677–2262; a year-0001 or year-9999 timestamp (legal
+    in both engines, exercised by the extreme-numerics corpus) blows up
+    toPandas with an Arrow out-of-bounds cast.  Epoch micros are exact,
+    total-range, and engine-neutral (``_collect_duck`` mirrors this
+    with ``epoch_us``; session TZ is UTC so ntz wall clocks agree)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (TimestampType, TimestampNTZType, DateType)):
+            cols.append(
+                F.unix_micros(F.col(f.name).cast("timestamp")).alias(f.name)
+            )
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols).toPandas()
+
+
+def _collect_duck(con, sql: str) -> pd.DataFrame:
+    """Run an oracle twin, converting TIMESTAMP outputs to epoch-micros
+    int64 (see _collect_spark) before the pandas bridge."""
+    cur = con.execute(f"DESCRIBE ({sql})")
+    repl = []
+    for name, typ, *_ in cur.fetchall():
+        t = str(typ).upper()
+        if t.startswith("TIMESTAMP"):
+            repl.append(f"epoch_us({name}) AS {name}")
+        elif t == "DATE":
+            # dates ride the same epoch-int contract (midnight UTC),
+            # pairing with Spark DATE/TIMESTAMP columns either way
+            repl.append(f"epoch_us(CAST({name} AS TIMESTAMP)) AS {name}")
+    if repl:
+        sql = f"SELECT * REPLACE ({', '.join(repl)}) FROM ({sql})"
+    return con.execute(sql).df()
+
+
 def observed_cap_metrics(df) -> "dict | None":
     """Named ``_observe_cap`` observations from the EXECUTED plan
     (VERDICT r13 Next #8): per-query dropped-bucket / largest-bucket
@@ -153,7 +193,7 @@ def main() -> int:
         t0 = time.time()
         try:
             _df = fn(spark, sf_dir)
-            sdf = _df.toPandas()
+            sdf = _collect_spark(_df)
             caps = observed_cap_metrics(_df)
         except Exception as e:
             failures.append(name)
@@ -169,7 +209,7 @@ def main() -> int:
             print(f"SKIP {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
-            odf = con.execute(oracles[name]).df()
+            odf = _collect_duck(con, oracles[name])
         except Exception as e:
             failures.append(name)
             report[name] = {"rows_match": False, "schema_match": False,
