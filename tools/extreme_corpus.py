@@ -75,9 +75,10 @@ END
 """
 
 EMB_CASE = """
-CASE hash(rowid) % 128
-  WHEN 0 THEN list_prepend('NaN'::FLOAT, embedding[2:])
-  WHEN 1 THEN list_prepend('Infinity'::FLOAT, embedding[2:])
+CASE
+  WHEN embedding IS NULL THEN NULL
+  WHEN hash(rowid) % 128 = 0 THEN list_prepend('NaN'::FLOAT, embedding[2:])
+  WHEN hash(rowid) % 128 = 1 THEN list_prepend('Infinity'::FLOAT, embedding[2:])
   ELSE embedding
 END
 """
