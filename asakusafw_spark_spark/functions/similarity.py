@@ -674,10 +674,21 @@ def quantize_embeddings(
     """
     vec = F.col(vec_col)
     maxabs = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
-    finite = F.forall(
-        vec,
-        lambda x: ~F.isnan(x.cast("double"))
-        & (F.abs(x.cast("double")) != F.lit(float("inf"))),
+    # NULL-explicit finiteness (r15 ADVICE): forall over a vector with a
+    # NULL element yields NULL, which filter() drops — the right call (a
+    # NULL component has no quantizable magnitude) but it must be
+    # DECLARED, not an artifact of 3VL: coalesce pins the contract to
+    # "any NULL/NaN/±Inf component ⇒ vector excluded" so the DuckDB twin
+    # (list bool_and SKIPS NULLs and would keep the row) can mirror it
+    # with an explicit e IS NOT NULL term.
+    finite = F.coalesce(
+        F.forall(
+            vec,
+            lambda x: x.isNotNull()
+            & ~F.isnan(x.cast("double"))
+            & (F.abs(x.cast("double")) != F.lit(float("inf"))),
+        ),
+        F.lit(False),
     )
     return df.filter(finite).select(
         F.col(id_col),

@@ -135,10 +135,30 @@ def ansi_grouping_sets(
     The probe costs one ``limit(1)`` job at build time; the second
     full ``df.agg()`` pass the r14 implementation paid on EVERY call
     is gone.
+
+    BUILD-TIME-SNAPSHOT CONTRACT (r15 ADVICE): when the sets include
+    ``()``, the emptiness probe runs at graph-BUILD time — the chosen
+    plan shape is a snapshot of the source's emptiness at that moment.
+    A source whose contents change between build and execution (a
+    frame rebuilt per ``foreachBatch``, late-arriving files under a
+    reused plan) must rebuild the plan by calling this function again;
+    re-executing a stale plan would either drop the non-()-set rows
+    (probed empty, since filled) or miss the ANSI ``()`` row (probed
+    non-empty, since emptied).  Streaming frames have no build-time
+    emptiness and are rejected outright; without a ``()`` set the
+    probe never runs and the native plan is snapshot-free.
     """
     sets = [tuple(s) for s in sets]
     if not sets:
         raise ValueError("at least one grouping set required")
+    if df.isStreaming:
+        raise ValueError(
+            "ansi_grouping_sets requires a batch DataFrame: the ANSI "
+            "empty-input correction for the () set is decided by a "
+            "build-time emptiness probe, which a streaming frame "
+            "cannot answer (and Spark does not support grouping sets "
+            "over streams)"
+        )
     n_empty = sum(1 for s in sets if not s)
     # grouping columns in first-appearance order across the sets
     group_cols: list[str] = []

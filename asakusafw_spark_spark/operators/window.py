@@ -177,6 +177,13 @@ def resample_timeseries(
         F.unix_timestamp(F.col(ts_col)).cast("long") / step_sec
     ).cast("long")
 
+    # Sum/avg domain contract (r15 ADVICE, stated not silent): the
+    # order-insensitive exact-decimal accumulation try_casts each value
+    # to decimal(27,6), which nulls NaN/±Inf AND any finite |x| >= 1e21
+    # (decimal(27,6) overflow, e.g. DBL_MAX) — such values are OMITTED
+    # from sum/avg on both engine and oracle.  A pipeline whose
+    # magnitudes legitimately reach 1e21 needs a wider decimal, not
+    # this default; count/min/max are unaffected.
     fns = {
         "count": lambda c: F.count(F.col(c)),
         "sum": lambda c: F.sum(F.col(c).try_cast("decimal(27,6)")).cast("double"),

@@ -110,6 +110,26 @@ HEADLINE = [
 ]
 
 
+#: The r01-comparable protocol subset (the frozen round-1 table in
+#: BASELINE.md, best-of-3 protocol figure 11.0 s at sf0.1).  The sum is
+#: emitted into the bench artifact as ``frozen_12_sec`` so the ledger
+#: prose can cite the artifact instead of a hand-computed figure.
+FROZEN_12 = [
+    "summarize_q1",
+    "flagship_revenue_per_nation",
+    "master_join",
+    "master_check_found",
+    "top_k_per_group",
+    "fold",
+    "cogroup",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_analysis",
+    "similarity_bruteforce_topk",
+    "streaming_windowed_agg",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -146,12 +166,20 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
+    frozen_12 = round(sum(times[q] for q in FROZEN_12 if q in times), 3)
     out = {
         "metric": "headline_queries_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        # the r01-comparable protocol subset, computed INTO the
+        # artifact (VERDICT r15 "What's wrong" #3: a hand-summed prose
+        # figure drifted from the committed artifact; the artifact is
+        # now self-describing) — compare against the frozen 11.0 s
+        # best-of-3 protocol baseline (BASELINE.md)
+        "frozen_12_sec": frozen_12,
+        "frozen_12_vs_11.0s_baseline": round(frozen_12 / 11.0, 3),
     }
     movers = _movers_vs_previous_round(times)
     if movers is not None:

@@ -738,6 +738,38 @@ def test_dedup_corpus_keep_by_quality(spark):
                 dedup_corpus(nul, threshold=0.5, keep_by="n_chars").collect()}
     assert fallback == {1, 4}
 
+    # keeper contract over NULL n_chars (combined-gate pin, r16):
+    # (a) MIXED cluster — MAX ignores NULLs, so a NULL-scored member
+    #     never wins even when it holds the minimum id;
+    # (b) min-id tiebreak runs ONLY among the max-scored members.
+    mixed = df.withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") == 1, F.lit(None).cast("int")).otherwise(
+            F.length("text")
+        ),
+    )
+    got = {r.doc_id: r.cluster_size for r in
+           dedup_corpus(mixed, threshold=0.5, keep_by="n_chars").collect()}
+    assert set(got) == {2, 4} and got[2] == 3
+
+    # (c) NULL-text docs shingle to [] (tokens(NULL) = [] contract) →
+    #     never pair with anything → singleton keepers with size 1,
+    #     even though their n_chars score is NULL (the oracle-twin bug
+    #     the combined corpus exposed dropped exactly these).
+    with_null_text = (
+        df.select("doc_id", "text")
+        .unionByName(
+            spark.createDataFrame(
+                [(9, None), (10, None)], "doc_id long, text string"
+            )
+        )
+        .withColumn("n_chars", F.length("text"))
+    )
+    kept = {r.doc_id: r.cluster_size for r in
+            dedup_corpus(with_null_text, threshold=0.5,
+                         keep_by="n_chars").collect()}
+    assert kept[9] == 1 and kept[10] == 1 and kept[2] == 3 and kept[4] == 1
+
 
 def test_scrub_duplicate_spans_removes_shared_span(spark):
     from asakusafw_spark_spark.functions import scrub_duplicate_spans

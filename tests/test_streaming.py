@@ -974,3 +974,67 @@ def test_stream_quality_monitor_empty_batches_report_zero_rows(spark, tmp_path):
     }
     assert len(rows) == 4  # 2 constraints x 2 batches
     assert all(v == 0 for v in rows.values())
+
+
+def test_every_watermarked_streaming_query_bounds_event_time():
+    """Structural event-time-window contract (VERDICT r15 Next #3).
+
+    r15 fixed watermark poisoning query-by-query (a single far-future
+    event advances the watermark and silently drops later micro-batches
+    / stream-stream join matches); r16 makes the contract a registry
+    lint so the class cannot recur: every registered query that reaches
+    a WATERMARKING streaming primitive must validate event time through
+    the shared ``_event_window`` helper, and must do so BEFORE the
+    primitive call (the watermark is attached inside the primitive, so
+    a bound applied after it would not protect the state store).
+
+    Both sides are discovered, not hard-coded: the watermarking
+    primitives by grepping the streaming module for ``withWatermark``,
+    the queries from the live registry — a new streaming query or a new
+    watermarking primitive is linted automatically.
+    """
+    import inspect
+    import re
+
+    import __spark_entry__ as E
+    import asakusafw_spark_spark.streaming.stream as S
+
+    wm_fns = {
+        n
+        for n, f in vars(S).items()
+        if callable(f)
+        and getattr(f, "__module__", None) == S.__name__
+        and "withWatermark" in inspect.getsource(f)
+    }
+    # discovery sanity: the five known watermarking primitives must be
+    # found, else the lint has gone vacuous
+    assert {
+        "windowed_aggregate",
+        "sessionize",
+        "stream_dedup",
+        "stateful_running_agg",
+        "stream_interval_join",
+    } <= wm_fns
+
+    offenders = []
+    for name, fn in E.queries().items():
+        try:
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            continue
+        calls = [
+            m.start()
+            for w in wm_fns
+            for m in re.finditer(rf"\b{w}\s*\(", src)
+        ]
+        if not calls:
+            continue
+        bound = src.find("_event_window(")
+        if bound == -1:
+            offenders.append((name, "no _event_window bound"))
+        elif bound > min(calls):
+            offenders.append((name, "bound applied after the primitive"))
+    assert not offenders, (
+        "streaming queries with an unbounded event-time watermark "
+        f"(add _event_window before the primitive): {offenders}"
+    )

@@ -73,11 +73,14 @@ def main() -> None:
                 best[mode] = dt if best[mode] is None else min(best[mode], dt)
             except Exception as e:
                 print(name, mode, "ERR", str(e)[:100], flush=True)
-        row = {m: (round(v, 1) if v else v) for m, v in best.items()}
+        row = {m: (round(v, 1) if v is not None else v) for m, v in best.items()}
         spark.conf.set(
             "spark.sql.adaptive.coalescePartitions.enabled", "true"
         )
-        if row.get("on") and row.get("off"):
+        # `is not None`, not truthiness: a legitimate sub-0.05 s timing
+        # rounds to 0.0 and must still produce a row (r15 ADVICE); the
+        # ratio guards off == 0 explicitly.
+        if row.get("on") is not None and row.get("off"):
             row["ratio"] = round(row["on"] / row["off"], 2)
             flag = "  <-- COALESCE PENALTY" if row["ratio"] > 1.3 else ""
             print(

@@ -79,9 +79,14 @@ CASE
   WHEN embedding IS NULL THEN NULL
   WHEN hash(rowid) % 128 = 0 THEN list_prepend('NaN'::FLOAT, embedding[2:])
   WHEN hash(rowid) % 128 = 1 THEN list_prepend('Infinity'::FLOAT, embedding[2:])
+  WHEN hash(rowid) % 128 = 2 THEN list_prepend(NULL::FLOAT, embedding[2:])
   ELSE embedding
 END
 """
+# % 128 = 2: a NULL ELEMENT inside an otherwise-finite vector — the 3VL
+# edge the r15 ADVICE flagged (Spark forall → NULL vs DuckDB bool_and
+# skips NULLs); quantize/similarity paths must exclude it EXPLICITLY on
+# both sides, and only a corpus row can prove they do.
 
 
 def build(dst: str = DST) -> None:

@@ -158,7 +158,19 @@ def main() -> int:
     con.execute("SET preserve_insertion_order = false")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # chaos-layout corpus (r16): a table may be a DIRECTORY of
+            # part files — schema-evolved shards (missing / narrowed
+            # columns, reordered) and hive partition dirs included.
+            # union_by_name resolves shards by NAME and widens types;
+            # hive_partitioning restores directory-encoded columns —
+            # the DuckDB twins of what the Spark side must also do.
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+                f"'{p}/**/*.parquet', union_by_name=true, "
+                f"hive_partitioning=true)"
+            )
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     # Release the dedup/similarity/graph families' persisted
