@@ -277,8 +277,17 @@ NOUNS = ["ring", "widget", "bolt", "gear", "gizmo", "cap", "disk"]
 TYPES = ["ECONOMY", "STANDARD", "LARGE", "MEDIUM", "SMALL", "PROMO"]
 
 
-def generate(spark) -> None:
+def generate(spark, out_dir: str | None = None,
+             only: "set[str] | None" = None,
+             coalesce: bool = True) -> None:
+    """Write the synthetic tables.  ``out_dir`` defaults to SF1_DIR;
+    ``only`` restricts to a table subset (tools/sf10_probe.py scales
+    the module constants ×10 and generates just the tables its heavy
+    queries read — regenerating 60M-row lineitem for a documents-only
+    probe would be pure waste)."""
     from pyspark.sql import functions as F
+
+    dest = out_dir or SF1_DIR
 
     def arr(xs):
         return F.array(*[F.lit(x) for x in xs])
@@ -289,12 +298,20 @@ def generate(spark) -> None:
         # Spark still parallelizes over row groups)
         import glob
 
-        staging = f"{SF1_DIR}/_stg_{name}"
+        if only is not None and name not in only:
+            return
+        if not coalesce:
+            # engine-only probes (sf10): a DIRECTORY named
+            # <table>.parquet — parallel write, same reader path
+            df.write.mode("overwrite").parquet(f"{dest}/{name}.parquet")
+            print(f"  wrote {name} (dir)", flush=True)
+            return
+        staging = f"{dest}/_stg_{name}"
         df.coalesce(1).write.mode("overwrite").parquet(staging)
         part_file = glob.glob(f"{staging}/part-*.parquet")[0]
-        os.replace(part_file, f"{SF1_DIR}/{name}.parquet")
+        os.replace(part_file, f"{dest}/{name}.parquet")
         shutil.rmtree(staging)
-        print(f"  wrote {name}")
+        print(f"  wrote {name}", flush=True)
 
     k = F.col("id")
     day0 = F.lit("1995-01-01").cast("date")
