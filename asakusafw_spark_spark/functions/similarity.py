@@ -122,14 +122,32 @@ def cosine_near_dup(
     planes: int = 8,
     seed: int = 42,
     exact: bool = False,
+    max_bucket: "int | None" = 10_000,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: (id_a, id_b, sim) with sim ≥
     threshold, id_a < id_b.
 
     Default is LSH-bucketed (pairs scored only within a sign-bucket);
     ``exact=True`` scores all pairs (quadratic — small corpora only).
+
+    Scale contract (r16, found by the sf10 probe): the bucket self-join
+    is quadratic PER BUCKET and its parallelism is AT MOST 2^planes
+    keys, so ``planes`` is the scale knob — size it so expected bucket
+    ≈ n / 2^planes stays in the low thousands (the sf10 probe measured
+    200k vectors × planes=2 → four 50k-buckets → a 4-task ~5-billion-
+    pair join that never finishes; planes=11 over the same corpus runs
+    in seconds).  ``max_bucket`` (ON by default, same contract as
+    ``minhash_lsh_pairs`` / ``simhash_pairs``) DROPS any sign-bucket
+    larger than the cap before the join — an oversized bucket means the
+    hyperplanes carry no discriminative power for that region and the
+    join would melt down; the drop is observable (``_observe_cap``
+    metrics in the executed plan), never silent.  ``max_bucket=None``
+    restores the uncapped join.  No oracle corpus reaches the cap, so
+    the DuckDB twins stay exact without modelling it.
     """
     df = ensure_parallelism(df)
+    if max_bucket is not None and max_bucket < 2:
+        raise ValueError("max_bucket must be >= 2 (or None)")
     if exact:
         a = df.select(
             F.col(id_col).alias("id_a"),
@@ -150,6 +168,24 @@ def cosine_near_dup(
             _norm(F.col(vec_col)).alias("nrm"),
             _bucket_key(vec_col, planes, seed, dim).alias("bucket"),
         )
+        if max_bucket is not None:
+            from .dedup import _observe_cap, _persist
+
+            # bucketed feeds the count aggregate + both join sides —
+            # persist so the bucket-key expression evaluates once
+            bucketed = bucketed.transform(_persist)
+            counts = _observe_cap(
+                bucketed.groupBy("bucket").agg(
+                    F.count(F.lit(1)).alias("__n__")
+                ),
+                "cosine_near_dup",
+                max_bucket,
+            )
+            keep = counts.filter(F.col("__n__") <= max_bucket).select(
+                "bucket"
+            )
+            # ≤ 2^planes rows of (bucket) — always broadcastable
+            bucketed = bucketed.join(F.broadcast(keep), "bucket")
         a = bucketed.select(
             F.col("id").alias("id_a"), F.col("v").alias("va"),
             F.col("nrm").alias("__na"), "bucket",

@@ -216,6 +216,24 @@ def test_cosine_near_dup_exact_vs_lsh(spark):
     assert {(r.id_a, r.id_b) for r in lsh} <= {(1, 2)}
 
 
+def test_cosine_near_dup_bucket_cap(spark):
+    """max_bucket contract (r16, sf10 probe finding): the sign-bucket
+    self-join is quadratic per bucket with ≤2^planes-way parallelism,
+    so an oversized bucket (hyperplanes carry no discriminative power)
+    is DROPPED before the join, observably, instead of melting down."""
+    # 60 near-identical vectors: one direction → one bucket of 60
+    rows = [(i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    full = cosine_near_dup(df, threshold=0.9, planes=2, max_bucket=None)
+    assert full.count() == 60 * 59 / 2
+    capped = cosine_near_dup(df, threshold=0.9, planes=2, max_bucket=50)
+    assert capped.count() == 0  # the mega-bucket is dropped, not joined
+    import pytest
+
+    with pytest.raises(ValueError):
+        cosine_near_dup(df, max_bucket=1)
+
+
 def test_multimodal_extract_features(spark):
     rows = [
         (1, "image", b"\x89PNGfake", "image/png", 4, 4, None),

@@ -41,6 +41,7 @@ QUERIES = [
     "dedup_edit_distance",
     "training_pipeline",
     "embedding_dup_clusters",
+    "embedding_dup_clusters_scaled",
     "triangle_count",
     "url_canonical_dedup",
     "dedup_incremental",
@@ -49,6 +50,26 @@ QUERIES = [
     "dedup_minhash_lsh",
     "dedup_corpus_best",
 ]
+
+
+def _custom_queries():
+    """Scale-path variants the registered (oracle-pinned) queries can't
+    express: the registered embedding near-dup family pins planes=2 —
+    right for the near-orthogonal oracle corpora, quadratic at 200k
+    vectors (the probe's first run measured a 4-task ~5e9-pair join
+    that never finishes; now the max_bucket cap drops the 4 mega-
+    buckets observably).  The SCALE path is planes sized to the corpus
+    (2^planes ≈ n / low-thousands): planes=7 → 128 buckets × ~1.6k."""
+    from asakusafw_spark_spark.functions import cosine_near_dup, dup_clusters
+    from asakusafw_spark_spark.sources import read_parquet
+
+    def scaled_clusters(spark, sf):
+        emb = read_parquet(spark, f"{sf}/embeddings.parquet")
+        pairs = cosine_near_dup(emb, threshold=0.45, planes=7)
+        return dup_clusters(pairs, nodes=emb.select("vec_id"),
+                            node_col="vec_id")
+
+    return {"embedding_dup_clusters_scaled": scaled_clusters}
 
 TABLES_NEEDED = {"documents", "embeddings", "lineitem"}
 
@@ -66,6 +87,13 @@ def stage_totals(url: str, app: str) -> "tuple[int, int, int]":
 
 def main() -> int:
     out_json = sys.argv[1] if len(sys.argv) > 1 else "SCALING_sf10.json"
+    global SF10_DIR
+    if len(sys.argv) > 2:
+        # comparison mode: same probe, another corpus (e.g. the sf1
+        # synth) so per-row growth factors are engine-side and
+        # like-for-like (the sweep artifacts include oracle+hash
+        # harness time and can't be ratioed against noop runs)
+        SF10_DIR = sys.argv[2]
 
     import tools.sf1_partsupp_check as G
     from asakusafw_spark_spark.session import engine_builder
@@ -98,6 +126,7 @@ def main() -> int:
     url = spark.sparkContext.uiWebUrl
     app = spark.sparkContext.applicationId
     qs = E.queries()
+    qs.update(_custom_queries())
 
     from asakusafw_spark_spark.functions.dedup import (
         release_cached_intermediates,
