@@ -169,11 +169,16 @@ def cosine_near_dup(
             _bucket_key(vec_col, planes, seed, dim).alias("bucket"),
         )
         if max_bucket is not None:
-            from .dedup import _observe_cap, _persist
+            from .dedup import _observe_cap
 
-            # bucketed feeds the count aggregate + both join sides —
-            # persist so the bucket-key expression evaluates once
-            bucketed = bucketed.transform(_persist)
+            # NO persist here, deliberately: caching `bucketed` would
+            # make both self-join sides deserialize array<float>
+            # vectors from the in-memory columnar cache per pair row —
+            # measured 6× slower than the vectorized parquet scan on
+            # the 100M-pair sf1 join (348 s vs ~55 s).  The bucket key
+            # is a cheap fold; re-evaluating it on three consumers
+            # (count agg + both sides) costs three scans, which the
+            # quadratic join dwarfs.
             counts = _observe_cap(
                 bucketed.groupBy("bucket").agg(
                     F.count(F.lit(1)).alias("__n__")
