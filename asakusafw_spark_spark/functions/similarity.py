@@ -189,8 +189,19 @@ def cosine_near_dup(
             keep = counts.filter(F.col("__n__") <= max_bucket).select(
                 "bucket"
             )
-            # ≤ 2^planes rows of (bucket) — always broadcastable
-            bucketed = bucketed.join(F.broadcast(keep), "bucket")
+            # ≤ 2^planes rows of (bucket) — always broadcastable.
+            # LEFT SEMI, not inner (r16, sf1 6× regression): an inner
+            # join's size estimate is a product of both children, which
+            # inflated the pair-join inputs past the broadcast
+            # threshold and demoted it to a SortMergeJoin that replays
+            # the >4096-row buffered dup-key group from disk per probe
+            # row (299 s vs ~50 s at sf1).  A semi join's estimate
+            # stays = the left child, so Spark's size-based strategy
+            # survives the cap: BroadcastHashJoin while a side fits
+            # (probe parallelism = scan width, not bucket count),
+            # SMJ/SHJ beyond.  Same pattern as minhash_lsh_pairs /
+            # simhash_pairs keep-joins.
+            bucketed = bucketed.join(F.broadcast(keep), "bucket", "left_semi")
         a = bucketed.select(
             F.col("id").alias("id_a"), F.col("v").alias("va"),
             F.col("nrm").alias("__na"), "bucket",
