@@ -512,3 +512,22 @@ def test_ansi_grouping_sets_rejects_no_sets(spark):
     df = spark.range(1)
     with pytest.raises(ValueError, match="at least one grouping set"):
         ansi_grouping_sets(df, [], {"n": F.count(F.lit(1))})
+
+
+def test_cosine_near_dup_cap_keeps_broadcast_pair_join(spark, sf_dir):
+    """The max_bucket cap must not demote the pair self-join (r16): the
+    cap's keep-filter is a LEFT SEMI against the broadcast bucket list
+    precisely so the pair join's size estimate stays = the scan and
+    Spark's size-based BroadcastHashJoin survives at broadcast-size
+    corpora.  The original inner keep-join multiplied the estimate past
+    the threshold and the pair join fell to a SortMergeJoin replaying
+    the >4096-row buffered dup-key group from disk per probe row —
+    a 6x regression at sf1 (299 s vs ~50 s)."""
+    from asakusafw_spark_spark.functions import cosine_near_dup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cosine_near_dup(emb, threshold=0.45, planes=2, max_bucket=10_000)
+    plan = _plan(out)
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    # pair join + cap semi-join both lower to broadcast
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]

@@ -58,14 +58,26 @@ def _custom_queries():
     right for the near-orthogonal oracle corpora, quadratic at 200k
     vectors (the probe's first run measured a 4-task ~5e9-pair join
     that never finishes; now the max_bucket cap drops the 4 mega-
-    buckets observably).  The SCALE path is planes sized to the corpus
-    (2^planes ≈ n / low-thousands): planes=7 → 128 buckets × ~1.6k."""
+    buckets observably).  The SCALE path sizes planes to the corpus —
+    the cosine_near_dup docstring contract (2^planes ≈ n / low-
+    thousands) as code, so the probe measures the knob USED CORRECTLY:
+    candidate pairs ≈ n × bucket/2 grow LINEARLY in n at constant
+    bucket size (planes pinned across scales would re-measure the
+    documented n²/2^planes quadratic instead).  sf1 20k → planes=4
+    (16 × ~1.25k); sf10 200k → planes=7 (128 × ~1.6k)."""
+    import math
+
     from asakusafw_spark_spark.functions import cosine_near_dup, dup_clusters
     from asakusafw_spark_spark.sources import read_parquet
 
+    TARGET_BUCKET = 1_500
+
     def scaled_clusters(spark, sf):
         emb = read_parquet(spark, f"{sf}/embeddings.parquet")
-        pairs = cosine_near_dup(emb, threshold=0.45, planes=7)
+        n = emb.count()  # one cheap count-star scan, probe-only
+        planes = max(1, round(math.log2(max(n, 2) / TARGET_BUCKET)))
+        print(f"  [scaled_clusters: n={n} -> planes={planes}]", flush=True)
+        pairs = cosine_near_dup(emb, threshold=0.45, planes=planes)
         return dup_clusters(pairs, nodes=emb.select("vec_id"),
                             node_col="vec_id")
 
