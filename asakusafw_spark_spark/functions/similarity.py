@@ -131,19 +131,24 @@ def cosine_near_dup(
     ``exact=True`` scores all pairs (quadratic — small corpora only).
 
     Scale contract (r16, found by the sf10 probe): the bucket self-join
-    is quadratic PER BUCKET and its parallelism is AT MOST 2^planes
-    keys, so ``planes`` is the scale knob — size it so expected bucket
-    ≈ n / 2^planes stays in the low thousands (the sf10 probe measured
-    200k vectors × planes=2 → four 50k-buckets → a 4-task ~5-billion-
-    pair join that never finishes; planes=11 over the same corpus runs
-    in seconds).  ``max_bucket`` (ON by default, same contract as
-    ``minhash_lsh_pairs`` / ``simhash_pairs``) DROPS any sign-bucket
-    larger than the cap before the join — an oversized bucket means the
-    hyperplanes carry no discriminative power for that region and the
-    join would melt down; the drop is observable (``_observe_cap``
-    metrics in the executed plan), never silent.  ``max_bucket=None``
-    restores the uncapped join.  No oracle corpus reaches the cap, so
-    the DuckDB twins stay exact without modelling it.
+    is quadratic PER BUCKET, so ``planes`` is the primary scale knob —
+    size it so expected bucket ≈ n / 2^planes stays in the low
+    thousands (the sf10 probe measured 200k vectors × planes=2 → four
+    50k-buckets → a ~5-billion-pair join that never finishes; planes=7
+    over the same corpus runs in ~a minute).  ``max_bucket`` (ON by
+    default, same contract as ``minhash_lsh_pairs`` /
+    ``simhash_pairs``) DROPS any sign-bucket larger than the cap
+    before the join — an oversized bucket means the hyperplanes carry
+    no discriminative power for that region and the join would melt
+    down; the drop is observable (``_observe_cap`` metrics in the
+    executed plan), never silent.  Within the cap, the self-join is
+    SUB-BLOCKED (see the inline comment): per-bucket quadratic work is
+    decomposed into uniform ~``SUB_BLOCK``² cells keyed into the join,
+    so bucket-size skew cannot produce straggler tasks and dup-key
+    groups stay small enough for any join strategy.  ``max_bucket=
+    None`` restores the uncapped, un-blocked join.  No oracle corpus
+    reaches the cap, and sub-blocking only re-partitions the SAME pair
+    set, so the DuckDB twins stay exact without modelling either.
     """
     df = ensure_parallelism(df)
     if max_bucket is not None and max_bucket < 2:
@@ -186,31 +191,67 @@ def cosine_near_dup(
                 "cosine_near_dup",
                 max_bucket,
             )
+            # ≤ 2^planes rows of (bucket, g) — always broadcastable.
+            # SUB-BLOCKED self-join (r16, sf10 probe): the quadratic
+            # work of a bucket is single-task under a plain bucket
+            # equi-join (the stage had full width but 2.5× straggler
+            # skew at sf10; a cap-sized 10k bucket would be a ~50M-pair
+            # single task).  Each bucket splits into g = ceil(n/1024)
+            # hash sub-groups; side a replicates each row across the g
+            # partner sub-groups of b and vice versa, so the join key
+            # (bucket, __ca__, __cb__) makes every ~1024×1024 cell an
+            # independent, uniformly-sized unit of parallel work —
+            # bucket skew cannot straggle, and no join strategy can
+            # melt down on the ≤1024-row dup-key groups (the estimate-
+            # demoted SortMergeJoin of r16's first regression replayed
+            # a 5k-row buffered group from disk per probe row: 299 s vs
+            # ~50 s at sf1).  Small buckets degenerate to g=1 — one
+            # cell, zero replication, the original join.  Replication
+            # cost is g ≈ n/1024 rows per side per bucket, proportional
+            # to the pair work itself, never the corpus.
             keep = counts.filter(F.col("__n__") <= max_bucket).select(
-                "bucket"
+                "bucket",
+                F.ceil(F.col("__n__") / F.lit(SUB_BLOCK))
+                .cast("int")
+                .alias("__g__"),
             )
-            # ≤ 2^planes rows of (bucket) — always broadcastable.
-            # LEFT SEMI, not inner (r16, sf1 6× regression): an inner
-            # join's size estimate is a product of both children, which
-            # inflated the pair-join inputs past the broadcast
-            # threshold and demoted it to a SortMergeJoin that replays
-            # the >4096-row buffered dup-key group from disk per probe
-            # row (299 s vs ~50 s at sf1).  A semi join's estimate
-            # stays = the left child, so Spark's size-based strategy
-            # survives the cap: BroadcastHashJoin while a side fits
-            # (probe parallelism = scan width, not bucket count),
-            # SMJ/SHJ beyond.  Same pattern as minhash_lsh_pairs /
-            # simhash_pairs keep-joins.
-            bucketed = bucketed.join(F.broadcast(keep), "bucket", "left_semi")
-        a = bucketed.select(
-            F.col("id").alias("id_a"), F.col("v").alias("va"),
-            F.col("nrm").alias("__na"), "bucket",
-        )
-        b = bucketed.select(
-            F.col("id").alias("id_b"), F.col("v").alias("vb"),
-            F.col("nrm").alias("__nb"), "bucket",
-        )
-        pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+            bucketed = (
+                bucketed.join(F.broadcast(keep), "bucket")
+                .withColumn(
+                    "__sub__",
+                    F.pmod(
+                        F.xxhash64(F.col("id"), F.lit(seed)), F.col("__g__")
+                    ).cast("int"),
+                )
+            )
+            cells = F.explode(
+                F.sequence(F.lit(0), F.col("__g__") - 1)
+            )
+            a = bucketed.select(
+                F.col("id").alias("id_a"), F.col("v").alias("va"),
+                F.col("nrm").alias("__na"), "bucket",
+                F.col("__sub__").alias("__ca__"),
+                cells.alias("__cb__"),
+            )
+            b = bucketed.select(
+                F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                F.col("nrm").alias("__nb"), "bucket",
+                cells.alias("__ca__"),
+                F.col("__sub__").alias("__cb__"),
+            )
+            pairs = a.join(b, ["bucket", "__ca__", "__cb__"]).filter(
+                F.col("id_a") < F.col("id_b")
+            )
+        else:
+            a = bucketed.select(
+                F.col("id").alias("id_a"), F.col("v").alias("va"),
+                F.col("nrm").alias("__na"), "bucket",
+            )
+            b = bucketed.select(
+                F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                F.col("nrm").alias("__nb"), "bucket",
+            )
+            pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     return (
         pairs.withColumn(
             "sim",
@@ -232,6 +273,13 @@ def _plane_component(plane: int, dim: int, seed: int) -> float:
     h = int(hashlib.md5(f"{seed}:{plane}:{dim}".encode()).hexdigest()[:15], 16)
     return ((h % 2001) - 1000) / 1000.0
 
+
+#: sub-block side for the capped near-dup self-join: a bucket of n rows
+#: splits into ceil(n/1024) hash sub-groups so every join cell is a
+#: ~1024×1024 ≈ 1M-pair unit of work — big enough to amortize task
+#: overhead, small enough that the largest capped bucket (10k rows)
+#: becomes ~100 uniform cells instead of one 50M-pair straggler task.
+SUB_BLOCK = 1024
 
 MAX_DIM = 512
 

@@ -514,20 +514,28 @@ def test_ansi_grouping_sets_rejects_no_sets(spark):
         ansi_grouping_sets(df, [], {"n": F.count(F.lit(1))})
 
 
-def test_cosine_near_dup_cap_keeps_broadcast_pair_join(spark, sf_dir):
-    """The max_bucket cap must not demote the pair self-join (r16): the
-    cap's keep-filter is a LEFT SEMI against the broadcast bucket list
-    precisely so the pair join's size estimate stays = the scan and
-    Spark's size-based BroadcastHashJoin survives at broadcast-size
-    corpora.  The original inner keep-join multiplied the estimate past
-    the threshold and the pair join fell to a SortMergeJoin replaying
-    the >4096-row buffered dup-key group from disk per probe row —
-    a 6x regression at sf1 (299 s vs ~50 s)."""
+def test_cosine_near_dup_cap_sub_blocks_pair_join(spark, sf_dir):
+    """The capped pair self-join must be keyed on the sub-block cell
+    (bucket, __ca__, __cb__), not the bucket alone (r16, sf10 probe):
+    per-bucket quadratic work is single-task under a plain bucket
+    equi-join — the largest bucket straggles the stage (2.5× at sf10)
+    and a cap-sized 10k bucket is a ~50M-pair single task, which as an
+    estimate-demoted SortMergeJoin replayed its buffered dup-key group
+    from disk per probe row (299 s vs ~50 s at sf1).  Cell keys make
+    every unit of work a uniform ≤SUB_BLOCK² block and every dup-key
+    group ≤SUB_BLOCK rows.  Sub-blocking must also keep the result
+    IDENTICAL — same pair set, only re-partitioned."""
     from asakusafw_spark_spark.functions import cosine_near_dup
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = cosine_near_dup(emb, threshold=0.45, planes=2, max_bucket=10_000)
     plan = _plan(out)
-    assert "SortMergeJoin" not in plan, plan[:2000]
-    # pair join + cap semi-join both lower to broadcast
-    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "__ca__" in plan and "__cb__" in plan, plan[:2000]
+    capped = {(r.id_a, r.id_b) for r in out.collect()}
+    plain = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_dup(
+            emb, threshold=0.45, planes=2, max_bucket=None
+        ).collect()
+    }
+    assert capped == plain and capped
