@@ -4600,17 +4600,35 @@ _DUCK_COSINE = (
 )
 
 
+def _duck_null_faithful_sim(sim_expr: str, a: str, b: str) -> str:
+    """Wrap a DuckDB cosine so a null ELEMENT in either vector yields
+    NULL, mirroring Spark's fold propagation (r16): DuckDB's
+    list_sum/list_aggregate SKIP null elements (SUM semantics) and
+    would fabricate a partial dot where the engine has NULL.  Whole-
+    NULL vectors already yield NULL on both sides.  Paired with the
+    engine's _rank_topk contract (NULL sim = unscorable = dropped
+    before ranking), and with NULLS-LAST DESC ordering — the default
+    in BOTH engines — wherever NULL-faithful sims feed a ranking."""
+    has_null = (
+        f"(len(list_filter({a}, e -> e IS NULL)) > 0"
+        f" OR len(list_filter({b}, e -> e IS NULL)) > 0)"
+    )
+    return f"(CASE WHEN {has_null} THEN NULL ELSE {sim_expr} END)"
+
+
 def _duck_bruteforce_sql(k: int = 5, nq: int = 10) -> str:
     return f"""
         WITH q AS (SELECT vec_id AS query_id, {_duck_vec('embedding')} AS qv
                    FROM embeddings WHERE vec_id < {nq}),
         c AS (SELECT vec_id AS neighbor_id, {_duck_vec('embedding')} AS cv
               FROM embeddings),
-        s AS (SELECT query_id, neighbor_id, {_DUCK_COSINE} AS sim
+        s AS (SELECT query_id, neighbor_id,
+                     {_duck_null_faithful_sim(_DUCK_COSINE, 'qv', 'cv')} AS sim
               FROM q, c WHERE query_id <> neighbor_id)
         SELECT query_id, neighbor_id, sim FROM (
           SELECT *, row_number() OVER (PARTITION BY query_id
                     ORDER BY sim DESC, neighbor_id ASC) AS rn FROM s
+          WHERE sim IS NOT NULL
         ) WHERE rn <= {k}
     """
 
@@ -4628,10 +4646,11 @@ def _duck_bucket_expr(vec_expr: str, planes: int = 6, seed: int = 42, dim: int =
 
 
 def _duck_ivf_sql(k: int = 5, nq: int = 10, n_centroids: int = 8, nprobe: int = 2) -> str:
-    cos_qc = (
+    cos_qc = _duck_null_faithful_sim(
         "round(list_sum(list_transform(list_zip(qv, cv), p -> p[1]*p[2]))"
         " / (sqrt(list_sum(list_transform(qv, x -> x*x)))"
-        " * sqrt(list_sum(list_transform(cv, x -> x*x)))), 6)"
+        " * sqrt(list_sum(list_transform(cv, x -> x*x)))), 6)",
+        "qv", "cv",
     )
     cos_nc = cos_qc.replace("qv", "nv")
     return f"""
@@ -4654,14 +4673,18 @@ def _duck_ivf_sql(k: int = 5, nq: int = 10, n_centroids: int = 8, nprobe: int = 
                        ORDER BY {cos_qc} DESC, cents.cid ASC) AS pr
             FROM q, cents) WHERE pr <= {nprobe}),
         s AS (SELECT query_id, neighbor_id,
-                     round(list_sum(list_transform(list_zip(qv, nv), p -> p[1]*p[2]))
-                       / (sqrt(list_sum(list_transform(qv, x -> x*x)))
-                        * sqrt(list_sum(list_transform(nv, x -> x*x)))), 6) AS sim
+                     {_duck_null_faithful_sim(
+                         "round(list_sum(list_transform(list_zip(qv, nv), p -> p[1]*p[2]))"
+                         " / (sqrt(list_sum(list_transform(qv, x -> x*x)))"
+                         " * sqrt(list_sum(list_transform(nv, x -> x*x)))), 6)",
+                         "qv", "nv",
+                     )} AS sim
               FROM qprobe JOIN cassign USING (cid)
               WHERE query_id <> neighbor_id)
         SELECT query_id, neighbor_id, sim FROM (
           SELECT *, row_number() OVER (PARTITION BY query_id
                     ORDER BY sim DESC, neighbor_id ASC) AS rn FROM s
+          WHERE sim IS NOT NULL
         ) WHERE rn <= {k}
     """
 
@@ -4687,10 +4710,13 @@ def _duck_lsh_ann_sql(
                   FROM cb JOIN qb USING (tbl, bucket)
                   WHERE query_id <> neighbor_id
                   GROUP BY query_id, neighbor_id),
-        s AS (SELECT query_id, neighbor_id, {_DUCK_COSINE} AS sim FROM pairs)
+        s AS (SELECT query_id, neighbor_id,
+                     {_duck_null_faithful_sim(_DUCK_COSINE, 'qv', 'cv')} AS sim
+              FROM pairs)
         SELECT query_id, neighbor_id, sim FROM (
           SELECT *, row_number() OVER (PARTITION BY query_id
                     ORDER BY sim DESC, neighbor_id ASC) AS rn FROM s
+          WHERE sim IS NOT NULL
         ) WHERE rn <= {k}
     """
 
@@ -5136,7 +5162,17 @@ def _duck_near_dup_sql(threshold: float = 0.9, planes: int = 6) -> str:
         WITH b AS MATERIALIZED (
             SELECT vec_id AS id, {vec} AS v,
                    sqrt(list_sum(list_transform({vec}, x -> x*x))) AS nrm,
-                   {bucket} AS bucket FROM embeddings),
+                   {bucket} AS bucket FROM embeddings
+            -- null-ELEMENT vectors excluded (r16, extreme/combined
+            -- corpora): the engine buckets them but their sim is NULL
+            -- (null propagates through the dot/norm folds) so they can
+            -- never emit a pair; DuckDB's list_dot_product ERRORS on a
+            -- list containing NULL instead of returning NULL, so the
+            -- twin drops those rows up front.  Whole-NULL vectors stay:
+            -- list_dot_product(NULL, v) is NULL on this side and the
+            -- sim filter drops them, same as the engine.
+            WHERE embedding IS NULL
+               OR len(list_filter(embedding, e -> e IS NULL)) = 0),
         pairs AS (SELECT a.id AS id_a, b2.id AS id_b, a.v AS qv, b2.v AS cv,
                          a.nrm AS na, b2.nrm AS nb
                   FROM b a JOIN b b2 USING (bucket) WHERE a.id < b2.id)

@@ -106,9 +106,29 @@ def brute_force_topk(
         )
         .select("query_id", "neighbor_id", "sim")
     )
-    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return _rank_topk(scored, k)
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k of (query_id, neighbor_id, sim) by
+    (sim DESC, neighbor_id ASC) — the shared tail of every ANN entry
+    point.
+
+    Unscorable candidates are NOT neighbors (r16 contract): a NULL sim
+    — a null-element or whole-NULL vector on either side propagates
+    through the dot/norm folds — is dropped before ranking.  Spark's
+    DESC sort puts NULLs last, so they would surface exactly when a
+    query has < k finite candidates (LSH bucket tails); and the DuckDB
+    twins cannot represent them — list_sum SKIPS null elements and
+    would fabricate a partial dot where the engine has NULL.  NaN sims
+    stay: both engines rank NaN above every finite value, consistently
+    (r15 extremes gate)."""
+    w = W.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        scored.filter(F.col("sim").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
@@ -413,12 +433,7 @@ def lsh_ann_topk(
             F.col("q_vec"), F.col("c_vec"), F.col("__qn"), F.col("__cn")
         ),
     ).select("query_id", "neighbor_id", "sim")
-    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
-    )
+    return _rank_topk(scored, k)
 
 
 def label_centroids(
@@ -671,13 +686,8 @@ def ivf_topk(
         .withColumn("sim", sim)
         .select("query_id", "neighbor_id", "sim")
     )
-    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     stage1_k = k if rerank is None else rerank * k
-    top = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= stage1_k)
-        .drop("rn")
-    )
+    top = _rank_topk(scored, stage1_k)
     if rerank is None:
         return top
     # stage 2: exact float re-score of the ≤ m×k candidates per query —
@@ -705,11 +715,7 @@ def ivf_topk(
         )
         .select("query_id", "neighbor_id", "sim")
     )
-    return (
-        exact.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
-    )
+    return _rank_topk(exact, k)
 
 
 def _int8_codes(vec: Column) -> Column:
@@ -845,9 +851,4 @@ def quantized_topk(
         )
         .select("query_id", "neighbor_id", "sim")
     )
-    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
-    )
+    return _rank_topk(scored, k)
