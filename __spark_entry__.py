@@ -186,24 +186,31 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
 
-    # master_join chain: lineitem←orders←customer←nation (masters broadcast)
+    # master_join chain: lineitem←orders←customer←nation (masters broadcast).
+    # unique_master: all three master keys are PKs, so the per-master
+    # min_by dedupe aggregate is pure overhead — skipping it removes one
+    # shuffle per master (3 Exchanges total, r16; guide §2.4) and matches
+    # the oracle twin (a plain JOIN) even more directly.
     li_ord = master_join(
         orders.select("o_orderkey", "o_custkey"),
         lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
         [("o_orderkey", "l_orderkey")],
         strategy="broadcast",
+        unique_master=True,
     )["joined"]
     with_cust = master_join(
         customer.select("c_custkey", "c_nationkey"),
         li_ord,
         [("c_custkey", "o_custkey")],
         strategy="broadcast",
+        unique_master=True,
     )["joined"]
     with_nation = master_join(
         nation.select("n_nationkey", "n_name"),
         with_cust,
         [("n_nationkey", "c_nationkey")],
         strategy="broadcast",
+        unique_master=True,
     )["joined"]
     rev = update(
         with_nation,
@@ -3102,6 +3109,22 @@ def q_summarize_q1(spark, sf):
             * (1 + F.col("l_tax")),
         }
     )
+    # ONE aggregate (r16, guide §2.4): the count/max/min block and the
+    # exact-decimal sums used to be two groupBys over the same scan glued
+    # by a null-safe join — 2 Exchanges + 2 scans + a BroadcastHashJoin
+    # for what is a single GROUP BY.  The decimal casts move into
+    # pre-projected columns so @Summarize's SUM kind accumulates the
+    # exact decimals (identical expression tree to the old _dsum), and
+    # the join disappears; null-key groups come out of the single
+    # groupBy exactly as the oracle's single GROUP BY emits them.
+    li = li.withColumns(
+        {
+            "__qty_dec": F.col("l_quantity").try_cast("decimal(27,2)"),
+            "__price_dec": F.col("l_extendedprice").try_cast("decimal(27,2)"),
+            "__disc_dec": F.col("disc_price").try_cast("decimal(27,6)"),
+            "__charge_dec": F.col("charge").try_cast("decimal(27,6)"),
+        }
+    )
     out = summarize(
         li,
         ["l_returnflag", "l_linestatus"],
@@ -3109,27 +3132,23 @@ def q_summarize_q1(spark, sf):
             "count_order": ("count", "l_quantity"),
             "max_qty": ("max", "l_quantity"),
             "min_price": ("min", "l_extendedprice"),
+            "sum_qty": ("sum", "__qty_dec"),
+            "sum_base_price": ("sum", "__price_dec"),
+            "sum_disc_price": ("sum", "__disc_dec"),
+            "sum_charge": ("sum", "__charge_dec"),
         },
     )
-    sums = li.groupBy(
-        F.col("l_returnflag").alias("__rf"), F.col("l_linestatus").alias("__ls")
-    ).agg(
-        _dsum(F.col("l_quantity"), 2).alias("sum_qty"),
-        _dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
-        _dsum(F.col("disc_price")).alias("sum_disc_price"),
-        _dsum(F.col("charge")).alias("sum_charge"),
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        "count_order",
+        "max_qty",
+        "min_price",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_base_price").cast("double").alias("sum_base_price"),
+        F.col("sum_disc_price").cast("double").alias("sum_disc_price"),
+        F.col("sum_charge").cast("double").alias("sum_charge"),
     )
-    # NULL-SAFE join on the group keys: a plain equi-join silently drops
-    # null-key groups that BOTH aggregates produce (SQL null equality),
-    # diverging from the oracle's single GROUP BY on null-bearing
-    # corpora — caught by the r13 null-injected oracle sweep
-    return out.join(
-        sums,
-        on=[
-            out["l_returnflag"].eqNullSafe(F.col("__rf")),
-            out["l_linestatus"].eqNullSafe(F.col("__ls")),
-        ],
-    ).drop("__rf", "__ls")
 
 
 def q_fold(spark, sf):

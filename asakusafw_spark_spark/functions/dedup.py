@@ -842,36 +842,43 @@ def dup_clusters(
             .union(raw.select(F.col("dst").alias("n")))
             .distinct()
         )
+
+    def ck_digest(df: DataFrame) -> "tuple[DataFrame, int, object]":
+        # Checkpoint + convergence probe in ONE job (r16 optimization,
+        # guide §1.2-1 "don't compute things twice"): the probe — edge
+        # count plus an order-insensitive exact-sum of a 64-bit edge
+        # hash (decimal sum, no ANSI overflow) — rides the eager
+        # localCheckpoint materialization as a named observation, so
+        # each round runs ONE pass over the edge set instead of
+        # checkpoint + a second digest scan (2 jobs → 1 job per round;
+        # at scale, one full edge-set read per round saved).  Rounds
+        # whose edge set changed almost surely differ in the digest, so
+        # the EXACT set-equality join below runs only at the true
+        # fixpoint instead of on every count-plateau round.
+        from pyspark.sql import Observation
+
+        obs = Observation(f"cc_digest_{next(_OBS_SEQ)}")
+        ck = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).localCheckpoint(eager=True)
+        m = obs.get
+        return ck, m["n"], m["h"]
+
     # canonical form: src > dst, self-loops dropped, set semantics
-    edges = (
+    edges, n_edges, h_edges = ck_digest(
         raw.select(
             F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
         )
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-
-    def digest(df: DataFrame) -> tuple:
-        # ONE narrow agg job returns the convergence probe: edge count
-        # plus an order-insensitive exact-sum of a 64-bit edge hash
-        # (decimal sum — no ANSI overflow).  Rounds whose edge set
-        # changed almost surely differ here, so the EXACT set-equality
-        # join below runs only at the true fixpoint instead of on every
-        # count-plateau round — one driver-visible job per round saved.
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
-        ).first()
-        return row["n"], row["h"]
-
-    n_edges, h_edges = digest(edges)
     converged = n_edges == 0
     rounds = 0
     while not converged and rounds < max_rounds:
         rounds += 1
-        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        new_count, new_hash = digest(new_edges)
+        new_edges, new_count, new_hash = ck_digest(_small_star(_large_star(edges)))
         # digest match → confirm set equality exactly (both distinct
         # sets, equal size, B \ A == ∅); the hash pre-filter makes a
         # false trigger of this join astronomically rare, never wrong

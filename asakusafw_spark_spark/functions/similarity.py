@@ -796,7 +796,11 @@ def quantize_embeddings(
         ),
         F.lit(False),
     )
-    return df.filter(finite).select(
+    # spread the per-vector quantization math (array transform + clamp
+    # per component) across the cluster when the source scan is narrower
+    # than it — a single-file embeddings table otherwise quantizes on
+    # one core (r16, guide §2.5 input-side narrowness; no-op at scale)
+    return ensure_parallelism(df).filter(finite).select(
         F.col(id_col),
         _int8_codes(vec).alias("codes"),
         F.when(maxabs > 0.0, maxabs / F.lit(127.0)).otherwise(F.lit(0.0)).alias("inv_scale"),

@@ -145,6 +145,13 @@ def analyze_table(
     slim column lists).  min/max are rendered as strings so mixed
     column types share one report schema.
     """
+    from .dedup import ensure_parallelism
+
+    # spread the aggregate's map side when the scan is narrower than the
+    # cluster: a small single-file table otherwise runs the whole
+    # multi-column distinct/min/max partial aggregation on one core
+    # (r16, guide §2.5; no-op on wide scans, i.e. always at 100 TB)
+    df = ensure_parallelism(df)
     cols = list(columns) if columns is not None else list(df.columns)
     ndv = (
         (lambda c: F.countDistinct(F.col(c)))
