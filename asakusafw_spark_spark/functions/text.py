@@ -655,7 +655,11 @@ def bigram_lm_score(
     is two hash aggregates over slim (w₁, w₂) pairs; scoring is two
     keyed equi-joins (doc-bigrams → bigram counts → unigram counts)
     plus a 1-row broadcast for V; the final score is one aggregate per
-    document.  Docs with < 2 tokens score NULL with n_bigrams = 0.
+    document.  Docs with < 2 tokens score NULL with n_bigrams = 0 —
+    carried through the SAME exploded stream (the doc pass keeps
+    explode_outer's one null-pair row per empty-bigram doc, flagged
+    ``__real__``), so no third corpus scan / distinct-ids join is
+    needed to resurrect them.
     """
     src = train_df if train_df is not None else df
 
@@ -672,16 +676,21 @@ def bigram_lm_score(
             ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
             .alias("__bg__"),
         )
-        # explode_outer + null-drop — see vocab_top_k; single-token docs
-        # have an empty bigram array
+        # explode_outer — see vocab_top_k; empty bigram arrays yield one
+        # (null) row.  The TRAIN pass drops it (pure pair stream); the
+        # DOC pass keeps it as the zero-bigram doc's representative row
+        # (null join keys match nothing in the left joins below).
         ex = t.select(
             *([F.col(id_col)] if keep_id else []),
             F.explode_outer("__bg__").alias("__p__"),
-        ).where(F.col("__p__").isNotNull())
+        )
+        if not keep_id:
+            ex = ex.where(F.col("__p__").isNotNull())
         return ex.select(
             *([F.col(id_col)] if keep_id else []),
             F.col("__p__.w1").alias("w1"),
             F.col("__p__.w2").alias("w2"),
+            *([F.col("__p__").isNotNull().alias("__real__")] if keep_id else []),
         )
 
     train_bg = bigrams(src, keep_id=False)
@@ -703,33 +712,35 @@ def bigram_lm_score(
         .join(F.broadcast(vocab))
         .select(
             F.col(id_col),
-            F.round(
-                F.log(
-                    (F.coalesce(F.col("__c12__"), F.lit(0)).cast("double") + F.lit(k))
-                    / (
-                        F.coalesce(F.col("__c1__"), F.lit(0)).cast("double")
-                        + F.lit(k) * F.col("__v__")
-                    )
+            F.col("__real__"),
+            # guarded on __real__: the zero-bigram representative row must
+            # not score ln(k/(k·V)) out of its coalesced-to-0 counts
+            F.when(
+                F.col("__real__"),
+                F.round(
+                    F.log(
+                        (
+                            F.coalesce(F.col("__c12__"), F.lit(0)).cast("double")
+                            + F.lit(k)
+                        )
+                        / (
+                            F.coalesce(F.col("__c1__"), F.lit(0)).cast("double")
+                            + F.lit(k) * F.col("__v__")
+                        )
+                    ),
+                    6,
                 ),
-                6,
             ).alias("__logp__"),
         )
     )
-    agg = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        (
+    n_real = F.count(F.when(F.col("__real__"), F.lit(1)))
+    return scored.groupBy(id_col).agg(
+        n_real.alias("n_bigrams"),
+        F.when(
+            n_real > 0,
             F.sum(F.col("__logp__").try_cast("decimal(27,6)")).cast("double")
-            / F.count(F.lit(1))
+            / n_real,
         ).alias("lm_score"),
-    )
-    ids = df.select(id_col).distinct()
-    return (
-        ids.join(agg, [id_col], "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias("n_bigrams"),
-            F.col("lm_score"),
-        )
     )
 
 
