@@ -1236,11 +1236,16 @@ def q5_local_supplier_volume(spark, sf):
     ←supplier) closed by an equality between two dimension branches.
 
     Plan shape at scale: every dimension broadcasts (region, nation,
-    customer, supplier), the orders↔lineitem fact join runs under
-    strategy "auto" (AQE broadcasts at test SF, sort-merge at real
-    volume), and the single fact table never shuffles more than once.
-    All masters are PK'd → unique_master=True skips the min_by
-    pre-reductions entirely.
+    customer, supplier), the orders↔lineitem fact join is pinned
+    sort-merge ("shuffled") — the scale-correct strategy (the filtered
+    orders chain is a year × a region of orders: far over any broadcast
+    cap at volume), and under "auto" Catalyst's inflated join-output
+    estimate picked the WRONG broadcast side at test SF (it collected
+    the 600k-row lineitem scan as the build side; measured 2.01 s auto
+    vs 1.77 s shuffled vs 1.56 s broadcast-the-master, r16).  Both SMJ
+    children are bare shuffles (unique_master) so AQE's skew split
+    stays eligible.  All masters are PK'd → unique_master=True skips
+    the min_by pre-reductions entirely.
     """
     region = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
     nat = master_join(
@@ -1276,7 +1281,7 @@ def q5_local_supplier_volume(spark, sf):
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
     li_o = master_join(
-        ord_n, li, [("o_orderkey", "l_orderkey")], strategy="auto",
+        ord_n, li, [("o_orderkey", "l_orderkey")], strategy="shuffled",
         unique_master=True,
     )["joined"]
     li_s = master_join(
