@@ -4161,6 +4161,7 @@ def q_iterative_rounds(spark, sf):
             _t(sp, sf, "customer").select("c_custkey", "c_nationkey", "c_mktsegment"),
             _t(sp, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
             [("c_custkey", "o_custkey")],
+            unique_master=True,  # c_custkey is the customer PK
             mapping={
                 "o_totalprice": "t.o_totalprice",
                 "c_nationkey": "m.c_nationkey",
@@ -4218,6 +4219,7 @@ def q_iterative_transactional_output(spark, sf):
             _t(sp, sf, "customer").select("c_custkey", "c_nationkey", "c_mktsegment"),
             _t(sp, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
             [("c_custkey", "o_custkey")],
+            unique_master=True,  # c_custkey is the customer PK
             mapping={
                 "o_totalprice": "t.o_totalprice",
                 "c_nationkey": "m.c_nationkey",
