@@ -937,9 +937,14 @@ def write_zordered(
     spark = df.sparkSession
     n_buckets = 1 << bits
     fractions = [i / n_buckets for i in range(1, n_buckets)]
+    # ONE quantile job for every clustered column (the list form of
+    # approxQuantile shares a single pass) — per-column calls cost one
+    # full scan each
+    all_cuts = df.stat.approxQuantile(
+        list(cols), fractions, 1.0 / (4 * n_buckets)
+    )
     zcols = []
-    for c in cols:
-        cuts = df.stat.approxQuantile(c, fractions, 1.0 / (4 * n_buckets))
+    for c, cuts in zip(cols, all_cuts):
         # de-dup plateaus (heavy ties) so the CASE tree stays strict
         uniq: list[float] = []
         for x in cuts:
