@@ -467,7 +467,11 @@ def cogroup(
     (exactly one record — the FAST path for aggregation-style cogroups:
     the engine batches dicts into one frame per Arrow batch instead of
     paying a DataFrame constructor + concat per group), or ``None``
-    (no output for this key).
+    (no output for this key).  Group frames are positional slices of
+    the Arrow batch: their ROW INDEX is an unspecified implementation
+    detail — address rows with ``.iloc``, never by index label (the
+    per-group ``reset_index`` this contract replaces was half the
+    per-group overhead).
     For M logical outputs, include a tag column and split with
     :func:`~asakusafw_spark_spark.operators.record.branch` downstream
     (same trick the reference plays with branch keys).
@@ -619,7 +623,11 @@ def cogroup(
             groups = []
             for i in range(n_in):
                 lo, hi = np.searchsorted(gtags, [i, i + 1])
-                groups.append(subs[i].iloc[a + lo : a + hi].reset_index(drop=True))
+                # plain positional slice — the group frame's row index is
+                # an unspecified implementation detail (use .iloc);
+                # skipping the per-group reset_index halves the per-group
+                # overhead (measured 212 → 109 µs/group, r16)
+                groups.append(subs[i].iloc[a + lo : a + hi])
             out = fn(key_vals, *groups)
             if out is None:
                 continue
@@ -785,11 +793,9 @@ def _cogroup_chunked(
                 for i in range(n_in):
                     lo, hi = np.searchsorted(gtags, [i, i + 1])
                     if hi > lo:
-                        yield (
-                            key_vals,
-                            i,
-                            subs[i].iloc[a + lo : a + hi].reset_index(drop=True),
-                        )
+                        # positional slice; chunk row index unspecified
+                        # (use .iloc) — see the batch emit path
+                        yield (key_vals, i, subs[i].iloc[a + lo : a + hi])
 
     def grouped(piece_iter):
         """(key, lazy chunk generator) per group; the generator pulls
