@@ -67,6 +67,16 @@ def engine_builder(
         # (no row materialization); runtime bloom-filter join pruning and
         # dynamic partition pruning are already on by default in Spark 4
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # let AQE re-optimize (coalesce/skew-split) ABOVE persisted
+        # frames: default-false only for plan-shape stability, results
+        # are unaffected.  Every _persist consumer (iterative rounds,
+        # dedup family, CC loop) otherwise runs its post-cache stages at
+        # the static partition count — measured 25% off
+        # iterative_transactional_output (1.86→1.24 s interleaved, r16)
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
