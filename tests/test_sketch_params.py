@@ -151,20 +151,37 @@ def test_kll_merge_agg_default_downgrades_k_when_multipartition(spark):
     table spans multiple partitions, silently downgrading a k=800
     build — and partitioning-DEPENDENTLY (the coalesce(1) path keeps
     800).  Kept as a canary: if a Spark upgrade fixes the default,
-    this flips and the column-name k plumbing can be simplified."""
+    this flips and the column-name k plumbing can be simplified.
+
+    Since r16 the engine session lets AQE re-plan above cached frames
+    (canChangeCachedPlanOutputPartitioning=true), which at this toy
+    size coalesces the 2-partition sketch table to ONE partition and so
+    HIDES the downgrade (k stays 800 — an accuracy improvement, and the
+    very behavior that conf was adopted for).  The canary therefore
+    pins the underlying Spark behavior with AQE coalescing disabled:
+    at real scale a sketch table spans partitions no coalesce removes,
+    so the explicit-k plumbing is still required."""
     vals = spark.range(100_000).select(
         F.col("id").cast("double").alias("v"), (F.col("id") % 2).alias("half")
     )
-    sk = vals.groupBy("half").agg(
-        F.kll_sketch_agg_double("v", F.lit(800)).alias("qs")
-    ).cache()
-    m_default = sk.agg(F.kll_merge_agg_double("qs").alias("m")).first()["m"]
-    m_one_part = sk.coalesce(1).agg(
-        F.kll_merge_agg_double("qs").alias("m")
-    ).first()["m"]
-    assert _kll_header_k(m_default) == 200  # the downgrade
-    assert _kll_header_k(m_one_part) == 800  # ...and its partition dependence
-    sk.unpersist()
+    # the conf must be off BEFORE .cache(): the cached plan snapshots
+    # the session conf at registration, not at first materialization
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key)
+    spark.conf.set(coalesce_key, "false")
+    try:
+        sk = vals.groupBy("half").agg(
+            F.kll_sketch_agg_double("v", F.lit(800)).alias("qs")
+        ).cache()
+        m_default = sk.agg(F.kll_merge_agg_double("qs").alias("m")).first()["m"]
+        m_one_part = sk.coalesce(1).agg(
+            F.kll_merge_agg_double("qs").alias("m")
+        ).first()["m"]
+        assert _kll_header_k(m_default) == 200  # the downgrade
+        assert _kll_header_k(m_one_part) == 800  # ...and its partition dependence
+        sk.unpersist()
+    finally:
+        spark.conf.set(coalesce_key, prev)
 
 
 def test_kll_merge_preserves_build_k_when_pinned(spark):
