@@ -142,6 +142,84 @@ def _observe_cap(counts: DataFrame, family: str, max_bucket: int) -> DataFrame:
     )
 
 
+def _bucket_pairs(ids: Column) -> Column:
+    """All index pairs ``struct(a, b)`` (i < j) from a bucket's id array —
+    the LOCAL equivalent of the capped bucket self-join (r17, guide §2.4):
+    arrays are bounded by ``max_bucket``, so the per-bucket quadratic pair
+    expansion happens inside one task over one array instead of through a
+    sort-merge self-join's exchange.  Orientation/strictness (id_a < id_b)
+    is applied by the caller via least/greatest + a strict filter, which
+    also drops equal-id pairs exactly like the old join's ``a.id < b.id``
+    condition."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids) - i - 1),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+
+
+def _capped_bucket_arrays(
+    banded: DataFrame,
+    keys: "list[str]",
+    family: str,
+    max_bucket: int,
+    width: int,
+    collect: Column,
+    require_pairable: bool = True,
+) -> DataFrame:
+    """Per-bucket row arrays for capped candidate generation in ONE
+    width-pinned exchange (r17, guide §2.4 "remove shuffles outright").
+
+    Replaces the r10 shape — counts aggregate + broadcast keep semi-join +
+    bucket self-join (two passes over the banded rows, a persisted
+    intermediate, 2-3 exchanges) — with: repartition by the bucket keys
+    (an AQE-exempt user shuffle, so the quadratic pair explode downstream
+    never inherits a bytes-coalesced width — the r13/r14
+    narrow-stage-inheritance class), a window count per bucket, the cap
+    observation (same ``dropped_buckets`` / ``largest_bucket`` metrics,
+    row-level form), the cap filter, and a bounded ``collect_list``
+    (<= ``max_bucket`` elements per bucket BY CONSTRUCTION — the filter
+    runs below the collect, so an over-cap mega-bucket is dropped while
+    its per-task state is still O(1) window-count state, never an
+    O(bucket) array).  Documented trade: a pathological over-cap bucket's
+    slim rows now cross this one exchange before being dropped (the
+    window sort spills to disk) where the old shape dropped them map-side
+    after a separate counts pass — in exchange every healthy corpus pays
+    one banded pass and one shuffle instead of two passes, a cache and a
+    join.
+
+    ``require_pairable`` adds the ``__n__ >= 2`` cut (semantically free
+    for self-join families: singleton buckets yield no pairs); the
+    corpus-history variant keeps singletons (one history row can still
+    match batch rows).
+    """
+    kc = [F.col(k) for k in keys]
+    w = W.partitionBy(*kc)
+    rows = banded.repartition(width, *kc).select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("__n__"),
+        # rn marks exactly one row per bucket so the observation can
+        # count BUCKETS from row-level metrics; ordering by the
+        # partition keys themselves adds nothing to the window sort
+        F.row_number().over(w.orderBy(*kc)).alias("__rn__"),
+    )
+    rows = rows.observe(
+        f"{family}_bucket_cap_{next(_OBS_SEQ)}",
+        F.sum(
+            ((F.col("__n__") > max_bucket) & (F.col("__rn__") == 1)).cast("long")
+        ).alias("dropped_buckets"),
+        F.max("__n__").alias("largest_bucket"),
+    )
+    cond = F.col("__n__") <= max_bucket
+    if require_pairable:
+        cond = cond & (F.col("__n__") >= 2)
+    return rows.filter(cond).groupBy(*kc).agg(collect.alias("__ids__"))
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Spread compute-heavy per-row work across the cluster.
 
@@ -396,37 +474,53 @@ def minhash_lsh_pairs(
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
     if max_bucket is not None:
-        # __n__ >= 2 is semantically free (a singleton bucket yields no
-        # pairs) and prunes the majority of banded rows — typically most
-        # buckets — from BOTH sides of the candidate self-join shuffle.
-        # banded feeds three consumers (keep aggregate + both join
-        # sides) — persist so the band explode runs once.
-        banded = banded.transform(_persist)
-        counts = _observe_cap(
-            banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__n__")),
-            "minhash_lsh",
-            max_bucket,
+        # r17 (guide §2.4): capped candidate generation in ONE
+        # width-pinned exchange — see _capped_bucket_arrays.  The pair
+        # dedup rides a SECOND width-pinned hash exchange on
+        # (id_a, id_b): pinning the width here (instead of the old
+        # dropDuplicates + round-robin repartition pair) both keeps the
+        # verify stage wide (r14, SCALING.md round 14: AQE coalesces
+        # the slim id-pair shuffle by BYTES and the array_intersect
+        # verify inherited 1-2 partitions — sf1 probe 19.5 vs 9.3 s)
+        # and removes one exchange (the aggregate reuses the pinned
+        # partitioning).
+        width = _verify_width(df)
+        bkt = _capped_bucket_arrays(
+            banded, ["band", "key"], "minhash_lsh", max_bucket, width,
+            F.collect_list("id"),
         )
-        keep = counts.filter(
-            (F.col("__n__") >= 2) & (F.col("__n__") <= max_bucket)
-        ).select("band", "key")
-        banded = banded.join(keep, ["band", "key"], "left_semi")
-
-    a = banded.alias("a")
-    b = banded.alias("b")
-    # explicit post-dedup width (r14, SCALING.md round 14): AQE
-    # coalesces the slim id-pair shuffle by BYTES and the verify joins
-    # inherit that width, serializing the array_intersect verify —
-    # the sf1 coalesce-off probe measured this query 19.5 vs 9.3 s.
-    # A user repartition is AQE-exempt; the extra id-pair shuffle is
-    # trivially cheap at every scale.
-    cand = (
-        a.join(b, on=[F.col("a.band") == F.col("b.band"), F.col("a.key") == F.col("b.key")])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .repartition(_verify_width(df))
-    )
+        cand = (
+            bkt.select(F.explode(_bucket_pairs(F.col("__ids__"))).alias("__p__"))
+            .select(
+                F.least("__p__.a", "__p__.b").alias("id_a"),
+                F.greatest("__p__.a", "__p__.b").alias("id_b"),
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .repartition(width, "id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        a = banded.alias("a")
+        b = banded.alias("b")
+        # explicit post-dedup width (r14, SCALING.md round 14): AQE
+        # coalesces the slim id-pair shuffle by BYTES and the verify
+        # joins inherit that width, serializing the array_intersect
+        # verify — the sf1 coalesce-off probe measured this query 19.5
+        # vs 9.3 s.  A user repartition is AQE-exempt; the extra
+        # id-pair shuffle is trivially cheap at every scale.
+        cand = (
+            a.join(
+                b,
+                on=[
+                    F.col("a.band") == F.col("b.band"),
+                    F.col("a.key") == F.col("b.key"),
+                ],
+            )
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+            .repartition(_verify_width(df))
+        )
     verified = cand.join(
         base.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a"
     ).join(
@@ -664,9 +758,10 @@ def simhash_pairs(
     chunk_bits = bits // c
     mask = (1 << chunk_bits) - 1
 
-    # (id, sh) feeds both sides of the chunk self-join — the persist pins
-    # ONE evaluation of the per-token sketch expression without relying on
-    # Catalyst's ReusedExchange kicking in
+    # (id, sh) is SLIM (16 B/doc) while the per-token sketch expression is
+    # the expensive part — persist pins ONE evaluation of it per session
+    # (uncapped path: both sides of the chunk self-join; capped path: the
+    # bucket pass) without relying on Catalyst's ReusedExchange kicking in
     base = (
         ensure_parallelism(df)
         .select(F.col(id_col).alias("id"), simhash(text_col, bits).alias("sh"))
@@ -691,21 +786,36 @@ def simhash_pairs(
     ).select("id", "sh", F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv"))
 
     if max_bucket is not None:
-        # ``>= 2`` is semantically free (singleton buckets yield no
-        # pairs); the cap bounds the join at quadratic-per-500 instead
-        # of quadratic-per-corpus.  chunks feeds three consumers (the
-        # keep aggregate + both join sides) — persist so the sketch
-        # explode runs once.
-        chunks = chunks.transform(_persist)
-        counts = _observe_cap(
-            chunks.groupBy("ci", "cv").agg(F.count(F.lit(1)).alias("__n__")),
-            "simhash",
-            max_bucket,
+        # r17 (guide §2.4): capped chunk-bucket candidates in ONE
+        # width-pinned exchange — see _capped_bucket_arrays.  The sketch
+        # rides inside the collected struct (8 bytes/id), so the hamming
+        # verify is a popcount over the exploded pair — no join back to
+        # `base`, exactly like the old chunk self-join.  Null-id rows
+        # still count toward __n__ (cap semantics unchanged) but collect
+        # to nothing (the old ``a.id < b.id`` never paired them).
+        bkt = _capped_bucket_arrays(
+            chunks, ["ci", "cv"], "simhash", max_bucket,
+            _verify_width(df),
+            F.collect_list(
+                F.when(F.col("id").isNotNull(), F.struct("id", "sh"))
+            ),
         )
-        keep = counts.filter(
-            (F.col("__n__") >= 2) & (F.col("__n__") <= max_bucket)
-        ).select("ci", "cv")
-        chunks = chunks.join(keep, ["ci", "cv"], "left_semi")
+        pairs = bkt.select(
+            F.explode(_bucket_pairs(F.col("__ids__"))).alias("__p__")
+        )
+        hamming = F.bit_count(
+            F.col("__p__.a.sh").bitwiseXOR(F.col("__p__.b.sh"))
+        )
+        return (
+            pairs.select(
+                F.least("__p__.a.id", "__p__.b.id").alias("id_a"),
+                F.greatest("__p__.a.id", "__p__.b.id").alias("id_b"),
+                hamming.cast("long").alias("hamming"),
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(F.col("hamming") <= max_hamming)
+            .dropDuplicates(["id_a", "id_b"])
+        )
 
     # The sketch rides along through the explode (8 bytes/row on the chunk
     # shuffle), so the hamming verify is a popcount on columns already in
@@ -1298,32 +1408,59 @@ def dedup_against_corpus(
         # The counts are static for a static index: pass a persisted
         # :func:`band_bucket_counts` frame via ``bucket_counts=`` and
         # the per-batch aggregation over every history band row drops
-        # out; otherwise compute them here, persisting hist_rows so the
-        # band explode runs once across its consumers (count aggregate,
-        # cap semi-join, candidate join).
+        # out.  r17 (guide §2.4): either way the history side collapses
+        # to ONE bounded array per capped bucket (<= max_bucket ids; a
+        # history bucket with ONE row still matters — batch rows can
+        # match it — so no pairable cut here) and the candidate join
+        # ships one slim bucket row per (band, key) instead of
+        # re-joining every history band row; the explode of the array
+        # against each matching batch row reproduces the old join's
+        # fan-out exactly (<= max_bucket candidates per batch band
+        # row).  The width pin on the (old_id, new_id) dedup exchange
+        # keeps the array_intersect verify wide (SCALING.md round 14;
+        # sf1 coalesce-off probe: 10.7 vs 7.8 s).
+        width = _verify_width(new_docs)
         if bucket_counts is None:
-            hist_rows = hist_rows.transform(_persist)
-            bucket_counts = hist_rows.groupBy("band", "key").agg(
-                F.count(F.lit(1)).alias("__n__")
+            hist_bkt = _capped_bucket_arrays(
+                hist_rows, ["band", "key"], "dedup_corpus", max_bucket,
+                width, F.collect_list("id"), require_pairable=False,
             )
-        keep = _observe_cap(bucket_counts, "dedup_corpus", max_bucket).filter(
-            F.col("__n__") <= max_bucket
-        ).select("band", "key")
-        hist_rows = hist_rows.join(keep, ["band", "key"], "left_semi")
-        new_rows = new_rows.join(keep, ["band", "key"], "left_semi")
-    cand = (
-        hist_rows.alias("a")
-        .join(
-            new_rows.alias("b"),
-            on=[F.col("a.band") == F.col("b.band"), F.col("a.key") == F.col("b.key")],
+        else:
+            keep = _observe_cap(bucket_counts, "dedup_corpus", max_bucket).filter(
+                F.col("__n__") <= max_bucket
+            ).select("band", "key")
+            hist_bkt = (
+                hist_rows.join(keep, ["band", "key"], "left_semi")
+                .groupBy("band", "key")
+                .agg(F.collect_list("id").alias("__ids__"))
+            )
+        cand = (
+            new_rows.join(hist_bkt, ["band", "key"])
+            .select(
+                F.explode("__ids__").alias("old_id"),
+                F.col("id").alias("new_id"),
+            )
+            .repartition(width, "old_id", "new_id")
+            .dropDuplicates(["old_id", "new_id"])
         )
-        .select(F.col("a.id").alias("old_id"), F.col("b.id").alias("new_id"))
-        .dropDuplicates(["old_id", "new_id"])
-        # AQE-exempt width for the array_intersect verify below — the
-        # slim pair shuffle otherwise coalesces narrow (SCALING.md
-        # round 14; sf1 coalesce-off probe: 10.7 vs 7.8 s)
-        .repartition(_verify_width(new_docs))
-    )
+    else:
+        cand = (
+            hist_rows.alias("a")
+            .join(
+                new_rows.alias("b"),
+                on=[
+                    F.col("a.band") == F.col("b.band"),
+                    F.col("a.key") == F.col("b.key"),
+                ],
+            )
+            .select(F.col("a.id").alias("old_id"), F.col("b.id").alias("new_id"))
+            .dropDuplicates(["old_id", "new_id"])
+            # AQE-exempt width for the array_intersect verify below —
+            # the slim pair shuffle otherwise coalesces narrow
+            # (SCALING.md round 14; sf1 coalesce-off probe: 10.7 vs
+            # 7.8 s)
+            .repartition(_verify_width(new_docs))
+        )
     verified = cand.join(
         index.select(F.col("id").alias("old_id"), F.col("shingles").alias("sh_a")),
         "old_id",
@@ -1414,31 +1551,50 @@ def edit_distance_pairs(
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     if max_bucket is not None:
-        banded = banded.transform(_persist)
-        counts = _observe_cap(
-            banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__n__")),
-            "edit_distance",
-            max_bucket,
+        # r17 (guide §2.4): same one-exchange capped candidate shape as
+        # minhash_lsh_pairs — see _capped_bucket_arrays.  The width pin
+        # on the (id_a, id_b) dedup exchange keeps the levenshtein DP
+        # verify wide (r14: the slim id-pair shuffle otherwise
+        # coalesces by bytes and the broadcast text joins inherit 1-2
+        # partitions — 78 of the row's 89 s at sf1).
+        width = _verify_width(df)
+        bkt = _capped_bucket_arrays(
+            banded, ["band", "key"], "edit_distance", max_bucket, width,
+            F.collect_list("id"),
         )
-        keep = counts.filter(
-            (F.col("__n__") >= 2) & (F.col("__n__") <= max_bucket)
-        ).select("band", "key")
-        banded = banded.join(keep, ["band", "key"], "left_semi")
-    a, b = banded.alias("a"), banded.alias("b")
-    # explicit post-dedup width (r14): AQE coalesces this shuffle by
-    # BYTES — 95k slim id pairs at sf1 fit one partition — and the
-    # broadcast text joins below inherit that width, serializing every
-    # levenshtein DP onto one core (measured 78 of the row's 89 s: the
-    # 4th manifestation of the r13 narrow-stage-inheritance class).
-    # A user repartition is exempt from AQE coalescing; the id-pair
-    # shuffle it adds is trivially cheap at every scale.
-    cand = (
-        a.join(b, on=[F.col("a.band") == F.col("b.band"), F.col("a.key") == F.col("b.key")])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .repartition(_verify_width(df))
-    )
+        cand = (
+            bkt.select(F.explode(_bucket_pairs(F.col("__ids__"))).alias("__p__"))
+            .select(
+                F.least("__p__.a", "__p__.b").alias("id_a"),
+                F.greatest("__p__.a", "__p__.b").alias("id_b"),
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .repartition(width, "id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        a, b = banded.alias("a"), banded.alias("b")
+        # explicit post-dedup width (r14): AQE coalesces this shuffle by
+        # BYTES — 95k slim id pairs at sf1 fit one partition — and the
+        # broadcast text joins below inherit that width, serializing
+        # every levenshtein DP onto one core (measured 78 of the row's
+        # 89 s: the 4th manifestation of the r13 narrow-stage-
+        # inheritance class).  A user repartition is exempt from AQE
+        # coalescing; the id-pair shuffle it adds is trivially cheap at
+        # every scale.
+        cand = (
+            a.join(
+                b,
+                on=[
+                    F.col("a.band") == F.col("b.band"),
+                    F.col("a.key") == F.col("b.key"),
+                ],
+            )
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+            .repartition(_verify_width(df))
+        )
     verified = cand.join(
         texts.select(F.col("id").alias("id_a"), F.col("txt").alias("t_a")), "id_a"
     ).join(
