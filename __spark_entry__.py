@@ -148,6 +148,45 @@ def _stage_events(sf: str, stage: str) -> None:
         _shutil.copy(src, f"{stage}/events.parquet")
 
 
+def _stage_split_feed(df: DataFrame, split_col, values, feed: str) -> None:
+    """Stage ``df`` into a streaming feed directory as ONE parquet file
+    per split value with a single partitionBy pass (r17, guide §6): one
+    scan + one write job, replacing one filtered ``coalesce(1)`` write
+    per micro-batch (each a full re-scan of the source).
+
+    Equivalence with the old per-value ``filter(split_col == v)`` writes:
+    rows whose split value is NULL or outside ``values`` land in other
+    partition directories and are never copied (the old filters dropped
+    them); a value with no rows produces no directory, so an empty
+    placeholder file is written for it (the old empty-frame
+    ``coalesce(1)`` write always produced a 0-row part file, and the
+    trigger count must not depend on the data).  Row order WITHIN a file
+    may differ from scan order (the dynamic-partition writer sorts by
+    the partition key only) — callers must be order-insensitive folds;
+    first-seen-semantics queries (streaming_dedup) use
+    :func:`_stage_events`, not this helper.  File mtimes order the
+    micro-batches (``maxFilesPerTrigger=1``).
+    """
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="feedstage_") + "/out"
+    df.withColumn("__half__", split_col).repartition(1).write.partitionBy(
+        "__half__"
+    ).parquet(stage)
+    for i, v in enumerate(values):
+        dest = f"{feed}/{i:04d}.parquet"
+        part = _glob.glob(f"{stage}/__half__={v}/part-*.parquet")
+        if part:
+            _shutil.copy(part[0], dest)
+        else:
+            empty = tempfile.mkdtemp(prefix="feedempty_") + "/out"
+            df.where(F.lit(False)).coalesce(1).write.parquet(empty)
+            _shutil.copy(_glob.glob(f"{empty}/part-*.parquet")[0], dest)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+
+
 def _event_window(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Validated event time with a LOUD out-of-window audit.
 
@@ -2567,16 +2606,7 @@ def q_streaming_incremental_agg(spark, sf):
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
     feed = tempfile.mkdtemp(prefix="aggfeed_")
-    for i, half in enumerate(
-        [orders.filter(F.col("o_orderkey") % 2 == 0),
-         orders.filter(F.col("o_orderkey") % 2 == 1)]
-    ):
-        stage = tempfile.mkdtemp(prefix="aggb_") + "/out"
-        half.coalesce(1).write.parquet(stage)
-        part = glob.glob(f"{stage}/part-*.parquet")[0]
-        dest = f"{feed}/{i:04d}.parquet"
-        shutil.copy(part, dest)
-        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+    _stage_split_feed(orders, F.col("o_orderkey") % 2, [0, 1], feed)
 
     stream = (
         spark.readStream.schema(
@@ -2654,16 +2684,7 @@ def q_streaming_distinct_sketch(spark, sf):
 
     ev = _t(spark, sf, "events").select("event_id", "event_type", "user_id")
     feed = tempfile.mkdtemp(prefix="skfeed_")
-    for i, half in enumerate(
-        [ev.filter(F.col("event_id") % 2 == 0),
-         ev.filter(F.col("event_id") % 2 == 1)]
-    ):
-        stage = tempfile.mkdtemp(prefix="skb_") + "/out"
-        half.coalesce(1).write.parquet(stage)
-        part = glob.glob(f"{stage}/part-*.parquet")[0]
-        dest = f"{feed}/{i:04d}.parquet"
-        shutil.copy(part, dest)
-        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+    _stage_split_feed(ev, F.col("event_id") % 2, [0, 1], feed)
 
     stream = (
         spark.readStream.schema(
@@ -2732,16 +2753,7 @@ def q_streaming_theta_maintain(spark, sf):
 
     ev = _t(spark, sf, "events").select("event_id", "event_type", "user_id")
     feed = tempfile.mkdtemp(prefix="thfeed_")
-    for i, half in enumerate(
-        [ev.filter(F.col("event_id") % 2 == 0),
-         ev.filter(F.col("event_id") % 2 == 1)]
-    ):
-        stage = tempfile.mkdtemp(prefix="thb_") + "/out"
-        half.coalesce(1).write.parquet(stage)
-        part = glob.glob(f"{stage}/part-*.parquet")[0]
-        dest = f"{feed}/{i:04d}.parquet"
-        shutil.copy(part, dest)
-        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+    _stage_split_feed(ev, F.col("event_id") % 2, [0, 1], feed)
 
     stream = (
         spark.readStream.schema(
@@ -2899,15 +2911,7 @@ def q_streaming_quality_report(spark, sf):
         "l_orderkey", "l_returnflag", "l_discount", "l_quantity"
     )
     feed = tempfile.mkdtemp(prefix="qfeed_")
-    for i, half in enumerate(
-        [li.filter(F.col("l_orderkey") % 2 == 0),
-         li.filter(F.col("l_orderkey") % 2 == 1)]
-    ):
-        stage = tempfile.mkdtemp(prefix="qb_") + "/out"
-        half.coalesce(1).write.parquet(stage)
-        dest = f"{feed}/{i:04d}.parquet"
-        shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0], dest)
-        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+    _stage_split_feed(li, F.col("l_orderkey") % 2, [0, 1], feed)
 
     stream = (
         spark.readStream.schema(
@@ -3788,15 +3792,7 @@ def q_streaming_dedup_ingest(spark, sf):
     batch = docs.filter(F.col("doc_id") % 2 == 1)
 
     stream_dir = tempfile.mkdtemp(prefix="ingest_stream_")
-    for i, part in enumerate(
-        [batch.filter(F.col("doc_id") % 4 == 1), batch.filter(F.col("doc_id") % 4 == 3)]
-    ):
-        stage = tempfile.mkdtemp(prefix="ingest_part_") + "/out"
-        part.coalesce(1).write.parquet(stage)
-        src = glob.glob(f"{stage}/part-*.parquet")[0]
-        dest = f"{stream_dir}/{i:04d}.parquet"
-        shutil.copy(src, dest)
-        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+    _stage_split_feed(batch, F.col("doc_id") % 4, [1, 3], stream_dir)
 
     stream = (
         spark.readStream.schema(

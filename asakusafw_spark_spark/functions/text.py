@@ -491,26 +491,37 @@ def bm25_rank(
     loads, build an inverted index with :func:`tfidf` + a bucketed
     write instead.
     """
+    from .dedup import _persist
+
     terms = sorted(set(query_terms))
-    base = df.select(
+    # r17 (guide §1.2-1): ONE tokenize pass instead of two.  The corpus
+    # used to be scanned + tokenized twice — once for the per-doc term
+    # stream, once for the (N, total_len) stats aggregate.  Tokenize into
+    # a SLIM per-doc frame — (id, dl, matched query terms only; the
+    # vocabulary never materializes and no text rides the cache) — and
+    # persist it; the stats aggregate and the term stream both read the
+    # cached frame.  Expressions are unchanged (dl = size(tokens(text)),
+    # N = countDistinct(id), total_len = sum(dl) over raw rows), so the
+    # score is bit-identical on every corpus including duplicate ids.
+    docs = df.select(
         F.col(id_col),
-        tokens(text_col).alias("__toks__"),
-    ).select(
+        F.size(tokens(text_col)).alias("__dl__"),
+        F.filter(tokens(text_col), lambda t: t.isin(*terms)).alias("__q__"),
+    ).transform(_persist)
+    base = docs.select(
         F.col(id_col),
-        F.size("__toks__").alias("__dl__"),
+        F.col("__dl__"),
         # explode_outer + null-drop — see vocab_top_k; docs matching no
         # term explode to one null row, dropped here (they scored 0 and
         # were omitted before, identically)
-        F.explode_outer(
-            F.filter(F.col("__toks__"), lambda t: t.isin(*terms))
-        ).alias("token"),
+        F.explode_outer("__q__").alias("token"),
     ).where(F.col("token").isNotNull())
     tf = base.groupBy(id_col, "__dl__", "token").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    stats = df.select(
+    stats = docs.select(
         F.countDistinct(F.col(id_col)).alias("__n__"),
-        F.sum(F.size(tokens(text_col))).alias("__tl__"),
+        F.sum("__dl__").alias("__tl__"),
     )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     avgdl = F.col("__tl__").cast("double") / F.col("__n__")
@@ -562,25 +573,38 @@ def build_text_index(
     tail of the vocabulary); scoring semantics for surviving terms are
     IDENTICAL to :func:`bm25_rank` over the same corpus.
     """
-    # explode_outer + null-drop — see vocab_top_k for why
+    # explode_outer (see vocab_top_k for why) — r17: the one null row it
+    # emits per token-less doc rides THROUGH the tf aggregate so the
+    # corpus stats derive from tf instead of a second full tokenize
+    # scan: every doc then has >= 1 tf row, so countDistinct(id) over tf
+    # equals countDistinct over the raw corpus, and sum(tf) over real
+    # tokens equals sum(size(tokens(text))) over raw rows exactly
+    # (explode_outer emits every token instance exactly once; null rows
+    # are excluded from the sum like the 0/NULL-length docs they stand
+    # for).  The stats branch and the postings branch consume the SAME
+    # tf exchange — ReusedExchange serves the second branch, so the
+    # corpus is scanned and tokenized ONCE.
     ex = df.select(
         F.col(id_col), tokens(text_col).alias("__toks__")
     ).select(
         F.col(id_col),
         F.size("__toks__").alias("dl"),
         F.explode_outer("__toks__").alias("token"),
-    ).where(F.col("token").isNotNull())
+    )
     tf = ex.groupBy("token", id_col, "dl").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.select(
+        F.countDistinct(F.col(id_col)).alias("n_docs"),
+        F.sum(F.when(F.col("token").isNotNull(), F.col("tf"))).alias(
+            "total_len"
+        ),
+    )
+    real = tf.where(F.col("token").isNotNull())
     dfreq = (
-        tf.groupBy("token")
+        real.groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= min_df)
     )
-    postings = tf.join(dfreq, "token").select("token", id_col, "tf", "dl", "df")
-    stats = df.select(
-        F.countDistinct(F.col(id_col)).alias("n_docs"),
-        F.sum(F.size(tokens(text_col))).alias("total_len"),
-    )
+    postings = real.join(dfreq, "token").select("token", id_col, "tf", "dl", "df")
     return postings, stats
 
 

@@ -1038,3 +1038,57 @@ def test_every_watermarked_streaming_query_bounds_event_time():
         "streaming queries with an unbounded event-time watermark "
         f"(add _event_window before the primitive): {offenders}"
     )
+
+
+def test_stage_split_feed_matches_filtered_writes(spark, sf_dir, tmp_path):
+    """r17 staging optimization contract: the single partitionBy pass
+    stages exactly the rows each old per-value filtered write staged
+    (order-insensitive per file — all consumers are order-free folds),
+    drops NULL / out-of-range split values like the filters did, and
+    still produces a 0-row placeholder file for an empty split (the
+    trigger count must not depend on the data)."""
+    import glob
+
+    import __spark_entry__ as E
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "event_type", "user_id")
+        # exercise the NULL-split corner the robustness corpora carry
+        .withColumn(
+            "event_id",
+            F.when(F.col("event_id") % 97 == 0, F.lit(None)).otherwise(
+                F.col("event_id")
+            ),
+        )
+    )
+    feed = str(tmp_path / "feed")
+    import os
+
+    os.makedirs(feed)
+    E._stage_split_feed(ev, F.col("event_id") % 2, [0, 1], feed)
+    files = sorted(glob.glob(f"{feed}/*.parquet"))
+    assert [os.path.basename(p) for p in files] == ["0000.parquet", "0001.parquet"]
+    for i, v in enumerate([0, 1]):
+        got = sorted(
+            tuple(r) for r in spark.read.parquet(files[i]).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in ev.filter(F.col("event_id") % 2 == v).collect()
+        )
+        assert got == want, f"split {v}: row set differs from filtered write"
+        # schema (minus the split helper column) preserved
+        assert spark.read.parquet(files[i]).columns == [
+            "event_id", "event_type", "user_id",
+        ]
+
+    # empty split -> placeholder file with the right schema, 0 rows
+    feed2 = str(tmp_path / "feed2")
+    os.makedirs(feed2)
+    E._stage_split_feed(
+        ev.filter(F.col("event_id") % 2 == 0), F.col("event_id") % 2, [0, 1], feed2
+    )
+    empt = spark.read.parquet(f"{feed2}/0001.parquet")
+    assert empt.count() == 0
+    assert empt.columns == ["event_id", "event_type", "user_id"]
