@@ -43,6 +43,8 @@ def winsorize(
     aggregable — the 100 TB path; exact ``percentile`` buffers each
     group's values in the aggregate).
     """
+    from .dedup import ensure_parallelism
+
     keys = [by] if isinstance(by, str) else list(by or [])
     fn = "percentile_approx" if approx else "percentile"
     acc = f", {accuracy}" if approx else ""
@@ -51,7 +53,15 @@ def winsorize(
     # (measured ~2× on the exact path for two cuts)
     both = F.expr(f"{fn}({value_col}, array({lower}, {upper}){acc})")
     aggs = [both[0].alias("__lo__"), both[1].alias("__hi__")]
-    cuts = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    # r17 (guide §2.5/§2.3): the cut-point aggregate reads a SLIM
+    # projection (keys + value only) spread to cluster width — a narrow
+    # single-file scan otherwise runs the whole value-buffering
+    # percentile partial on 1-2 cores (qprof: 13 tasks total, the
+    # aggregate the dominant stage).  ensure_parallelism is a no-op on
+    # wide scans, i.e. always at 100 TB; the clamp side below still
+    # rides the original unshuffled scan.
+    cuts_src = ensure_parallelism(df.select(*keys, value_col))
+    cuts = cuts_src.groupBy(*keys).agg(*aggs) if keys else cuts_src.agg(*aggs)
     joined = (
         df.join(F.broadcast(cuts), keys, "left") if keys else df.crossJoin(F.broadcast(cuts))
     )
@@ -98,11 +108,15 @@ def quantile_bucket(
     fn = "percentile_approx" if approx else "percentile"
     acc = f", {accuracy}" if approx else ""
     qs = [i / buckets for i in range(1, buckets)]
-    # single array-fraction aggregate — see winsorize
+    from .dedup import ensure_parallelism
+
+    # single array-fraction aggregate — see winsorize (incl. the r17
+    # slim-projection + ensure_parallelism treatment of the cut side)
     arr = F.expr(
         f"{fn}({value_col}, array({', '.join(str(q) for q in qs)}){acc})"
     ).alias("__qs__")
-    grouped = df.groupBy(*keys).agg(arr) if keys else df.agg(arr)
+    cuts_src = ensure_parallelism(df.select(*keys, value_col))
+    grouped = cuts_src.groupBy(*keys).agg(arr) if keys else cuts_src.agg(arr)
     cuts = grouped.select(
         *keys, *[F.col("__qs__")[i].alias(f"__q{i}__") for i in range(len(qs))]
     )

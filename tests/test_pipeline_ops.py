@@ -368,6 +368,31 @@ def test_quantile_bucket_value_based_bins(spark):
     assert all(1 <= b <= 3 for b in bs)
 
 
+def test_winsorize_widened_cut_path_matches_narrow_scan(spark, tmp_path):
+    """r17: the cut-point aggregate reads a slim widened projection
+    (ensure_parallelism over select(keys, value)).  On a single-file
+    parquet source — the branch that actually adds the scan-split
+    repartition — the cut points and clamped values must be identical
+    to the in-memory (fallback-branch) computation."""
+    from asakusafw_spark_spark.functions import winsorize
+
+    rows = [(i, "g%d" % (i % 2), float(v)) for i, v in enumerate(range(1, 201))]
+    rows += [(1000, "g0", None), (1001, None, 7.0)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    p = str(tmp_path / "w.parquet")
+    df.coalesce(1).write.parquet(p)
+    on_file = {
+        r["id"]: r["v_winsorized"]
+        for r in winsorize(spark.read.parquet(p), "v", by="grp").collect()
+    }
+    in_mem = {
+        r["id"]: r["v_winsorized"] for r in winsorize(df, "v", by="grp").collect()
+    }
+    assert on_file == in_mem
+    # null group key passes through unclamped; null value stays null
+    assert on_file[1001] == 7.0 and on_file[1000] is None
+
+
 def test_funnel_ordered_anchors(spark):
     from datetime import datetime
 
