@@ -577,10 +577,30 @@ def ngram_jaccard_pairs(
         .transform(_persist)
     )
     if max_doc_freq is not None:
-        doc_freq = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
-        pruned = exploded.join(
-            doc_freq.filter(F.col("df_") <= max_doc_freq), "sh"
-        ).select("id", "set_size", "sh")
+        # r17 (guide §3.1/§3.2): prune by ANTI-joining the HOT shingles
+        # (df > cap) instead of inner-joining the KEEP set (df <= cap).
+        # Same rows survive — doc_freq has exactly one row per shingle,
+        # so the old inner join kept each exploded row iff its shingle's
+        # count passed the cap, which is precisely NOT-IN the hot set —
+        # but the broadcast side flips from "almost every distinct
+        # shingle in the corpus" (unbroadcastable at volume, forcing a
+        # full-stream SMJ shuffle) to the few non-discriminative
+        # stop-shingles the cap exists to kill (bounded by
+        # total_occurrences / cap), so the prune stays a map-side
+        # broadcast filter at any scale and the exploded stream's first
+        # exchange is the candidate self-join itself.  No broadcast
+        # HINT: the hot set is only bounded in expectation — a
+        # degenerate corpus can exceed the broadcast cap, and AQE
+        # already upgrades the anti join to broadcast at runtime from
+        # the aggregate's TRUE output size (forcing it would trade a
+        # graceful SMJ fallback for a driver OOM).
+        hot = (
+            exploded.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") > max_doc_freq)
+            .select("sh")
+        )
+        pruned = exploded.join(hot, "sh", "left_anti")
     else:
         pruned = exploded
 

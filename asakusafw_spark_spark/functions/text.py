@@ -674,16 +674,32 @@ def bigram_lm_score(
     order-independent and cross-engine stable (ln differs in the last
     ulp across libms; at 6 decimals both engines agree).
 
+    Null ``id_col`` semantics (changed r16, noted per ADVICE r16): all
+    null-id docs group into ONE scored output row (GROUP BY null
+    semantics, matching the SQL oracle).  Before r16 each null-id doc
+    emitted its own (n_bigrams=0, lm_score=NULL) row because the old
+    distinct-ids re-attach join never matched null.  Filter or assert
+    non-null ids upstream if per-doc rows for null ids were relied on.
+
     Scale shape: bigram extraction is a pure projection
     (slice + arrays_zip + explode — no window, no shuffle); the model
-    is two hash aggregates over slim (w₁, w₂) pairs; scoring is two
-    keyed equi-joins (doc-bigrams → bigram counts → unigram counts)
-    plus a 1-row broadcast for V; the final score is one aggregate per
-    document.  Docs with < 2 tokens score NULL with n_bigrams = 0 —
-    carried through the SAME exploded stream (the doc pass keeps
-    explode_outer's one null-pair row per empty-bigram doc, flagged
-    ``__real__``), so no third corpus scan / distinct-ids join is
-    needed to resurrect them.
+    is two hash aggregates over slim (w₁, w₂) pairs.  Docs with < 2
+    tokens score NULL with n_bigrams = 0 — carried through the SAME
+    exploded stream (the doc pass keeps explode_outer's one null-pair
+    row per empty-bigram doc, flagged ``__real__``), so no third corpus
+    scan / distinct-ids join is needed to resurrect them.
+
+    Scoring (r17, guide §2.4 — shuffle the doc stream once, not twice):
+    when SELF-trained (``train_df=None``, the default) every real doc
+    bigram is by construction present in the model, so the per-bigram
+    log-prob is precomputed MODEL-SIDE (c₁₂ ⋈ c₁ on w₁ + the 1-row V
+    broadcast — model-sized work) and attached to the doc stream with
+    ONE (w₁, w₂) equi-join; the unmatched-bigram smoothing branches can
+    never fire and the single left join is exactly equivalent.  With an
+    EXPLICIT ``train_df`` a doc bigram can be unseen (needs c₁-only or
+    V-only smoothing), so that path keeps the two-join shape: doc
+    bigrams → bigram counts → unigram counts, coalesce(0) for misses.
+    Either way the final score is one aggregate per document.
     """
     src = train_df if train_df is not None else df
 
@@ -730,33 +746,71 @@ def bigram_lm_score(
     vocab = c12.agg(F.countDistinct("w2").alias("__v__"))
 
     doc_bg = bigrams(df, keep_id=True)
-    scored = (
-        doc_bg.join(c12, ["w1", "w2"], "left")
-        .join(c1, ["w1"], "left")
-        .join(F.broadcast(vocab))
-        .select(
-            F.col(id_col),
-            F.col("__real__"),
-            # guarded on __real__: the zero-bigram representative row must
-            # not score ln(k/(k·V)) out of its coalesced-to-0 counts
-            F.when(
-                F.col("__real__"),
+    if train_df is None:
+        # self-trained: fold c1 + V into a per-(w1, w2) log-prob on the
+        # MODEL side, then ONE doc-stream join.  Every real doc bigram
+        # matches (train bigrams ≡ doc bigrams — same frame, same
+        # expression), so the coalesce(0) smoothing branches of the
+        # explicit-train path are unreachable here and the single left
+        # join is exactly equivalent; the null-pair representative row
+        # (null keys) matches nothing and scores NULL via the __real__
+        # guard, as before.
+        model = (
+            c12.join(c1, ["w1"])
+            .join(F.broadcast(vocab))
+            .select(
+                "w1",
+                "w2",
                 F.round(
                     F.log(
-                        (
-                            F.coalesce(F.col("__c12__"), F.lit(0)).cast("double")
-                            + F.lit(k)
-                        )
+                        (F.col("__c12__").cast("double") + F.lit(k))
                         / (
-                            F.coalesce(F.col("__c1__"), F.lit(0)).cast("double")
+                            F.col("__c1__").cast("double")
                             + F.lit(k) * F.col("__v__")
                         )
                     ),
                     6,
-                ),
-            ).alias("__logp__"),
+                ).alias("__logp_m__"),
+            )
         )
-    )
+        scored = doc_bg.join(model, ["w1", "w2"], "left").select(
+            F.col(id_col),
+            F.col("__real__"),
+            F.when(F.col("__real__"), F.col("__logp_m__")).alias("__logp__"),
+        )
+    else:
+        scored = (
+            doc_bg.join(c12, ["w1", "w2"], "left")
+            .join(c1, ["w1"], "left")
+            .join(F.broadcast(vocab))
+            .select(
+                F.col(id_col),
+                F.col("__real__"),
+                # guarded on __real__: the zero-bigram representative row
+                # must not score ln(k/(k·V)) out of its coalesced-to-0
+                # counts
+                F.when(
+                    F.col("__real__"),
+                    F.round(
+                        F.log(
+                            (
+                                F.coalesce(F.col("__c12__"), F.lit(0)).cast(
+                                    "double"
+                                )
+                                + F.lit(k)
+                            )
+                            / (
+                                F.coalesce(F.col("__c1__"), F.lit(0)).cast(
+                                    "double"
+                                )
+                                + F.lit(k) * F.col("__v__")
+                            )
+                        ),
+                        6,
+                    ),
+                ).alias("__logp__"),
+            )
+        )
     n_real = F.count(F.when(F.col("__real__"), F.lit(1)))
     return scored.groupBy(id_col).agg(
         n_real.alias("n_bigrams"),

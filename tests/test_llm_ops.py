@@ -116,6 +116,43 @@ def test_ngram_jaccard_exact(docs):
     assert abs(jac[(1, 2)] - 0.75) < 1e-9
 
 
+def test_ngram_jaccard_hot_shingle_anti_prune(spark):
+    """The r17 anti-join prune (drop shingles with df > cap) must keep
+    exactly the old inner keep-join's rows: a shingle shared by MORE
+    than max_doc_freq docs contributes to no intersection (its pairs
+    vanish when it was the only overlap), while one at EXACTLY the cap
+    still pairs (boundary: old kept df <= cap, new drops df > cap)."""
+    docs = spark.createDataFrame(
+        [
+            # "xx yy" (< 3 tokens → whole text is the single shingle)
+            # appears in 3 docs: df=3 > cap=2 → pruned, no pairs at all
+            (1, "xx yy"),
+            (2, "xx yy"),
+            (3, "xx yy"),
+            # "aa bb" in exactly cap=2 docs → kept, pair (4,5) jaccard 1
+            (4, "aa bb"),
+            (5, "aa bb"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.3, max_doc_freq=2
+        ).collect()
+    }
+    assert got == {(4, 5): 1.0}
+    # without the cap the hot-shingle trio pairs too — proves the cap
+    # (not the data) removed them
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.3, max_doc_freq=None
+        ).collect()
+    }
+    assert {(1, 2), (1, 3), (2, 3), (4, 5)} <= uncapped
+
+
 def test_simhash_dup_groups(docs):
     groups = simhash_dup_groups(docs.filter("text is not null and text <> ''")).collect()
     assert any(r.keeper_id == 1 and r.dup_count == 2 for r in groups)
@@ -1155,6 +1192,39 @@ def test_bigram_lm_score_ranks_gibberish_below_natural(spark):
     held = bigram_lm_score(docs.filter(F.col("doc_id") == 4), train_df=train)
     row = held.collect()[0]
     assert row["n_bigrams"] == 7 and row["lm_score"] < out[1]["lm_score"]
+
+
+def test_bigram_lm_score_self_trained_matches_explicit_train(spark):
+    """The r17 self-trained fast path (per-bigram log-prob precomputed
+    model-side, ONE doc-stream join) must be row-identical to the
+    explicit-train two-join path when the explicit train set IS the
+    corpus — the exact equivalence the specialization relies on
+    (self-trained ⇒ every real doc bigram matches the model ⇒ the
+    smoothing coalesce branches are unreachable)."""
+    from asakusafw_spark_spark.functions import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the mat"),
+            (3, "the dog sat on the rug"),
+            (4, "zq xv qq vv zz kj pq wx"),
+            (5, "one"),
+            (6, None),
+            (None, "the cat sat"),  # null id: groups into one scored row
+        ],
+        "doc_id long, text string",
+    )
+    fast = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_score"])
+        for r in bigram_lm_score(docs).collect()
+    }
+    slow = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_score"])
+        for r in bigram_lm_score(docs, train_df=docs).collect()
+    }
+    assert fast == slow
+    assert fast[5] == (0, None) and fast[6] == (0, None)
 
 
 def test_apng_real_codec_frame_sampling_roundtrip(spark):
