@@ -472,6 +472,16 @@ def cogroup(
     detail — address rows with ``.iloc``, never by index label (the
     per-group ``reset_index`` this contract replaces was half the
     per-group overhead).
+
+    .. versionchanged:: r16
+       Group frames are no longer ``reset_index``-ed (ADVICE r16): a
+       callback using label-based access (``g.loc[0]``, ``g["col"][0]``)
+       or cross-frame pandas index alignment silently reads wrong rows /
+       NaNs under the new contract instead of erroring.  Audit existing
+       callbacks for label access when upgrading; wrap the group in
+       ``g.reset_index(drop=True)`` INSIDE the callback to restore the
+       old labels where needed (pays the old per-group cost for that
+       callback only).
     For M logical outputs, include a tag column and split with
     :func:`~asakusafw_spark_spark.operators.record.branch` downstream
     (same trick the reference plays with branch keys).

@@ -169,6 +169,7 @@ def test_kll_merge_agg_default_downgrades_k_when_multipartition(spark):
     coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
     prev = spark.conf.get(coalesce_key)
     spark.conf.set(coalesce_key, "false")
+    sk = None
     try:
         sk = vals.groupBy("half").agg(
             F.kll_sketch_agg_double("v", F.lit(800)).alias("qs")
@@ -179,8 +180,11 @@ def test_kll_merge_agg_default_downgrades_k_when_multipartition(spark):
         ).first()["m"]
         assert _kll_header_k(m_default) == 200  # the downgrade
         assert _kll_header_k(m_one_part) == 800  # ...and its partition dependence
-        sk.unpersist()
     finally:
+        # in finally (ADVICE r16): an assert failure above must not leak
+        # the cached sketch frame into later tests on the shared session
+        if sk is not None:
+            sk.unpersist()
         spark.conf.set(coalesce_key, prev)
 
 

@@ -84,7 +84,11 @@ def main() -> None:
             t1 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             t2 = time.perf_counter()
-            sc.setJobGroup(None, None)
+            # clear via the local properties (ADVICE r16): setJobGroup's
+            # params are str-typed — None rides through py4j today but is
+            # not a supported clear and may break on a PySpark upgrade
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            sc.setLocalProperty("spark.job.description", None)
             ids = tracker.getJobIdsForGroup(group)
             n_stages = n_tasks = 0
             for jid in ids:
