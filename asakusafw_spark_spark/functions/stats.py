@@ -139,6 +139,126 @@ def quantile_bucket(
     )
 
 
+def _contains_nested_float(dt) -> bool:
+    """True when ``dt`` is a complex type with a float/double anywhere
+    inside it (top-level floats are handled exactly by the raw-copy
+    min/max; nested ones cannot ride a mutable aggregation buffer)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_nested_float(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _contains_nested_float(dt.keyType) or _contains_nested_float(
+            dt.valueType
+        )
+    if isinstance(dt, T.StructType):
+        return any(_contains_nested_float(f.dataType) for f in dt.fields)
+    return False
+
+
+def _exact_stats_row(df: DataFrame, cols: "Sequence[str]") -> "DataFrame | None":
+    """1-row frame ``__n__, __nn{i}__, __nd{i}__, __mn{i}__, __mx{i}__``
+    via typed-slot explode + hash GROUP BY (gid, value) + one global
+    conditional aggregate — the sort-free exact-distinct plan (see
+    ``analyze_table``).  Returns ``None`` when a requested column has a
+    float nested inside a complex type (caller falls back to the legacy
+    Expand plan to keep ``-0.0`` rendering exact)."""
+    from pyspark.sql import types as T
+
+    ftypes = {f.name: f.dataType for f in df.schema.fields}
+    stypes: list = []  # one slot per distinct value type
+    slot_keys: dict = {}
+    slot_of: list = []
+    for c in cols:
+        dt = ftypes[c]
+        if not isinstance(dt, (T.FloatType, T.DoubleType)) and _contains_nested_float(dt):
+            return None
+        k = dt.simpleString()
+        if k not in slot_keys:
+            slot_keys[k] = len(stypes)
+            stypes.append(dt)
+        slot_of.append(slot_keys[k])
+    nslots = len(stypes)
+    float_slots = {
+        s
+        for s, dt in enumerate(stypes)
+        if isinstance(dt, (T.FloatType, T.DoubleType))
+    }
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("__gid__"),
+                    *[
+                        (
+                            F.col(c)
+                            if slot_of[i] == s
+                            else F.lit(None).cast(stypes[s])
+                        ).alias(f"__v{s}__")
+                        for s in range(nslots)
+                    ],
+                    # raw (non-grouping) copy of float slots: group-key
+                    # normalization canonicalizes -0.0 → 0.0, so min/max
+                    # aggregate the raw value at level 1 instead (double
+                    # buffers are mutable — the hash aggregate survives)
+                    *[
+                        (
+                            F.col(c)
+                            if slot_of[i] == s
+                            else F.lit(None).cast(stypes[s])
+                        ).alias(f"__r{s}__")
+                        for s in sorted(float_slots)
+                    ],
+                )
+                for i, c in enumerate(cols)
+            ]
+        )
+    )
+    expanded = df.select(rows.alias("r")).select("r.*")
+    slots = [f"__v{s}__" for s in range(nslots)]
+    raw_aggs = []
+    for s in sorted(float_slots):
+        raw_aggs += [
+            F.min(f"__r{s}__").alias(f"__rmn{s}__"),
+            F.max(f"__r{s}__").alias(f"__rmx{s}__"),
+        ]
+    per_value = expanded.groupBy("__gid__", *slots).agg(
+        F.count(F.lit(1)).alias("__cnt__"), *raw_aggs
+    )
+
+    def _v(i):
+        return F.col(f"__v{slot_of[i]}__")
+
+    def _mn(i):
+        s = slot_of[i]
+        return F.col(f"__rmn{s}__") if s in float_slots else _v(i)
+
+    def _mx(i):
+        s = slot_of[i]
+        return F.col(f"__rmx{s}__") if s in float_slots else _v(i)
+
+    aggs = [
+        F.coalesce(
+            F.sum(F.when(F.col("__gid__") == 0, F.col("__cnt__"))),
+            F.lit(0).cast("long"),
+        ).alias("__n__")
+    ]
+    for i, c in enumerate(cols):
+        g = F.col("__gid__") == i
+        nn = g & _v(i).isNotNull()
+        aggs += [
+            F.coalesce(
+                F.sum(F.when(nn, F.col("__cnt__"))), F.lit(0).cast("long")
+            ).alias(f"__nn{i}__"),
+            F.count(F.when(nn, F.lit(1))).alias(f"__nd{i}__"),
+            F.min(F.when(g, _mn(i))).cast("string").alias(f"__mn{i}__"),
+            F.max(F.when(g, _mx(i))).cast("string").alias(f"__mx{i}__"),
+        ]
+    return per_value.agg(*aggs)
+
+
 def analyze_table(
     df: DataFrame,
     columns: "Sequence[str] | None" = None,
@@ -152,12 +272,25 @@ def analyze_table(
     One aggregate computes every column's stats simultaneously
     (map-side partial, single scan).  ``n_distinct`` defaults to
     HyperLogLog ``approx_count_distinct`` (keeps the plan a plain
-    one-pass aggregate at any width); ``exact_distinct=True`` switches
-    to exact COUNT(DISTINCT), which Catalyst serves via an Expand of
-    #columns projections — exact, but the shuffled row volume
-    multiplies by the column count (documented trade-off; fine for
-    slim column lists).  min/max are rendered as strings so mixed
-    column types share one report schema.
+    one-pass aggregate at any width); ``exact_distinct=True`` runs a
+    hash-friendly two-level aggregation (still one scan): a typed-slot
+    explode (one slim row per column×row, the value carried in a
+    per-datatype slot so every requested column shares one schema)
+    feeds a hash GROUP BY (column, value) — the exact-distinct dedup —
+    then ONE global conditional aggregate folds the distinct frame into
+    the per-column stats row.  Neither level needs a sort: the first
+    level's buffer is a plain count (hash-aggregable even with string
+    values, which are grouping KEYS here), and the global level has no
+    grouping keys, so the string min/max buffers that force Catalyst's
+    COUNT(DISTINCT) Expand plan into two full SortAggregate passes
+    (r17 measured: Expand→Sort→SortAggregate over #columns× the row
+    count, twice) never meet a required ordering.  min/max of float/
+    double columns ride a raw (non-key) copy aggregated at level 1 —
+    mutable double buffers keep the hash aggregate — because group-key
+    normalization would canonicalize ``-0.0`` to ``0.0``; columns with
+    floats nested inside complex types fall back to the legacy Expand
+    plan to preserve exact sign-of-zero rendering.  min/max are
+    rendered as strings so mixed column types share one report schema.
     """
     from .dedup import ensure_parallelism
 
@@ -167,20 +300,28 @@ def analyze_table(
     # (r16, guide §2.5; no-op on wide scans, i.e. always at 100 TB)
     df = ensure_parallelism(df)
     cols = list(columns) if columns is not None else list(df.columns)
-    ndv = (
-        (lambda c: F.countDistinct(F.col(c)))
-        if exact_distinct
-        else (lambda c: F.approx_count_distinct(F.col(c)))
-    )
-    aggs = [F.count(F.lit(1)).alias("__n__")]
-    for i, c in enumerate(cols):
-        aggs += [
-            F.count(F.col(c)).alias(f"__nn{i}__"),
-            ndv(c).alias(f"__nd{i}__"),
-            F.min(F.col(c)).cast("string").alias(f"__mn{i}__"),
-            F.max(F.col(c)).cast("string").alias(f"__mx{i}__"),
-        ]
-    one = df.agg(*aggs)
+    if exact_distinct:
+        one = _exact_stats_row(df, cols)
+        if one is None:  # nested-float fallback (sign-of-zero exactness)
+            aggs = [F.count(F.lit(1)).alias("__n__")]
+            for i, c in enumerate(cols):
+                aggs += [
+                    F.count(F.col(c)).alias(f"__nn{i}__"),
+                    F.countDistinct(F.col(c)).alias(f"__nd{i}__"),
+                    F.min(F.col(c)).cast("string").alias(f"__mn{i}__"),
+                    F.max(F.col(c)).cast("string").alias(f"__mx{i}__"),
+                ]
+            one = df.agg(*aggs)
+    else:
+        aggs = [F.count(F.lit(1)).alias("__n__")]
+        for i, c in enumerate(cols):
+            aggs += [
+                F.count(F.col(c)).alias(f"__nn{i}__"),
+                F.approx_count_distinct(F.col(c)).alias(f"__nd{i}__"),
+                F.min(F.col(c)).cast("string").alias(f"__mn{i}__"),
+                F.max(F.col(c)).cast("string").alias(f"__mx{i}__"),
+            ]
+        one = df.agg(*aggs)
     stack = F.explode(
         F.array(
             *[

@@ -540,6 +540,68 @@ def test_analyze_table_stats(spark):
     assert approx["k"]["n_distinct"] >= 1  # HLL estimate, small-n exactish
 
 
+def test_analyze_table_exact_hash_plan_and_float_edges(spark):
+    """r17 exact-distinct rewrite: the typed-slot two-level aggregation
+    must (a) plan with NO Sort node (the whole point — the legacy
+    COUNT(DISTINCT) Expand plan runs two full SortAggregate passes),
+    (b) keep -0.0/NaN min/max rendering identical to the legacy path
+    (group-key normalization canonicalizes -0.0, so float min/max ride
+    a raw non-key copy), (c) keep the 1-row-per-column contract on
+    EMPTY input, and (d) fall back to the legacy plan when a float
+    hides inside a complex type."""
+    from asakusafw_spark_spark.functions import analyze_table
+
+    df = spark.createDataFrame(
+        [
+            (1, None, float("nan"), "b"),
+            (2, None, -0.0, "a"),
+            (2, None, 0.0, None),
+            (4, None, None, "a"),
+        ],
+        "k long, dead string, x double, s string",
+    )
+    out = analyze_table(df, exact_distinct=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert " Sort " not in plan and "Expand" not in plan
+    assert "HashAggregate" in plan
+    rep = {r["column"]: r for r in out.collect()}
+    # -0.0 must survive grouping normalization; NaN sorts greatest
+    assert rep["x"]["min_value"] == "-0.0"
+    assert rep["x"]["max_value"] == "NaN"
+    assert rep["x"]["n_distinct"] == 2  # {-0.0≡0.0, NaN}
+    assert rep["dead"] == (
+        "dead", 4, 0, 0, None, None
+    ) or (
+        rep["dead"]["n_nonnull"] == 0
+        and rep["dead"]["n_distinct"] == 0
+        and rep["dead"]["min_value"] is None
+    )
+    assert rep["k"]["n_rows"] == 4 and rep["k"]["n_distinct"] == 3
+    assert rep["s"]["n_nonnull"] == 3 and rep["s"]["n_distinct"] == 2
+
+    # empty input still yields one zero row per column (oracle contract)
+    empty = {r["column"]: r for r in analyze_table(
+        df.where("1 = 0"), exact_distinct=True
+    ).collect()}
+    assert set(empty) == {"k", "dead", "x", "s"}
+    assert all(
+        (v["n_rows"], v["n_nonnull"], v["n_distinct"]) == (0, 0, 0)
+        and v["min_value"] is None
+        for v in empty.values()
+    )
+
+    # nested float → legacy COUNT(DISTINCT) fallback (exact -0.0 in
+    # arrays; the typed-slot path declines such columns)
+    from asakusafw_spark_spark.functions.stats import _exact_stats_row
+
+    arr = spark.createDataFrame(
+        [([1.0, -0.0],), ([0.5],)], "a array<double>"
+    )
+    assert _exact_stats_row(arr, ["a"]) is None
+    row = analyze_table(arr, exact_distinct=True).collect()[0]
+    assert row["n_distinct"] == 2 and row["min_value"] == "[0.5]"
+
+
 def test_heavy_hitters_exact_counts_and_null_group(spark):
     from asakusafw_spark_spark.functions import heavy_hitters
 
