@@ -168,11 +168,21 @@ def _exact_stats_row(df: DataFrame, cols: "Sequence[str]") -> "DataFrame | None"
     from pyspark.sql import types as T
 
     ftypes = {f.name: f.dataType for f in df.schema.fields}
+    # Spark resolves column names case-insensitively by default; mirror
+    # that here (exact match wins), and decline names we cannot resolve
+    # unambiguously — the legacy path then raises Spark's own error
+    ci: dict = {}
+    for f in df.schema.fields:
+        ci[f.name.lower()] = (
+            None if f.name.lower() in ci else f.dataType  # ambiguous → None
+        )
     stypes: list = []  # one slot per distinct value type
     slot_keys: dict = {}
     slot_of: list = []
     for c in cols:
-        dt = ftypes[c]
+        dt = ftypes.get(c, ci.get(c.lower()))
+        if dt is None:
+            return None
         if not isinstance(dt, (T.FloatType, T.DoubleType)) and _contains_nested_float(dt):
             return None
         k = dt.simpleString()

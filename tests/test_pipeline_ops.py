@@ -601,6 +601,12 @@ def test_analyze_table_exact_hash_plan_and_float_edges(spark):
     row = analyze_table(arr, exact_distinct=True).collect()[0]
     assert row["n_distinct"] == 2 and row["min_value"] == "[0.5]"
 
+    # case-insensitive column resolution (Spark's default) still works
+    ci = {r["column"]: r for r in analyze_table(
+        df, ["K", "S"], exact_distinct=True
+    ).collect()}
+    assert ci["K"]["n_distinct"] == 3 and ci["S"]["n_distinct"] == 2
+
 
 def test_heavy_hitters_exact_counts_and_null_group(spark):
     from asakusafw_spark_spark.functions import heavy_hitters
