@@ -573,38 +573,39 @@ def build_text_index(
     tail of the vocabulary); scoring semantics for surviving terms are
     IDENTICAL to :func:`bm25_rank` over the same corpus.
     """
-    # explode_outer (see vocab_top_k for why) — r17: the one null row it
-    # emits per token-less doc rides THROUGH the tf aggregate so the
-    # corpus stats derive from tf instead of a second full tokenize
-    # scan: every doc then has >= 1 tf row, so countDistinct(id) over tf
-    # equals countDistinct over the raw corpus, and sum(tf) over real
-    # tokens equals sum(size(tokens(text))) over raw rows exactly
-    # (explode_outer emits every token instance exactly once; null rows
-    # are excluded from the sum like the 0/NULL-length docs they stand
-    # for).  The stats branch and the postings branch consume the SAME
-    # tf exchange — ReusedExchange serves the second branch, so the
-    # corpus is scanned and tokenized ONCE.
+    # explode_outer + null-drop — see vocab_top_k for why.
+    #
+    # Stats come from a SECOND corpus scan (one global aggregate over
+    # |docs| rows, map-side partial, no shuffle) — deliberately.  A
+    # one-tokenize variant that derived (n_docs, total_len) from the tf
+    # exchange itself (null row per token-less doc riding through the
+    # aggregate, ReusedExchange serving both branches) was landed and
+    # then REVERTED in r17: the "saved" corpus scan was replaced by a
+    # countDistinct(id) pass over the postings-sized tf stream, whose
+    # cost GROWS with the corpus — measured 0.44 vs 0.60 s at sf0.1 and
+    # 2.13 vs 5.27 s min (29 vs 141 tasks) at a 10x sf1 probe, old shape
+    # faster at both scales.  A second scan+tokenize is embarrassingly
+    # parallel and shuffle-free; re-aggregating the exploded token
+    # stream is not.  (Caching the per-doc token arrays instead would
+    # put the whole corpus in cache — the r14 slim-persist lesson.)
     ex = df.select(
         F.col(id_col), tokens(text_col).alias("__toks__")
     ).select(
         F.col(id_col),
         F.size("__toks__").alias("dl"),
         F.explode_outer("__toks__").alias("token"),
-    )
+    ).where(F.col("token").isNotNull())
     tf = ex.groupBy("token", id_col, "dl").agg(F.count(F.lit(1)).alias("tf"))
-    stats = tf.select(
-        F.countDistinct(F.col(id_col)).alias("n_docs"),
-        F.sum(F.when(F.col("token").isNotNull(), F.col("tf"))).alias(
-            "total_len"
-        ),
-    )
-    real = tf.where(F.col("token").isNotNull())
     dfreq = (
-        real.groupBy("token")
+        tf.groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= min_df)
     )
-    postings = real.join(dfreq, "token").select("token", id_col, "tf", "dl", "df")
+    postings = tf.join(dfreq, "token").select("token", id_col, "tf", "dl", "df")
+    stats = df.select(
+        F.countDistinct(F.col(id_col)).alias("n_docs"),
+        F.sum(F.size(tokens(text_col))).alias("total_len"),
+    )
     return postings, stats
 
 
